@@ -1,0 +1,77 @@
+"""Table catalog over the driver-generated parquet test tables.
+
+The reference kept every dataset as raw delimited strings re-split at
+each use (DS-Join streaming.scala:231,375); here schemas are explicit
+parquet schemas, parsed once at the scan, so Catalyst gets column
+pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Lazy loader for the star-schema test tables in one sf directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+        if name not in self._cache:
+            if name == "events":
+                # ns-precision parquet timestamps are unreadable by Spark's
+                # TimestampType; surface as long (runtime-settable SQL conf
+                # — the hosting session may not have it) and convert below.
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            self._cache[name] = self._post_read(name, df)
+        return self._cache[name]
+
+    @staticmethod
+    def _post_read(name: str, df: DataFrame) -> DataFrame:
+        """Normalize columns Spark can't map natively.
+
+        events.ts is TIMESTAMP(NANOS) parquet, surfaced as a ns-epoch
+        long under spark.sql.legacy.parquet.nanosAsLong; convert to a
+        proper timestamp (micros precision) once at the edge.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql queries."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,74 @@
+"""Central registry of engine queries and their DuckDB oracles.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a
+named query ``(spark, sf_dir) -> DataFrame`` plus, when the semantics
+are SQL-expressible, an equivalent ANSI-SQL oracle string that DuckDB
+runs on the same parquet tables.
+
+Conventions that make the driver's order-insensitive value-hash
+compare deterministic across Spark and DuckDB:
+
+* alias every computed column identically on both sides;
+* cast integer outputs to BIGINT on both sides (parquet mixes
+  int32/int64 and the two engines widen differently);
+* round every *computed* double (sums/avgs of floats) to a fixed
+  scale on both sides; raw stored doubles pass through untouched;
+* never emit raw timestamps — emit epoch seconds/micros as BIGINT
+  or an ISO date string;
+* break every ranking tie with a unique key column.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import.
+_PLAN_MODULES = (
+    "distributed_stream_processing_spark.plans.relational",
+    "distributed_stream_processing_spark.plans.text_plans",
+    "distributed_stream_processing_spark.plans.dedup_plans",
+    "distributed_stream_processing_spark.plans.vector_plans",
+    "distributed_stream_processing_spark.plans.timeseries_plans",
+    "distributed_stream_processing_spark.plans.stream_plans",
+)
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a query under ``name``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every plan module (idempotent) and return the registry."""
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # allow partial builds while modules land incrementally
+            if mod.rsplit(".", 1)[-1] not in str(e):
+                raise
+    return QUERIES

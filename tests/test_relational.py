@@ -1,0 +1,74 @@
+"""Smoke + semantics tests for the core relational query pack.
+
+The full DuckDB-oracle equivalence runs via tools/check_correctness.py
+(and the driver's gate); these tests pin the invariants that the
+oracle compare cannot see (plan shape, cache transparency, schema).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_stream_processing_spark.plans import load_all
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def test_registry_nonempty(specs):
+    assert len(specs) >= 15
+    # every oracle aliases match: names must be lowercase identifiers
+    for name, spec in specs.items():
+        assert name.isidentifier()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+
+
+def test_flagship_join_counts(spark, specs, sf_smoke):
+    # every lineitem row has exactly one part row -> row count preserved
+    out = specs["q02_stream_enrich_join"].fn(spark, sf_smoke)
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    assert out.count() == li.count()
+
+
+def test_hit_miss_partition(spark, specs, sf_smoke):
+    hit = specs["q03_cache_hit_semi"].fn(spark, sf_smoke).count()
+    miss = specs["q04_cache_miss_anti"].fn(spark, sf_smoke).count()
+    total = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").count()
+    assert hit + miss == total
+    assert hit > 0 and miss > 0  # fixture guarantees both paths exercised
+
+
+def test_cache_transparency(spark, specs, sf_smoke):
+    """DS-Join invariant: hit∪miss output == plain join regardless of cache."""
+    union = (
+        specs["q06_hit_union_miss"].fn(spark, sf_smoke).drop("src", "p_retailprice")
+    )
+    plain = specs["q02_stream_enrich_join"].fn(spark, sf_smoke).select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    assert union.exceptAll(plain).count() == 0
+    assert plain.exceptAll(union).count() == 0
+
+
+def test_broadcast_join_planned(spark, specs, sf_smoke):
+    """The dimension side must broadcast — no fact-table shuffle."""
+    plan = specs["q02_stream_enrich_join"].fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_pushdown(spark, specs, sf_smoke):
+    """Filter must reach the parquet scan."""
+    df = specs["q01_pricing_summary"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
