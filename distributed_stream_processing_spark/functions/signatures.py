@@ -1,0 +1,114 @@
+"""Dima-style segment/deletion signatures (reference parity path).
+
+The reference's similarity join indexes records by segment signatures
+and deletion signatures (DSim-Join ds_join/BuildSig.scala:60-95
+createInverse, :187-200 createDeletion; probe-side selection
+ds_join/DimaJoin.scala:481-574). This module re-derives the scheme on
+Spark columns:
+
+* tokens are hashed into ``H`` disjoint segments (xxhash64 mod H);
+* a segment signature is the hash of the segment's sorted content;
+* a deletion signature is the hash of the segment content with one
+  token removed.
+
+Completeness (pigeonhole): two sets x,y segmented with the same H
+differ in at most ``|x Δ y|`` segments, and J(x,y) >= t implies
+``|x Δ y| <= (1-t)/(1+t) * (|x|+|y|)``; choosing
+``H = floor((1-t)/(1+t) * (Lmax + Lmax/t)) + 1`` therefore
+guarantees at least one *identical* segment (possibly empty), so
+matching on segment-signature equality alone finds every qualifying
+pair and the exact-Jaccard verification makes the join exact.
+The reference additionally probes deletion signatures so it can run
+with fewer segments (H = floor((1-t)*l/t)+1, BuildSig.scala:55-58);
+we expose both but default to the equality-only scheme, letting AQE
+absorb the skew that Dima's load-aware partitioner handled by hand.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def seg_count_for(threshold: Fraction | float, max_len: int) -> int:
+    """H large enough that any qualifying pair shares one equal segment."""
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    worst_sym_diff = (1 - t) / (1 + t) * (max_len + max_len / t)
+    return int(worst_sym_diff) + 1
+
+
+def seg_count_dima(threshold: Fraction | float, length: int) -> int:
+    """The reference's per-length-group H (BuildSig.scala:55-58)."""
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    return int((1 - t) * length / t) + 1
+
+
+def multigroup(lmin: int, lmax: int, threshold: Fraction | float) -> list[tuple[int, int]]:
+    """Geometric length ranges [l, floor(l/t)] (BuildSig.scala:125-137).
+
+    Only pairs with t*|x| <= |y| <= |x|/t can qualify, so records need
+    only join within/adjacent-to their own range at scale.
+    """
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    groups = []
+    lo = max(1, lmin)
+    while lo <= lmax:
+        hi = max(lo, int(lo / t))
+        groups.append((lo, hi))
+        lo = hi + 1
+    return groups
+
+
+def _segment_content(tokens: Column, seg: Column | int, h: int) -> Column:
+    """Sorted tokens of one hash segment, as a canonical string."""
+    return F.concat_ws(
+        " ",
+        F.array_sort(
+            F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg)
+        ),
+    )
+
+
+def segment_signatures(tokens: Column, h: int) -> Column:
+    """ARRAY<STRUCT<seg INT, sig BIGINT>>: one signature per segment
+    (empty segments included — required for completeness)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(h - 1)),
+        lambda seg: F.struct(
+            seg.cast("int").alias("seg"),
+            F.xxhash64(_segment_content(tokens, seg, h)).alias("sig"),
+        ),
+    )
+
+
+def deletion_signatures(tokens: Column, h: int) -> Column:
+    """ARRAY<STRUCT<seg INT, sig BIGINT>>: per segment, the hash of the
+    segment content with each single token removed (createDeletion,
+    BuildSig.scala:187-200)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(h - 1)),
+            lambda seg: F.transform(
+                F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg),
+                lambda drop: F.struct(
+                    seg.cast("int").alias("seg"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.array_sort(
+                                F.filter(
+                                    tokens,
+                                    lambda x: (
+                                        F.pmod(F.xxhash64(x), F.lit(h)) == seg
+                                    )
+                                    & (x != drop),
+                                )
+                            ),
+                        )
+                    ).alias("sig"),
+                ),
+            ),
+        )
+    )

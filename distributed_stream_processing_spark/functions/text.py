@@ -1,0 +1,64 @@
+"""Text primitives: tokenization, n-grams, fingerprints.
+
+The reference tokenizes by single-space split and canonically sorts
+tokens (DSim-Join ds_join/BuildSig.scala:38-53,75); here that is
+``sort_array(array_distinct(...))`` — JVM-side, codegen'd, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Distinct, canonically sorted, space-split tokens (empty removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_sort(
+        F.array_distinct(F.filter(F.split(c, " "), lambda x: x != ""))
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), order-preserving.
+
+    Built from the raw token sequence (duplicates kept) so shingles
+    capture word order — unlike ``tokens`` which is set semantics.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    seq = F.filter(F.split(c, " "), lambda x: x != "")
+    # slide a window of n over the sequence: indexes 0..len-n
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(seq) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(seq, i + 1, n)),
+        )
+    )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Lowercase, whitespace-collapsed normalization for fingerprinting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def jaccard_parts(a_tokens: Column, b_tokens: Column) -> tuple[Column, Column]:
+    """(intersection size, union size) of two token arrays — exact ints.
+
+    Exposing the integer parts (not the ratio) keeps threshold
+    predicates exact: J >= p/q  <=>  q*inter >= p*union.
+    """
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    uni = F.size(a_tokens) + F.size(b_tokens) - inter
+    return inter, uni
+
+
+def jaccard_ge(a_tokens: Column, b_tokens: Column, p: int, q: int) -> Column:
+    """Exact predicate J(a,b) >= p/q using integer arithmetic only."""
+    inter, uni = jaccard_parts(a_tokens, b_tokens)
+    return q * inter >= p * uni

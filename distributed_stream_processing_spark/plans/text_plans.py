@@ -1,0 +1,141 @@
+"""Similarity-join and text-analysis queries over the documents table.
+
+DuckDB oracle note: Jaccard thresholds are evaluated with integer
+arithmetic on BOTH sides (q*inter >= p*uni) so there is no float
+boundary ambiguity in the gate; outputs expose (inter, uni) as
+BIGINT instead of a rounded ratio for the same reason.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.functions.text import (
+    fingerprint_md5,
+    tokens,
+    word_ngrams,
+)
+from distributed_stream_processing_spark.operators.similarity_join import (
+    dima_similarity_join,
+    similarity_join,
+)
+from distributed_stream_processing_spark.plans.registry import query
+
+_DUCK_TOKENS = "list_sort(list_distinct(list_filter(string_split({col}, ' '), x -> x <> '')))"
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
+
+
+def _brute_oracle(a_rel: str, b_rel: str, cond: str, p: int, q: int) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks,
+                        text, source FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+           CAST(b.doc_id AS BIGINT) AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM {a_rel} a JOIN {b_rel} b ON {cond}
+    WHERE {q} * len(list_intersect(a.toks, b.toks))
+          >= {p} * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    """
+
+
+@query(
+    "q16_similarity_self_join",
+    oracle=_brute_oracle("tok", "tok", "a.doc_id < b.doc_id", 4, 5),
+    doc=(
+        "Exact Jaccard self-join at t=0.8 via prefix filtering "
+        "(DSim-Join semantics; candidates pruned by prefix + length "
+        "filter, verified with integer-exact array_intersect)."
+    ),
+)
+def q16_similarity_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_join(_doc_tokens(spark, sf_dir), None, Fraction(4, 5))
+
+
+@query(
+    "q17_similarity_stream_stored",
+    oracle=_brute_oracle(
+        "(SELECT * FROM tok WHERE doc_id % 10 = 0 AND len(text) > 10)",
+        "(SELECT * FROM tok WHERE doc_id % 10 <> 0)",
+        "TRUE",
+        7,
+        10,
+    ),
+    doc=(
+        "DSim-Join semi-stream shape: a query batch (doc_id%10=0, with "
+        "the reference's len>10 filter, DS_SimJoin_stream.scala:489) "
+        "similarity-joined to the stored corpus at t=0.7 via Dima-style "
+        "segment signatures (BuildSig.scala:60-95 re-derived)."
+    ),
+)
+def q17_similarity_stream_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens"), "text"
+    )
+    stream = base.filter((F.col("id") % 10 == 0) & (F.length("text") > 10)).drop("text")
+    stored = base.filter(F.col("id") % 10 != 0).drop("text")
+    return dima_similarity_join(stream, stored, Fraction(7, 10))
+
+
+@query(
+    "q18_ngram_jaccard_join",
+    oracle=f"""
+    WITH seqd AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS seq
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(seq) - 2, 0) + 1),
+                              i -> array_to_string(seq[i:i+2], ' ')))) AS toks
+      FROM seqd
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+           CAST(b.doc_id AS BIGINT) AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 2 * len(list_intersect(a.toks, b.toks))
+          >= 1 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    """,
+    doc=(
+        "Near-duplicate detection on word 3-gram shingles at Jaccard "
+        ">= 0.5 — order-sensitive dedup for training-data pipelines "
+        "(the set-token join can't see word order)."
+    ),
+)
+def q18_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    shingled = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(word_ngrams("text", 3)).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    return similarity_join(shingled, None, Fraction(1, 2))
+
+
+@query(
+    "q19_doc_fingerprint",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Deterministic md5 fingerprint of normalized text (dedup primitive).",
+)
+def q19_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        fingerprint_md5("text").alias("fp"),
+    )

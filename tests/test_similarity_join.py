@@ -1,0 +1,135 @@
+"""Property + equivalence tests for the similarity-join operators.
+
+Mirrors the reference's validation strategy (SURVEY §5): the cached/
+indexed variants are checked against the brute-force scan
+(sequentialScan, ds_join/JaccardIndex.scala:211-231), plus a
+completeness property for the signature scheme.
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.functions.signatures import (
+    multigroup,
+    seg_count_for,
+)
+from distributed_stream_processing_spark.functions.text import tokens
+from distributed_stream_processing_spark.operators.similarity_join import (
+    brute_force_similarity_join,
+    dima_similarity_join,
+    similarity_join,
+)
+
+T = Fraction(4, 5)
+
+
+def _random_corpus(n: int, seed: int) -> list[tuple[int, str]]:
+    """Token sets with planted near-duplicates around the threshold."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(n):
+        k = rng.randint(5, 25)
+        toks = rng.sample(vocab, k)
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.5:  # planted near-dup: mutate 0-3 tokens
+            mut = list(toks)
+            for _ in range(rng.randint(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((n + i, " ".join(mut)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = _random_corpus(60, seed=7)
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    df.cache().count()
+    return df
+
+
+def _pairs(df) -> set[tuple]:
+    return {tuple(r) for r in df.collect()}
+
+
+def test_prefix_join_equals_brute_force(spark, corpus):
+    assert _pairs(similarity_join(corpus, None, T)) == _pairs(
+        brute_force_similarity_join(corpus, None, T)
+    )
+
+
+def test_freq_order_equals_brute_force(spark, corpus):
+    assert _pairs(similarity_join(corpus, None, T, order="freq")) == _pairs(
+        brute_force_similarity_join(corpus, None, T)
+    )
+
+
+def test_dima_join_equals_brute_force(spark, corpus):
+    assert _pairs(dima_similarity_join(corpus, None, T)) == _pairs(
+        brute_force_similarity_join(corpus, None, T)
+    )
+
+
+def test_two_table_join_equals_brute_force(spark, corpus):
+    left = corpus.filter(F.col("id") % 3 == 0)
+    right = corpus.filter(F.col("id") % 3 != 0)
+    assert _pairs(similarity_join(left, right, T)) == _pairs(
+        brute_force_similarity_join(left, right, T)
+    )
+
+
+def test_signature_completeness_property(spark):
+    """Any pair with J >= t must share >= 1 equal segment signature.
+
+    This is the pigeonhole theorem the segment join relies on
+    (signature scheme completeness — SURVEY §7 'what's hard' #3).
+    """
+    from distributed_stream_processing_spark.functions.signatures import (
+        segment_signatures,
+    )
+
+    rows = _random_corpus(40, seed=13)
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    lmax = df.agg(F.max(F.size("tokens"))).first()[0]
+    h = seg_count_for(T, lmax)
+    sigged = df.select("id", "tokens", segment_signatures(F.col("tokens"), h).alias("sigs"))
+    a = sigged.selectExpr("id a_id", "tokens a_tokens", "sigs a_sigs")
+    b = sigged.selectExpr("id b_id", "tokens b_tokens", "sigs b_sigs")
+    qualifying = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("inter", F.size(F.array_intersect("a_tokens", "b_tokens")))
+        .withColumn(
+            "uni", F.size("a_tokens") + F.size("b_tokens") - F.col("inter")
+        )
+        .filter(T.denominator * F.col("inter") >= T.numerator * F.col("uni"))
+        .withColumn("shared", F.size(F.array_intersect("a_sigs", "b_sigs")))
+    )
+    assert qualifying.count() > 0  # fixture plants qualifying pairs
+    assert qualifying.filter(F.col("shared") == 0).count() == 0
+
+
+def test_multigroup_covers_range():
+    groups = multigroup(5, 100, T)
+    assert groups[0][0] == 5 and groups[-1][1] >= 100
+    # contiguous, non-overlapping
+    for (lo1, hi1), (lo2, _) in zip(groups, groups[1:]):
+        assert lo2 == hi1 + 1
+
+
+def test_empty_and_identical_docs(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    got = _pairs(similarity_join(df, None, T))
+    assert got == {(1, 2, 3, 3)}
