@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all DataFrame-native (no Python in the hot path):
+
+* exact        — hash-groupBy on a normalized-text fingerprint
+* minhash_lsh  — MinHash signatures banded into LSH buckets; bucket
+                 equi-join proposes candidates; exact Jaccard verifies
+* simhash      — 64-bit SimHash; banded by 16-bit chunks (pigeonhole:
+                 hamming <= 3 -> one equal chunk); hamming verify
+* ngram        — word-shingle Jaccard via the prefix-filter join
+                 (see operators.similarity_join)
+* embedding    — double-precision cosine over embedding vectors
+
+At scale the LSH paths shuffle only (bucket-key, id, signature) rows;
+the verify joins are standard equi-joins Catalyst plans with AQE.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.functions.text import (
+    fingerprint_md5,
+    jaccard_parts,
+)
+
+# 31-bit Mersenne prime: with token hashes reduced mod P (< 2^31) and
+# a,b < 2^31, a*h+b < 2^62 stays exact in Spark's ANSI 64-bit math.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: representative (min id) + count."""
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — python RNG at plan time."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(tokens_col, num_perm: int = 64, seed: int = 42):
+    """ARRAY<BIGINT> of ``num_perm`` MinHash values over a token array."""
+    th = F.transform(tokens_col, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P)))
+    mins = [
+        F.array_min(
+            F.transform(th, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)))
+        )
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: Fraction | float = Fraction(4, 5),
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH, verified with exact Jaccard.
+
+    Input: (id BIGINT, tokens ARRAY<STRING>). Output (a_id, b_id,
+    inter, uni) — a subset of the brute-force result with recall
+    P[candidate] = 1-(1-s^r)^b at similarity s (r = num_perm/bands).
+    """
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        "id", "tokens", minhash_signature(F.col("tokens"), num_perm, seed).alias("mh")
+    )
+    banded = sig.select(
+        "id",
+        "tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("mh"), bnd * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "tokens", "bb.band", "bb.bucket")
+
+    a = banded.selectExpr("id a_id", "tokens a_tokens", "band", "bucket")
+    b = banded.selectExpr("id b_id", "tokens b_tokens", "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
+    return (
+        cands.withColumn("inter", inter.cast("bigint"))
+        .withColumn("uni", uni.cast("bigint"))
+        .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
+        .select("a_id", "b_id", "inter", "uni")
+    )
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash of a token array as BIGINT (may be negative)."""
+    # per-bit vote: sum over tokens of (bit ? +1 : -1); bit i of the
+    # token's xxhash64. Bit positions unrolled as literals because
+    # shiftright requires a literal shift amount.
+    votes = F.aggregate(
+        F.transform(tokens_col, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                    for i in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    out = F.lit(0).cast("bigint")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming (<= 3 keeps
+    the 4x16-bit band pigeonhole exact: d<=3 -> >=1 equal chunk)."""
+    sig = df.select("id", simhash64(F.col("tokens")).alias("sh"))
+    chunked = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("int").alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.val")
+    a = chunked.selectExpr("id a_id", "sh a_sh", "chunk", "val")
+    b = chunked.selectExpr("id b_id", "sh b_sh", "chunk", "val")
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.cast("bigint").alias("hamming"))
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

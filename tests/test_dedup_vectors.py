@@ -1,0 +1,99 @@
+"""Tests for dedup (minhash/simhash/exact) and ANN operators."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.functions.text import tokens
+from distributed_stream_processing_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+    simhash_near_pairs,
+)
+from distributed_stream_processing_spark.operators.similarity_join import (
+    brute_force_similarity_join,
+)
+from distributed_stream_processing_spark.operators.similarity_search import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+T = Fraction(4, 5)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark, sf_smoke):
+    df = (
+        Catalog(spark, sf_smoke)
+        .documents.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    )
+    df.cache().count()
+    return df
+
+
+def test_minhash_lsh_recall(spark, doc_tokens):
+    """LSH output ⊆ brute force; recall >= 95% at these parameters."""
+    truth = {
+        (r.a_id, r.b_id) for r in brute_force_similarity_join(doc_tokens, None, T).collect()
+    }
+    got = {(r.a_id, r.b_id) for r in minhash_lsh_dedup(doc_tokens, T).collect()}
+    assert got <= truth
+    assert len(truth) > 0
+    assert len(got) >= 0.95 * len(truth)
+
+
+def test_minhash_precision_is_exact(spark, doc_tokens):
+    """Every emitted pair is verified: no false positives ever."""
+    got = minhash_lsh_dedup(doc_tokens, T)
+    bad = got.filter(5 * F.col("inter") < 4 * F.col("uni")).count()
+    assert bad == 0
+
+
+def test_exact_dedup_partitions_corpus(spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents
+    groups = exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_copies")).first()[0] == docs.count()
+    # identical copies collapse: re-run on a corpus with planted dupes
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    g2 = exact_dedup_groups(doubled)
+    assert g2.count() == groups.count()  # same distinct texts
+    assert g2.filter(F.col("n_copies") < 2).count() == 0
+
+
+def test_simhash_symmetric_and_bounded(spark, doc_tokens):
+    pairs = simhash_near_pairs(doc_tokens, max_hamming=3)
+    rows = pairs.collect()
+    assert all(r.hamming <= 3 for r in rows)
+    assert all(r.a_id < r.b_id for r in rows)
+    # identical token sets -> hamming 0
+    dup = doc_tokens.limit(5)
+    both = dup.unionByName(dup.withColumn("id", F.col("id") + 1_000_000))
+    z = simhash_near_pairs(both, max_hamming=0)
+    assert z.filter(F.col("b_id") == F.col("a_id") + 1_000_000).count() == 5
+
+
+def test_ann_lsh_subset_of_bruteforce_candidates(spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).embeddings
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(q, emb, k=5)
+    # this corpus has no true near-neighbors (max pair cosine ~0.5),
+    # the worst case for LSH; use a generous probe budget and a loose
+    # recall floor — the operator contract, not retrieval quality.
+    approx = lsh_topk(q, emb, k=5, n_planes=4, multiprobe=1)
+    # same output contract
+    assert exact.columns == approx.columns
+    # every query returns exactly k rows in exact mode
+    from collections import Counter
+
+    counts = Counter(r.q_id for r in exact.collect())
+    assert all(v == 5 for v in counts.values())
+    # approx recall vs exact top-5 (loose: single-probe LSH)
+    et = {(r.q_id, r.vec_id) for r in exact.collect()}
+    at = {(r.q_id, r.vec_id) for r in approx.collect()}
+    assert len(at & et) >= 0.2 * len(et)
