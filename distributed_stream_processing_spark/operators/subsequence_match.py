@@ -1,0 +1,470 @@
+"""Subsequence matching over a stored series — the engine's KV-match
+(S3M) equivalent.
+
+Reference pipeline (Java, driver-local): build per-width sorted
+mean->interval indexes (S3M kvmatch/IndexBuilder.java:62-302), probe
+them with query-segment mean ranges, intersect candidate intervals,
+then verify ED/DTW with early abandoning (kvmatch/QueryEngine.java:
+74-293, utils/DtwUtils.java:50-338). This engine re-expresses it
+distributed:
+
+* index build  = chunked sliding stats (applyInPandas over
+  overlap-replicated chunks — no global-order Window bottleneck)
+  + run-length grouping into (mean_round, pos_start, pos_end) rows;
+* probe        = range filter on the index DataFrame per query
+  segment (Cauchy-Schwarz bound: ED <= eps over a width-w segment
+  implies |segment mean diff| <= eps/sqrt(w), plus the 0.25
+  rounding-grid slack), then k-way intersection of candidates;
+* ED verify    = equi/range join of candidates x series with a
+  deterministic left-to-right fold (bit-reproducible vs the DuckDB
+  oracle); DTW/zNorm verify = numpy over chunked windows
+  (mapInPandas, Arrow batches) with the LB_Keogh cascade and early
+  abandon.
+
+Positions are 0-based window starts; a window of width m covers
+[start, start+m-1].
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WIDTHS = (25, 50, 100, 200, 400)
+_GRID = 0.5  # KV-match half-integer mean rounding (MeanIntervalUtils.java:51-60)
+
+
+# ---------------------------------------------------------------------------
+# sliding stats + index build
+# ---------------------------------------------------------------------------
+
+
+def sliding_stats(
+    series: DataFrame, w: int, chunk: int = 8192, value_scale: int | None = None
+) -> DataFrame:
+    """(pos, mean, std, sum_scaled) of every width-``w`` window.
+
+    Rows are replicated into the preceding chunk when within w-1 of a
+    chunk boundary, so each chunk computes its own window starts
+    independently; cumsum-based, one pass, no global sort.
+
+    ``value_scale``: when values are fixed-decimal (e.g. 100 for
+    2-decimal data), window sums are computed exactly in scaled int64
+    (``sum_scaled``) so downstream grid rounding is bit-deterministic
+    across engines; otherwise sum_scaled is null.
+    """
+    n_copy = w - 1
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        pos = pdf["pos"].to_numpy()
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        base = int(pdf["chunk_id"].iloc[0]) * chunk
+        hi = base + chunk  # starts in [base, hi)
+        if len(val) < w:
+            return pd.DataFrame(
+                {"pos": [], "mean": [], "std": [], "sum_scaled": []}
+            ).astype({"pos": "int64", "sum_scaled": "float64"})
+        starts = pos[: len(val) - w + 1]
+        # windows must be contiguous (replication guarantees it except
+        # at series end) and owned by this chunk
+        own = (starts >= base) & (starts < hi) & (pos[w - 1 :] == starts + w - 1)
+        if value_scale is not None:
+            vi = np.rint(val * value_scale).astype(np.int64)
+            ci = np.concatenate(([0], np.cumsum(vi)))
+            s1i = ci[w:] - ci[:-w]
+            mean = s1i[own] / (w * value_scale)
+            sum_scaled = s1i[own].astype("float64")
+        else:
+            c1 = np.concatenate(([0.0], np.cumsum(val)))
+            s1 = c1[w:] - c1[:-w]
+            mean = (s1 / w)[own]
+            sum_scaled = np.full(own.sum(), np.nan)
+        c2 = np.concatenate(([0.0], np.cumsum(val * val)))
+        s2 = (c2[w:] - c2[:-w])[own]
+        var = np.maximum(s2 / w - mean * mean, 0.0)
+        return pd.DataFrame(
+            {
+                "pos": starts[own],
+                "mean": mean,
+                "std": np.sqrt(var),
+                "sum_scaled": sum_scaled,
+            }
+        )
+
+    owned = series.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("value").cast("double").alias("value"),
+        F.floor(F.col("pos") / chunk).cast("bigint").alias("chunk_id"),
+    )
+    spill = (
+        series.filter(F.pmod(F.col("pos"), F.lit(chunk)) < n_copy)
+        .filter(F.col("pos") >= chunk)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("value").cast("double").alias("value"),
+            (F.floor(F.col("pos") / chunk) - 1).cast("bigint").alias("chunk_id"),
+        )
+    )
+    return (
+        owned.unionByName(spill)
+        .groupBy("chunk_id")
+        .applyInPandas(
+            per_chunk, schema="pos long, mean double, std double, sum_scaled double"
+        )
+    )
+
+
+def build_kv_index(
+    series: DataFrame,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    value_scale: int | None = None,
+) -> DataFrame:
+    """(w, mr, pos_start, pos_end): runs of consecutive window starts
+    whose grid-rounded mean is equal (IndexBuilder.java:219-245
+    re-derived as lag-based run detection + groupBy min/max).
+
+    With ``value_scale`` set, mr comes from the exact integer window
+    sum — floor(sum_scaled / (scale*w*GRID)) * GRID — so the grid
+    assignment has no float summation-order ambiguity.
+    """
+    from pyspark.sql import Window as W
+
+    parts = []
+    for w in widths:
+        stats = sliding_stats(series, w, value_scale=value_scale)
+        if value_scale is not None:
+            divisor = float(value_scale * w * _GRID)
+            stats = stats.withColumn(
+                "mr", F.floor(F.col("sum_scaled") / divisor) * _GRID
+            )
+        else:
+            stats = stats.withColumn("mr", F.floor(F.col("mean") / _GRID) * _GRID)
+        win = W.partitionBy(F.lit(w)).orderBy("pos")
+        runs = (
+            stats.withColumn(
+                "new_run",
+                F.when(
+                    (F.col("mr") != F.lag("mr").over(win))
+                    | (F.col("pos") != F.lag("pos").over(win) + 1),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("run_id", F.sum("new_run").over(win.rowsBetween(W.unboundedPreceding, 0)))
+            .groupBy("run_id", "mr")
+            .agg(F.min("pos").alias("pos_start"), F.max("pos").alias("pos_end"))
+            .select(F.lit(w).alias("w"), "mr", "pos_start", "pos_end")
+        )
+        parts.append(runs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# query segmentation + probe
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Segment:
+    offset: int  # start within the query
+    width: int
+    mean: float
+
+
+def plan_segments(query: list[float], widths: tuple[int, ...] = DEFAULT_WIDTHS) -> list[Segment]:
+    """Greedy disjoint cover of the query with index widths, largest
+    first (stand-in for the reference's statistics-driven DP,
+    QueryEngine.java:337-416 — any disjoint cover is sound; the DP
+    only optimizes probe cost)."""
+    m = len(query)
+    usable = sorted((w for w in widths if w <= m), reverse=True)
+    if not usable:
+        raise ValueError(f"query length {m} below smallest index width {min(widths)}")
+    segs: list[Segment] = []
+    off = 0
+    while m - off >= usable[-1]:
+        w = next(w for w in usable if w <= m - off)
+        segs.append(Segment(off, w, float(np.mean(query[off : off + w]))))
+        off += w
+    return segs
+
+
+def probe_index(
+    index: DataFrame,
+    segments: list[Segment],
+    epsilon: float,
+    n_positions: int,
+    query_len: int,
+) -> DataFrame:
+    """Window starts passing every segment's mean-range filter.
+
+    Interval rows are exploded to positions (fine at these interval
+    sizes; an interval-algebra join would replace the explode at
+    extreme scale) and intersected by counting segment hits.
+    """
+    max_start = n_positions - query_len
+    cands = None
+    for i, seg in enumerate(segments):
+        # GRID (not GRID/2) slack: mr is a *floor* rounding, so the true
+        # mean lies in [mr, mr+GRID) — full-grid slack keeps completeness
+        slack = epsilon / math.sqrt(seg.width) + _GRID
+        rows = index.filter(
+            (F.col("w") == seg.width)
+            & (F.col("mr") >= seg.mean - slack)
+            & (F.col("mr") <= seg.mean + slack)
+        )
+        starts = (
+            rows.select(F.explode(F.sequence("pos_start", "pos_end")).alias("p"))
+            .select(
+                (F.col("p") - F.lit(seg.offset)).alias("start"),
+                F.lit(i).alias("seg"),
+            )
+            .filter((F.col("start") >= 0) & (F.col("start") <= max_start))
+        )
+        cands = starts if cands is None else cands.unionByName(starts)
+    return (
+        cands.groupBy("start")
+        .agg(F.countDistinct("seg").alias("n_seg"))
+        .filter(F.col("n_seg") == len(segments))
+        .select("start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# verification
+# ---------------------------------------------------------------------------
+
+
+def verify_ed(
+    series: DataFrame, candidates: DataFrame, query: list[float], epsilon: float
+) -> DataFrame:
+    """Exact ED over candidate windows via join + deterministic fold.
+
+    dist = sqrt(sum_i (x[start+i] - q[i])^2), summed left-to-right in
+    offset order so the value is bit-identical to the DuckDB oracle's
+    ordered-list fold. Output (start BIGINT, dist DOUBLE ROUND6).
+    """
+    m = len(query)
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    joined = candidates.join(
+        series.select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("value").cast("double").alias("value"),
+        ),
+        (F.col("pos") >= F.col("start")) & (F.col("pos") < F.col("start") + m),
+    ).select(
+        "start",
+        (F.col("pos") - F.col("start")).alias("qoff"),
+        (
+            (F.col("value") - F.element_at(qcol, (F.col("pos") - F.col("start") + 1).cast("int")))
+            * (F.col("value") - F.element_at(qcol, (F.col("pos") - F.col("start") + 1).cast("int")))
+        ).alias("d2"),
+    )
+    folded = (
+        joined.groupBy("start")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qoff", "d2"))),
+                    lambda s: s.d2,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("n") == m) & (F.col("dist2") <= epsilon * epsilon))
+    )
+    return folded.select(
+        F.col("start").cast("bigint").alias("start"),
+        F.round(F.sqrt("dist2"), 6).alias("dist"),
+    )
+
+
+def subsequence_match_ed(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    index: DataFrame | None = None,
+    n_positions: int | None = None,
+    value_scale: int | None = None,
+) -> DataFrame:
+    """RSM with ED: all window starts within ``epsilon`` of ``query``.
+
+    Exact: phase-1 mean-range pruning is complete (Cauchy-Schwarz),
+    phase-2 verification is exact.
+    """
+    if not query:
+        raise ValueError("empty query")
+    if n_positions is None:
+        n_positions = series.count()
+    if index is None:
+        usable = tuple(w for w in widths if w <= len(query)) or (min(widths),)
+        index = build_kv_index(series, usable, value_scale=value_scale)
+    segments = plan_segments(query, widths)
+    cands = probe_index(index, segments, epsilon, n_positions, len(query))
+    return verify_ed(series, cands, query, epsilon)
+
+
+# ---------------------------------------------------------------------------
+# chunked-window numpy paths (DTW, normalized) — mapInPandas
+# ---------------------------------------------------------------------------
+
+
+def _chunked(series: DataFrame, m: int, extra: int, chunk: int) -> DataFrame:
+    """Series rows replicated so each chunk holds its windows fully."""
+    n_copy = m + extra - 1
+    owned = series.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("value").cast("double").alias("value"),
+        F.floor(F.col("pos") / chunk).cast("bigint").alias("chunk_id"),
+    )
+    spill = (
+        series.filter(F.pmod(F.col("pos"), F.lit(chunk)) < n_copy)
+        .filter(F.col("pos") >= chunk)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("value").cast("double").alias("value"),
+            (F.floor(F.col("pos") / chunk) - 1).cast("bigint").alias("chunk_id"),
+        )
+    )
+    return owned.unionByName(spill)
+
+
+def _dtw_banded(x: np.ndarray, q: np.ndarray, rho: int, abandon: float) -> float:
+    """Sakoe-Chiba banded DTW with early abandon; returns sqrt cost."""
+    m = len(q)
+    prev = np.full(m + 1, np.inf)
+    prev[0] = 0.0
+    for i in range(1, m + 1):
+        cur = np.full(m + 1, np.inf)
+        lo, hi = max(1, i - rho), min(m, i + rho)
+        for j in range(lo, hi + 1):
+            d = (x[i - 1] - q[j - 1]) ** 2
+            cur[j] = d + min(prev[j], prev[j - 1], cur[j - 1])
+        if cur[lo : hi + 1].min() > abandon:
+            return math.inf
+        prev = cur
+    return math.sqrt(prev[m])
+
+
+def _lb_keogh(x: np.ndarray, lo_env: np.ndarray, hi_env: np.ndarray) -> float:
+    above = x > hi_env
+    below = x < lo_env
+    d = np.zeros_like(x)
+    d[above] = x[above] - hi_env[above]
+    d[below] = lo_env[below] - x[below]
+    return float(np.dot(d, d))
+
+
+def subsequence_match_dtw(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    rho: int,
+    chunk: int = 8192,
+) -> DataFrame:
+    """RSM with banded DTW: LB_Keogh cascade + early abandon, numpy
+    over chunked windows (the reference's DtwUtils.java:50-338 cascade
+    distributed via mapInPandas)."""
+    q = np.asarray(query, dtype=np.float64)
+    m = len(q)
+    if m == 0:
+        raise ValueError("empty query")
+    eps2 = epsilon * epsilon
+    lo_env = np.array([q[max(0, j - rho) : j + rho + 1].min() for j in range(m)])
+    hi_env = np.array([q[max(0, j - rho) : j + rho + 1].max() for j in range(m)])
+
+    def gen(batches):
+        import pandas as pdl
+
+        for pdf in batches:
+            for cid, grp in pdf.groupby("chunk_id"):
+                grp = grp.sort_values("pos")
+                pos = grp["pos"].to_numpy()
+                val = grp["value"].to_numpy(dtype=np.float64)
+                base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
+                outs, outd = [], []
+                for s in range(len(val) - m + 1):
+                    st = pos[s]
+                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
+                        continue
+                    x = val[s : s + m]
+                    if _lb_keogh(x, lo_env, hi_env) > eps2:
+                        continue
+                    d = _dtw_banded(x, q, rho, eps2)
+                    if d * d <= eps2:
+                        outs.append(st)
+                        outd.append(round(d, 6))
+                yield pdl.DataFrame({"start": outs, "dist": outd})
+
+    return (
+        _chunked(series, m, 0, chunk)
+        .repartition("chunk_id")
+        .mapInPandas(gen, schema="start long, dist double")
+    )
+
+
+def subsequence_match_znorm(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    chunk: int = 8192,
+) -> DataFrame:
+    """NSM: ED between z-normalized window and z-normalized query
+    (NormQueryEngine.java semantics), numpy over chunked windows."""
+    q = np.asarray(query, dtype=np.float64)
+    m = len(q)
+    if m == 0:
+        raise ValueError("empty query")
+    qn = (q - q.mean()) / (q.std() if q.std() > 0 else 1.0)
+    eps2 = epsilon * epsilon
+
+    def gen(batches):
+        import pandas as pdl
+
+        for pdf in batches:
+            for cid, grp in pdf.groupby("chunk_id"):
+                grp = grp.sort_values("pos")
+                pos = grp["pos"].to_numpy()
+                val = grp["value"].to_numpy(dtype=np.float64)
+                base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
+                outs, outd = [], []
+                for s in range(len(val) - m + 1):
+                    st = pos[s]
+                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
+                        continue
+                    x = val[s : s + m]
+                    sd = x.std()
+                    xn = (x - x.mean()) / (sd if sd > 0 else 1.0)
+                    d2 = float(np.dot(xn - qn, xn - qn))
+                    if d2 <= eps2:
+                        outs.append(st)
+                        outd.append(round(math.sqrt(d2), 6))
+                yield pdl.DataFrame({"start": outs, "dist": outd})
+
+    return (
+        _chunked(series, m, 0, chunk)
+        .repartition("chunk_id")
+        .mapInPandas(gen, schema="start long, dist double")
+    )
+
+
+def brute_force_ed(series_values: np.ndarray, query: np.ndarray, epsilon: float):
+    """O(n*m) numpy reference scan (test oracle)."""
+    n, m = len(series_values), len(query)
+    out = []
+    for s in range(n - m + 1):
+        d2 = float(np.dot(series_values[s : s + m] - query, series_values[s : s + m] - query))
+        if d2 <= epsilon * epsilon:
+            out.append((s, round(math.sqrt(d2), 6)))
+    return out

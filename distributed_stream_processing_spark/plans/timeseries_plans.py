@@ -1,0 +1,147 @@
+"""Time-series / subsequence-matching queries (S3M / KV-match parity).
+
+The stored series is the events table keyed by dense event_id
+(pos = event_id, value = value); the query pattern is a slice of the
+series itself (planted exact match at its own offset), mirroring the
+reference's CsvTester setup (kvmatch/CsvTester.java:30-45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.operators.subsequence_match import (
+    build_kv_index,
+    subsequence_match_dtw,
+    subsequence_match_ed,
+    subsequence_match_znorm,
+)
+from distributed_stream_processing_spark.plans.registry import query
+
+QSTART, QLEN = 1000, 100
+EPS_ED = 575.0
+
+
+def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("pos"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def _query_values(spark: SparkSession, sf_dir: str) -> list[float]:
+    s = series_df(spark, sf_dir)
+    n = s.count()
+    # clamp for small series (sf0.001 has 1k points); at sf0.01+ this
+    # is exactly QSTART, matching the oracle's literal offset
+    qstart = min(QSTART, max(0, n - QLEN))
+    rows = (
+        s.filter((F.col("pos") >= qstart) & (F.col("pos") < qstart + QLEN))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r.value for r in rows]
+
+
+@query(
+    "q29_subseq_match_ed",
+    oracle=f"""
+    WITH s AS (SELECT event_id AS pos, value FROM events),
+    q AS (SELECT pos - {QSTART} AS qoff, value AS qv FROM s
+          WHERE pos BETWEEN {QSTART} AND {QSTART + QLEN - 1}),
+    diffs AS (
+      SELECT s.pos - q.qoff AS start, q.qoff AS qoff,
+             (s.value - q.qv) * (s.value - q.qv) AS d2
+      FROM s JOIN q ON s.pos - q.qoff >= 0
+    ),
+    folded AS (
+      SELECT start,
+             list_aggregate(list(d2 ORDER BY qoff), 'sum') AS dist2,
+             count(*) AS c
+      FROM diffs GROUP BY start
+    )
+    SELECT CAST(start AS BIGINT) AS start, round(sqrt(dist2), 6) AS dist
+    FROM folded WHERE c = {QLEN} AND dist2 <= {EPS_ED} * {EPS_ED}
+    """,
+    doc=(
+        "KV-match RSM/ED: all windows within eps of the query via "
+        "index probe (mean-range, Cauchy-Schwarz-complete) + exact "
+        "deterministic-fold verification. Exact result."
+    ),
+)
+def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = series_df(spark, sf_dir)
+    qv = _query_values(spark, sf_dir)
+    return subsequence_match_ed(s, qv, EPS_ED, widths=(25, 50, 100), value_scale=100)
+
+
+@query(
+    "q30_kv_index_w25",
+    oracle="""
+    WITH s AS (SELECT event_id AS pos,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    sums AS (
+      SELECT pos,
+             sum(cents) OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS sc,
+             count(*) OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS cnt
+      FROM s
+    ),
+    grid AS (SELECT pos, floor(sc / 1250.0) * 0.5 AS mr FROM sums WHERE cnt = 25),
+    runs AS (
+      SELECT pos, mr,
+             CASE WHEN lag(mr) OVER (ORDER BY pos) = mr THEN 0 ELSE 1 END AS new_run
+      FROM grid
+    ),
+    rid AS (
+      SELECT pos, mr,
+             sum(new_run) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    )
+    SELECT CAST(25 AS BIGINT) AS w, mr,
+           CAST(min(pos) AS BIGINT) AS pos_start,
+           CAST(max(pos) AS BIGINT) AS pos_end
+    FROM rid GROUP BY run_id, mr
+    """,
+    doc=(
+        "The KV index itself (width 25): rounded-mean runs as "
+        "(mr, pos_start, pos_end) interval rows (IndexBuilder parity). "
+        "Grid assignment uses exact integer cents sums (2-decimal "
+        "data), bit-deterministic across engines."
+    ),
+)
+def q30_kv_index_w25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = series_df(spark, sf_dir)
+    return build_kv_index(s, widths=(25,), value_scale=100).select(
+        F.col("w").cast("bigint").alias("w"),
+        "mr",
+        F.col("pos_start").cast("bigint").alias("pos_start"),
+        F.col("pos_end").cast("bigint").alias("pos_end"),
+    )
+
+
+@query(
+    "q31_subseq_match_dtw",
+    oracle=None,  # DTW is not SQL-expressible; pytest checks vs numpy brute force
+    doc=(
+        "KV-match RSM/DTW (Sakoe-Chiba band rho=5): LB_Keogh cascade + "
+        "early-abandon DTW over chunked windows (mapInPandas)."
+    ),
+)
+def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = series_df(spark, sf_dir)
+    qv = _query_values(spark, sf_dir)
+    return subsequence_match_dtw(s, qv, epsilon=300.0, rho=5)
+
+
+@query(
+    "q32_subseq_match_znorm",
+    oracle=None,  # float64 z-norm chain not reproducible in SQL; pytest vs numpy
+    doc="Normalized subsequence match (NSM): z-normalized ED <= 11.",
+)
+def q32_subseq_match_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = series_df(spark, sf_dir)
+    qv = _query_values(spark, sf_dir)
+    return subsequence_match_znorm(s, qv, epsilon=11.0)

@@ -1,0 +1,148 @@
+"""Subsequence matching vs numpy brute-force oracles (SURVEY §5:
+O(nm) ED/DTW scan as the reference implementation)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.operators.subsequence_match import (
+    brute_force_ed,
+    build_kv_index,
+    plan_segments,
+    sliding_stats,
+    subsequence_match_dtw,
+    subsequence_match_ed,
+    subsequence_match_znorm,
+)
+
+N, M = 3000, 60
+CHUNK = 512  # small chunk so boundary replication is exercised
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rng = random.Random(5)
+    vals = []
+    x = 0.0
+    for _ in range(N):
+        x += rng.gauss(0, 1)
+        vals.append(round(x, 2))
+    # plant a noisy copy of [500:560] at 2000 (near match, eps-close)
+    for i in range(M):
+        vals[2000 + i] = round(vals[500 + i] + rng.gauss(0, 0.05), 2)
+    arr = np.array(vals)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, value double"
+    )
+    df.cache().count()
+    return df, arr
+
+
+def test_sliding_stats_exact(spark, series):
+    df, arr = series
+    got = {
+        r.pos: (r.mean, r.std)
+        for r in sliding_stats(df, 25, chunk=CHUNK).collect()
+    }
+    assert len(got) == N - 24
+    for pos in (0, 100, CHUNK - 1, CHUNK, CHUNK + 1, N - 25):
+        w = arr[pos : pos + 25]
+        assert math.isclose(got[pos][0], w.mean(), rel_tol=1e-9)
+        assert math.isclose(got[pos][1], w.std(), rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_index_covers_all_positions(spark, series):
+    df, _ = series
+    idx = build_kv_index(df, widths=(25, 50), value_scale=100)
+    for w in (25, 50):
+        rows = idx.filter(F.col("w") == w).collect()
+        covered = sorted(
+            p for r in rows for p in range(r.pos_start, r.pos_end + 1)
+        )
+        assert covered == list(range(N - w + 1))  # disjoint + complete
+
+
+def test_ed_match_equals_brute_force(spark, series):
+    df, arr = series
+    q = arr[500 : 500 + M].tolist()
+    eps = 1.0  # catches the exact match and the planted noisy copy
+    got = sorted((r.start, r.dist) for r in
+                 subsequence_match_ed(df, q, eps, widths=(25, 50), value_scale=100).collect())
+    want = brute_force_ed(arr, np.array(q), eps)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gs, gd), (ws, wd) in zip(got, want):
+        assert math.isclose(gd, wd, abs_tol=1e-6)
+    assert {g[0] for g in got} >= {500, 2000}
+
+
+def test_ed_match_wide_epsilon(spark, series):
+    """Larger eps: pruning keeps every brute-force hit (completeness)."""
+    df, arr = series
+    q = arr[700 : 700 + M].tolist()
+    eps = 8.0
+    got = {r.start for r in
+           subsequence_match_ed(df, q, eps, widths=(25, 50), value_scale=100).collect()}
+    want = {s for s, _ in brute_force_ed(arr, np.array(q), eps)}
+    assert got == want and len(want) > 1
+
+
+def test_plan_segments_disjoint_cover():
+    q = list(range(130))
+    segs = plan_segments(q, widths=(25, 50))
+    spans = [(s.offset, s.offset + s.width) for s in segs]
+    assert spans[0][0] == 0
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert c == b
+    assert spans[-1][1] <= 130 and 130 - spans[-1][1] < 25
+
+
+def test_dtw_equals_brute_force(spark, series):
+    df, arr = series
+    q = arr[500 : 500 + M]
+    rho, eps = 3, 4.0
+
+    def dtw_ref(x, q, rho):
+        m = len(q)
+        D = np.full((m + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, m + 1):
+            for j in range(max(1, i - rho), min(m, i + rho) + 1):
+                d = (x[i - 1] - q[j - 1]) ** 2
+                D[i, j] = d + min(D[i - 1, j], D[i - 1, j - 1], D[i, j - 1])
+        return math.sqrt(D[m, m])
+
+    want = {
+        s: round(dtw_ref(arr[s : s + M], q, rho), 6)
+        for s in range(N - M + 1)
+        if dtw_ref(arr[s : s + M], q, rho) <= eps
+    }
+    got = {r.start: r.dist for r in
+           subsequence_match_dtw(df, q.tolist(), eps, rho, chunk=CHUNK).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert math.isclose(got[s], want[s], abs_tol=1e-6)
+
+
+def test_znorm_equals_brute_force(spark, series):
+    df, arr = series
+    q = arr[500 : 500 + M]
+    qn = (q - q.mean()) / q.std()
+    eps = 5.0
+    want = {}
+    for s in range(N - M + 1):
+        x = arr[s : s + M]
+        sd = x.std()
+        xn = (x - x.mean()) / (sd if sd > 0 else 1.0)
+        d = math.sqrt(float(np.dot(xn - qn, xn - qn)))
+        if d <= eps:
+            want[s] = round(d, 6)
+    got = {r.start: r.dist for r in
+           subsequence_match_znorm(df, q.tolist(), eps, chunk=CHUNK).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert math.isclose(got[s], want[s], abs_tol=1e-6)
