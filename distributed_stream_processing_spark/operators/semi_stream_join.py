@@ -1,0 +1,154 @@
+"""Semi-stream equi-join with an adaptive distributed cache
+(DS-Join parity: SURVEY §3.1).
+
+The reference's per-batch dataflow — cogroup stream x cache, hit
+join, miss detect, per-partition remote fetch, LRU upsert, eviction,
+cache swap, hand-rolled threads (streaming.scala:211-617) — becomes
+ONE DataFrame program per batch:
+
+* hit   = batch ⋈ cache          (inner; broadcast when cache small)
+* miss  = batch ⟕̸ cache          (left_anti)
+* fetch = store ⋉ missed-keys    (left_semi on a broadcast key set —
+          the JDBC/connector analogue is WHERE key IN (...) pushdown)
+* out   = hit ∪ (miss ⋈ fetch)
+* state: LRU last-seen upsert, eviction of keys older than the
+  adaptive window, cache rebuild = (cache ∖ evicted) ∪ fetch
+
+Spark schedules the formerly-threaded stages from one DAG; the cache
+and LRU DataFrames are swapped per batch with localCheckpoint every
+``checkpoint_every`` batches to truncate lineage (the reference's X8).
+
+Semantic invariant (tested): output == plain stream ⋈ store for every
+cache state — the cache is transparent.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.streaming.cache_controller import (
+    AdaptiveCacheController,
+    BatchTimings,
+)
+
+
+@dataclass
+class SemiStreamJoin:
+    store: DataFrame  # full stored dimension (stand-in for the remote DB)
+    key: str  # join key column name, shared by stream and store
+    initial_cache: DataFrame | None = None
+    controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
+    checkpoint_every: int = 8
+    cache: DataFrame | None = None
+    lru: DataFrame | None = None  # (key, last_seen)
+
+    def __post_init__(self):
+        spark = self.store.sparkSession
+        self.cache = (
+            self.initial_cache
+            if self.initial_cache is not None
+            else self.store.limit(0)
+        ).cache()
+        self.lru = (
+            self.cache.select(F.col(self.key), F.lit(0).alias("last_seen"))
+        ).cache()
+        self._spark = spark
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """Join one micro-batch against store-through-cache; maintain
+        state; return the enriched output (hit ∪ miss-fetched)."""
+        k = self.key
+        cache, lru = self.cache, self.lru
+
+        hit = batch.join(cache, k, "inner")
+        miss = batch.join(cache, k, "left_anti")
+
+        t0 = time.monotonic()
+        missed_keys = miss.select(k).distinct()
+        n_miss = missed_keys.count()
+        fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
+        fetched.count()  # materialize the "remote fetch" once
+        fetch_s = time.monotonic() - t0
+
+        out = hit.unionByName(miss.join(fetched, k, "inner"))
+
+        # ---- state maintenance (X4-X6) ----
+        t1 = time.monotonic()
+        batch_keys = batch.select(k).distinct()
+        new_lru = (
+            lru.join(batch_keys, k, "left_anti")
+            .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
+        )
+        window = self.controller.window
+        stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
+        new_cache = cache.join(stale, k, "left_anti").unionByName(fetched)
+        new_lru = new_lru.join(stale, k, "left_anti")
+
+        if batch_id % self.checkpoint_every == self.checkpoint_every - 1:
+            new_cache = new_cache.localCheckpoint(eager=True)
+            new_lru = new_lru.localCheckpoint(eager=True)
+        else:
+            new_cache = new_cache.cache()
+            new_lru = new_lru.cache()
+            new_cache.count()
+            new_lru.count()
+        maintain_s = time.monotonic() - t1
+
+        cache.unpersist()
+        lru.unpersist()
+        self.cache, self.lru = new_cache, new_lru
+        self.controller.observe(
+            BatchTimings(
+                batch_id=batch_id,
+                n_miss=n_miss,
+                store_fetch_s=fetch_s,
+                cache_maintain_s=maintain_s,
+            )
+        )
+        return out
+
+
+def replay_in_batches(
+    df: DataFrame, n_batches: int, bucket_col: str
+) -> list[tuple[int, DataFrame]]:
+    """Deterministic micro-batch replay of a static table: batch i =
+    rows with pmod(bucket_col, n_batches) == i (the test harness's
+    replacement for socket feeds — SURVEY §7 'what's hard' #5)."""
+    return [
+        (i, df.filter(F.pmod(F.col(bucket_col), F.lit(n_batches)) == i))
+        for i in range(n_batches)
+    ]
+
+
+def run_semi_stream_join(
+    stream_table: DataFrame,
+    store: DataFrame,
+    key: str,
+    out_cols: list[str],
+    n_batches: int = 4,
+    bucket_col: str | None = None,
+    initial_cache: DataFrame | None = None,
+    controller: AdaptiveCacheController | None = None,
+) -> DataFrame:
+    """Replay ``stream_table`` through the cached semi-stream join and
+    return the union of per-batch outputs (cache-transparent: equals
+    the plain stream ⋈ store join)."""
+    j = SemiStreamJoin(
+        store=store,
+        key=key,
+        initial_cache=initial_cache,
+        controller=controller or AdaptiveCacheController(),
+    )
+    outs = []
+    for batch_id, batch in replay_in_batches(
+        stream_table, n_batches, bucket_col or key
+    ):
+        outs.append(j.process_batch(batch, batch_id).select(*out_cols))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

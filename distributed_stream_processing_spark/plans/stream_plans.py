@@ -1,0 +1,89 @@
+"""Streaming + semi-stream-join queries.
+
+q33 is the engine's flagship DS-Join parity pipeline: a micro-batched
+stream enriched through the adaptive cache. Its oracle is the PLAIN
+stream x store join — the cache-transparency invariant from the
+reference papers (output must not depend on cache state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.operators.semi_stream_join import (
+    run_semi_stream_join,
+)
+from distributed_stream_processing_spark.plans.registry import query
+from distributed_stream_processing_spark.sources.stream import (
+    drain_stream,
+    read_events_stream,
+)
+
+
+@query(
+    "q33_semi_stream_cached_join",
+    oracle="""
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l.l_partkey AS BIGINT) AS l_partkey,
+           p.p_retailprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc=(
+        "DS-Join end-to-end: lineitem replayed in 4 micro-batches "
+        "through the cached semi-stream join (hit/miss split, batched "
+        "store fetch, LRU eviction, adaptive window). Oracle = plain "
+        "join: the cache is semantically transparent."
+    ),
+)
+def q33_semi_stream_cached_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    stream = cat.lineitem.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    store = cat.part.select("p_partkey", "p_retailprice").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    initial_cache = store.filter(F.col("p_retailprice") < 1200.0)
+    return run_semi_stream_join(
+        stream_table=stream,
+        store=store,
+        key="l_partkey",
+        out_cols=["l_orderkey", "l_linenumber", "l_partkey", "p_retailprice"],
+        n_batches=4,
+        bucket_col="l_orderkey",
+        initial_cache=initial_cache,
+    )
+
+
+@query(
+    "q34_stream_minute_rollup",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "A REAL Structured Streaming job: events replayed as a 4-file "
+        "stream, tumbling-minute aggregation, complete-mode memory "
+        "sink. Must equal the batch rollup (streaming/batch parity)."
+    ),
+)
+def q34_stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir, n_files=4)
+    agg = sdf.groupBy(
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("minute_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return drain_stream(agg, f"minute_rollup_{tag}", "complete")

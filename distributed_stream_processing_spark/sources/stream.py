@@ -1,0 +1,70 @@
+"""Streaming sources: deterministic file-stream replay of the test
+tables (the engine's substitute for the reference's 4-16 socket feeds,
+DS-Join streaming.scala:139-156 — file sources give reproducible
+micro-batches; kafka/socket slot in via the same readStream API).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_stream_processing_spark.catalog import Catalog
+
+_SCRATCH = "/root/repo/.tmp/streams"
+
+
+def stage_stream_files(
+    df: DataFrame, name: str, n_files: int, order_col: str
+) -> str:
+    """Write ``df`` as ``n_files`` parquet files so a file-source
+    stream with maxFilesPerTrigger=1 replays it in n deterministic
+    micro-batches (bucketed by pmod(order_col, n))."""
+    path = f"{_SCRATCH}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    (
+        df.withColumn("_b", F.pmod(F.col(order_col), F.lit(n_files)))
+        .repartition(n_files, "_b")
+        .drop("_b")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Structured-Streaming view of the events table (ts normalized to
+    a proper timestamp), staged as a deterministic file stream."""
+    ev = Catalog(spark, sf_dir).events
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = stage_stream_files(ev, f"events_{tag}", n_files, "event_id")
+    schema = ev.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def drain_stream(sdf: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the final result as a batch DataFrame."""
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

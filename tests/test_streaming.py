@@ -1,0 +1,160 @@
+"""Semi-stream cache layer, controller, streaming parity, online ML."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.operators.semi_stream_join import (
+    SemiStreamJoin,
+    replay_in_batches,
+    run_semi_stream_join,
+)
+from distributed_stream_processing_spark.streaming.cache_controller import (
+    AdaptiveCacheController,
+    BatchTimings,
+)
+from distributed_stream_processing_spark.streaming.online_ml import (
+    OnlineLinearRegressionSGD,
+    batch_best_match,
+    run_s3m_pipeline,
+)
+
+
+# ---------------- controller (pure, synthetic traces) ----------------
+
+
+def test_controller_grows_when_fetch_dominates():
+    c = AdaptiveCacheController(window=8, smoothing=1)
+    for b in range(5):
+        c.observe(BatchTimings(b, n_miss=10, store_fetch_s=2.0, cache_maintain_s=0.5))
+    assert c.window == 13
+
+
+def test_controller_shrinks_when_maintenance_dominates():
+    c = AdaptiveCacheController(window=8, smoothing=1)
+    for b in range(5):
+        c.observe(BatchTimings(b, n_miss=10, store_fetch_s=0.1, cache_maintain_s=2.0))
+    assert c.window == 3
+
+
+def test_controller_grows_on_no_misses_and_clamps():
+    c = AdaptiveCacheController(window=8, min_window=2, max_window=10, smoothing=1)
+    for b in range(10):
+        c.observe(BatchTimings(b, n_miss=0, store_fetch_s=0.0, cache_maintain_s=5.0))
+    assert c.window == 10  # clamped at max despite maintenance cost
+    c2 = AdaptiveCacheController(window=3, min_window=2, smoothing=1)
+    for b in range(10):
+        c2.observe(BatchTimings(b, n_miss=5, store_fetch_s=0.0, cache_maintain_s=9.0))
+    assert c2.window == 2  # clamped at min
+
+
+# ---------------- semi-stream join transparency ----------------
+
+
+def test_cache_transparency_across_cache_states(spark, sf_smoke):
+    """Output equals plain join for wildly different cache setups."""
+    cat = Catalog(spark, sf_smoke)
+    stream = cat.lineitem.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    store = cat.part.select("p_partkey", "p_retailprice").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    plain = stream.join(store, "l_partkey").select(
+        "l_orderkey", "l_partkey", "p_retailprice"
+    )
+    for cache in (None, store, store.filter(F.col("p_retailprice") < 900)):
+        out = run_semi_stream_join(
+            stream,
+            store,
+            "l_partkey",
+            ["l_orderkey", "l_partkey", "p_retailprice"],
+            n_batches=3,
+            bucket_col="l_orderkey",
+            initial_cache=cache,
+            controller=AdaptiveCacheController(window=2, min_window=1),
+        )
+        assert out.exceptAll(plain).count() == 0
+        assert plain.exceptAll(out).count() == 0
+
+
+def test_replay_batches_partition_stream(spark, sf_smoke):
+    li = Catalog(spark, sf_smoke).lineitem
+    batches = replay_in_batches(li, 4, "l_orderkey")
+    assert sum(b.count() for _, b in batches) == li.count()
+
+
+def test_lru_eviction_bounds_cache(spark, sf_smoke):
+    """With a tiny window, old uncontacted keys must leave the cache."""
+    cat = Catalog(spark, sf_smoke)
+    store = cat.part.select("p_partkey", "p_retailprice").withColumnRenamed(
+        "p_partkey", "key"
+    )
+    j = SemiStreamJoin(
+        store=store,
+        key="key",
+        controller=AdaptiveCacheController(window=1, min_window=1, max_window=1),
+    )
+    spark_ = store.sparkSession
+    b1 = spark_.range(1, 50).withColumnRenamed("id", "key")
+    b2 = spark_.range(100, 150).withColumnRenamed("id", "key")
+    b3 = spark_.range(200, 250).withColumnRenamed("id", "key")
+    j.process_batch(b1, 0)
+    j.process_batch(b2, 1)
+    j.process_batch(b3, 2)
+    cached_keys = {r.key for r in j.cache.select("key").collect()}
+    assert cached_keys.isdisjoint(set(range(1, 50)))  # batch-0 keys evicted
+
+
+# ---------------- online ML ----------------
+
+
+def test_batch_best_match_finds_planted(spark):
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.normal(0, 1, 2000).cumsum(), 2)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "pos long, value double"
+    )
+    w = {0: vals[300:350], 1: vals[1200:1250]}
+    got = batch_best_match(df, w, chunk=512)
+    assert got[0][0] == 300 and got[0][1] == 0.0
+    assert got[1][0] == 1200 and got[1][1] == 0.0
+
+
+def test_sgd_matches_numpy_reference():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 6))
+    true_w = np.arange(6, dtype=float)
+    y = X @ true_w + 1.0
+    m = OnlineLinearRegressionSGD(dim=6, step_size=0.1, num_iterations=50)
+    for i in range(0, 40, 8):
+        m.train(X[i : i + 8], y[i : i + 8])
+    pred = X @ m.weights + m.intercept
+    assert float(np.mean((pred - y) ** 2)) < float(np.var(y))  # learned signal
+
+
+def test_s3m_pipeline_trajectory(spark, sf_correct):
+    from distributed_stream_processing_spark.plans.timeseries_plans import series_df
+
+    rows = run_s3m_pipeline(series_df(spark, sf_correct), n_windows=8)
+    assert len(rows) >= 4
+    # windows emit in order, delayed by the queue
+    ids = [r["window_id"] for r in rows]
+    assert ids == sorted(ids)
+    # exact stored-copy windows are impossible here (stream is disjoint
+    # tail), but match_dist must be finite and positive
+    assert all(np.isfinite(r["match_dist"]) for r in rows)
+
+
+def test_streaming_rollup_matches_batch(spark, sf_smoke):
+    from distributed_stream_processing_spark.plans import load_all
+
+    specs = load_all()
+    stream_out = specs["q34_stream_minute_rollup"].fn(spark, sf_smoke)
+    batch_out = specs["q10_event_minute_rollup"].fn(spark, sf_smoke)
+    assert stream_out.exceptAll(batch_out).count() == 0
+    assert batch_out.exceptAll(stream_out).count() == 0
