@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Queries are materialized with the noop sink (full plan execution, no
+collect/IO cost). Each timing includes plan + execution, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from distributed_stream_processing_spark.plans import load_all  # noqa: E402
+from distributed_stream_processing_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",        # hash aggregation
+    "q02_stream_enrich_join",     # broadcast equi-join (DS-Join hit path)
+    "q07_revenue_by_customer",    # multi-join + agg
+    "q16_similarity_self_join",   # Jaccard prefix join (DSim-Join)
+    "q21_dedup_minhash_lsh",      # MinHash LSH dedup
+    "q26_ann_topk",               # brute-force cosine top-k
+    "q29_subseq_match_ed",        # KV-match ED (index build + probe + verify)
+    "q33_semi_stream_cached_join",  # DS-Join cached pipeline, 4 batches
+    "q34_stream_minute_rollup",   # Structured Streaming rollup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    specs = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

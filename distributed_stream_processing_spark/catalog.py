@@ -35,6 +35,20 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        self._tune_session(spark)
+
+    @staticmethod
+    def _tune_session(spark: SparkSession) -> None:
+        """Right-size a host session left at Spark's 200-partition
+        default: at local/test scale that yields 200-task micro-stages
+        (pure scheduler overhead). Real clusters size this to ~2-3x
+        total cores; 200 is never intentional here."""
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                n = max(8, min(os.cpu_count() or 8, 64))
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        except Exception:  # noqa: BLE001 - conf access denied: leave as-is
+            pass
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:

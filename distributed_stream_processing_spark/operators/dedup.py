@@ -80,14 +80,24 @@ def minhash_lsh_dedup(
     inter, uni) — a subset of the brute-force result with recall
     P[candidate] = 1-(1-s^r)^b at similarity s (r = num_perm/bands).
     """
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        _mask_col,
+        token_bitmask_dict,
+    )
+
     t = Fraction(threshold).limit_denominator(1_000_000)
     rows_per_band = num_perm // bands
+    mapping = token_bitmask_dict(df)
     sig = df.select(
-        "id", "tokens", minhash_signature(F.col("tokens"), num_perm, seed).alias("mh")
+        "id",
+        F.size("tokens").alias("sz"),
+        (_mask_col(mapping) if mapping is not None else F.col("tokens")).alias("rep"),
+        minhash_signature(F.col("tokens"), num_perm, seed).alias("mh"),
     )
     banded = sig.select(
         "id",
-        "tokens",
+        "sz",
+        "rep",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -105,23 +115,29 @@ def minhash_lsh_dedup(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "tokens", "bb.band", "bb.bucket")
+    ).select("id", "sz", "rep", "bb.band", "bb.bucket")
 
-    a = banded.selectExpr("id a_id", "tokens a_tokens", "band", "bucket")
-    b = banded.selectExpr("id b_id", "tokens b_tokens", "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
-    return (
-        cands.withColumn("inter", inter.cast("bigint"))
-        .withColumn("uni", uni.cast("bigint"))
+    a = banded.selectExpr("id a_id", "sz a_sz", "rep a_rep", "band", "bucket")
+    b = banded.selectExpr("id b_id", "sz b_sz", "rep b_rep", "band", "bucket")
+    cands = a.join(b, ["band", "bucket"]).filter(F.col("a_id") < F.col("b_id"))
+
+    if mapping is not None:
+        inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
+        uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
+    else:
+        cands = cands.dropDuplicates(["a_id", "b_id"])
+        i_c, u_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
+        inter, uni = i_c.cast("bigint"), u_c.cast("bigint")
+
+    out = (
+        cands.withColumn("inter", inter)
+        .withColumn("uni", uni)
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
+    if mapping is not None:
+        out = out.dropDuplicates(["a_id", "b_id"])
+    return out
 
 
 def simhash64(tokens_col):

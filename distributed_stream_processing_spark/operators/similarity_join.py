@@ -71,6 +71,38 @@ def _with_prefix(df: DataFrame, t: Fraction, order: str) -> DataFrame:
     return df.withColumn("ptok", F.explode(F.slice(toks, 1, plen)))
 
 
+def token_bitmask_dict(*dfs: DataFrame, max_vocab: int = 62) -> dict[str, int] | None:
+    """Dictionary-encode the token vocabulary as single-long bitmasks
+    when it is small (<= 62 distinct tokens across all inputs).
+
+    On low-cardinality token domains (category tags, controlled
+    vocabularies) this turns per-pair set intersection into one
+    bit_count(a & b) — O(1) instead of O(|set|) hash-set work — and
+    shrinks the candidate shuffle from string arrays to 8 bytes.
+    Returns None when the vocabulary is too large (caller keeps the
+    general array path).
+    """
+    vocab = dfs[0].select(F.explode("tokens").alias("tok"))
+    for d in dfs[1:]:
+        vocab = vocab.unionByName(d.select(F.explode("tokens").alias("tok")))
+    toks = [r.tok for r in vocab.distinct().limit(max_vocab + 1).collect()]
+    if len(toks) > max_vocab:
+        return None
+    return {tok: 1 << i for i, tok in enumerate(sorted(toks))}
+
+
+def _mask_col(mapping: dict[str, int]):
+    entries = []
+    for tok, bit in mapping.items():
+        entries += [F.lit(tok), F.lit(bit).cast("bigint")]
+    m = F.create_map(*entries)
+    return F.aggregate(
+        F.col("tokens"),
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc.bitwiseOR(F.coalesce(m[tk], F.lit(0).cast("bigint"))),
+    )
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame | None,
@@ -84,40 +116,62 @@ def similarity_join(
     ``right=None`` -> self-join emitting each unordered pair once
     (a_id < b_id). Output: (a_id, b_id, inter BIGINT, uni BIGINT)
     with q*inter >= p*uni, threshold = p/q exactly.
+
+    Verification auto-switches to dictionary bitmasks for small
+    vocabularies (see token_bitmask_dict) — exact either way.
     """
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
     right = left if self_join else right
 
-    a = _with_prefix(left, t, order).select(
-        F.col("id").alias("a_id"), F.col("tokens").alias("a_tokens"), "ptok"
-    )
-    b = _with_prefix(right, t, order).select(
-        F.col("id").alias("b_id"), F.col("tokens").alias("b_tokens"), "ptok"
-    )
+    mapping = token_bitmask_dict(left) if self_join else token_bitmask_dict(left, right)
+
+    def rep(df: DataFrame, prefix: str) -> DataFrame:
+        out = _with_prefix(df, t, order)
+        if mapping is not None:
+            out = out.withColumn("rep", _mask_col(mapping))
+        else:
+            out = out.withColumn("rep", F.col("tokens"))
+        return out.select(
+            F.col("id").alias(f"{prefix}_id"),
+            F.size("tokens").alias(f"{prefix}_sz"),
+            F.col("rep").alias(f"{prefix}_rep"),
+            "ptok",
+        )
+
+    a, b = rep(left, "a"), rep(right, "b")
 
     pair_filter = (
         # length filter: t*|a| <= |b| <= |a|/t (integer-exact both ways)
-        (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
-        & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
+        (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+        & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
     )
     if self_join:
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
 
-    cands = (
-        a.join(b, "ptok")
-        .filter(pair_filter)
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cands = a.join(b, "ptok").filter(pair_filter)
 
-    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
-    return (
-        cands.withColumn("inter", inter.cast("bigint"))
-        .withColumn("uni", uni.cast("bigint"))
+    if mapping is not None:
+        inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
+        uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
+    else:
+        # general path: dedupe candidate instances before the O(|set|)
+        # verification so each pair is verified once
+        cands = cands.dropDuplicates(["a_id", "b_id"])
+        i_c, u_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
+        inter, uni = i_c.cast("bigint"), u_c.cast("bigint")
+
+    out = (
+        cands.withColumn("inter", inter)
+        .withColumn("uni", uni)
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
+    if mapping is not None:
+        # bitmask verify is O(1): cheaper to verify duplicated candidate
+        # instances and dedupe the (small) qualifying output after
+        out = out.dropDuplicates(["a_id", "b_id"])
+    return out
 
 
 def dima_similarity_join(

@@ -254,18 +254,24 @@ def verify_ed(
     """
     m = len(query)
     qcol = F.array(*[F.lit(float(v)) for v in query])
-    joined = candidates.join(
+    # explode candidate windows to (start, pos) rows -> EQUI-join on pos
+    # (a BETWEEN condition would force a nested-loop join; the explode
+    # keeps it a shuffled hash join at any candidate count)
+    cand_rows = candidates.select(
+        "start", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("qoff")
+    ).select("start", "qoff", (F.col("start") + F.col("qoff")).alias("pos"))
+    joined = cand_rows.join(
         series.select(
             F.col("pos").cast("bigint").alias("pos"),
             F.col("value").cast("double").alias("value"),
         ),
-        (F.col("pos") >= F.col("start")) & (F.col("pos") < F.col("start") + m),
+        "pos",
     ).select(
         "start",
-        (F.col("pos") - F.col("start")).alias("qoff"),
+        "qoff",
         (
-            (F.col("value") - F.element_at(qcol, (F.col("pos") - F.col("start") + 1).cast("int")))
-            * (F.col("value") - F.element_at(qcol, (F.col("pos") - F.col("start") + 1).cast("int")))
+            (F.col("value") - F.element_at(qcol, (F.col("qoff") + 1).cast("int")))
+            * (F.col("value") - F.element_at(qcol, (F.col("qoff") + 1).cast("int")))
         ).alias("d2"),
     )
     folded = (
