@@ -75,9 +75,10 @@ class Catalog:
         from pyspark.sql import types as T
 
         if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division, not float: ns epochs exceed double's 2^53
+            # mantissa and float rounding would drift the microsecond
+            # (DuckDB truncates ns->us; match it exactly)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

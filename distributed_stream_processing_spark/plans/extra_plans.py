@@ -1,0 +1,92 @@
+"""As-of join + multimodal pipeline queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.operators.asof_join import asof_join
+from distributed_stream_processing_spark.plans.registry import query
+from distributed_stream_processing_spark.sources.multimodal import (
+    decode_media,
+    frame_sample,
+    media_table,
+)
+
+
+@query(
+    "q36_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(c.click_event_id AS BIGINT) AS click_event_id,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    doc=(
+        "As-of join (J12 family): each purchase enriched with the "
+        "user's latest at-or-before click, via the union-window plan "
+        "(one shuffle, no range join). Oracle: DuckDB native ASOF JOIN."
+    ),
+)
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .agg(F.max("event_id").cast("bigint").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_event_id", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "click_event_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+@query(
+    "q37_multimodal_decode",
+    oracle=None,  # decode stub is engine-side; plumbing checked by pytest
+    doc=(
+        "Multimodal pipeline: opaque binary payloads -> mapInPandas "
+        "decode/feature-extract (stubbed deterministically) -> typed "
+        "metadata + 8-dim feature vectors."
+    ),
+)
+def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(media_table(spark, sf_dir))
+
+
+@query(
+    "q38_multimodal_frame_sample",
+    oracle=None,
+    doc="Frame sampling over decoded multi-frame media (JVM-side explode).",
+)
+def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(decode_media(media_table(spark, sf_dir)), every_n=4)

@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "distributed_stream_processing_spark.plans.timeseries_plans",
     "distributed_stream_processing_spark.plans.stream_plans",
     "distributed_stream_processing_spark.plans.ml_plans",
+    "distributed_stream_processing_spark.plans.extra_plans",
 )
 
 
