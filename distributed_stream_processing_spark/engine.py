@@ -1,0 +1,167 @@
+"""User-facing facade: one object exposing every engine capability.
+
+A user of the reference repo drives three hand-built pipelines
+(DS-Join stream join, DSim-Join similarity join, S3M subsequence
+match + online regression). This facade exposes those — and the
+training-data extensions — as methods over DataFrames, so switching
+means calling, e.g.::
+
+    eng = Engine(spark)
+    eng.stream_join(stream_df, store_df, key="partkey")
+    eng.similarity_join(docs, threshold=0.8)
+    eng.subsequence_match(series, query, epsilon=10.0, measure="ED")
+    eng.dedup(docs, method="minhash")
+    eng.ann_search(queries, corpus, k=10)
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.functions.text import tokens as tokens_col
+from distributed_stream_processing_spark.operators.asof_join import asof_join
+from distributed_stream_processing_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+    simhash_near_pairs,
+)
+from distributed_stream_processing_spark.operators.semi_stream_join import (
+    SemiStreamJoin,
+    run_semi_stream_join,
+)
+from distributed_stream_processing_spark.operators.similarity_join import (
+    brute_force_similarity_join,
+    dima_similarity_join,
+    similarity_join,
+)
+from distributed_stream_processing_spark.operators.similarity_search import (
+    brute_force_topk,
+    lsh_topk,
+)
+from distributed_stream_processing_spark.operators.subsequence_match import (
+    build_kv_index,
+    subsequence_match_dtw,
+    subsequence_match_ed,
+    subsequence_match_znorm,
+)
+from distributed_stream_processing_spark.streaming.cache_controller import (
+    AdaptiveCacheController,
+)
+from distributed_stream_processing_spark.streaming.online_ml import run_s3m_pipeline
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- DS-Join family ----
+
+    def stream_join(
+        self,
+        stream: DataFrame,
+        store: DataFrame,
+        key: str,
+        n_batches: int = 4,
+        initial_cache: DataFrame | None = None,
+        admit_below_freq: int | None = None,
+    ) -> DataFrame:
+        """Micro-batched stream x store equi-join through the adaptive
+        cache; output equals the plain join (cache-transparent)."""
+        out_cols = [c for c in stream.columns] + [
+            c for c in store.columns if c != key
+        ]
+        return run_semi_stream_join(
+            stream, store, key, out_cols, n_batches=n_batches,
+            initial_cache=initial_cache,
+        )
+
+    def stream_joiner(self, store: DataFrame, key: str, **kw) -> SemiStreamJoin:
+        """The per-batch join object, for foreachBatch integration."""
+        return SemiStreamJoin(
+            store=store, key=key,
+            controller=kw.pop("controller", AdaptiveCacheController()), **kw,
+        )
+
+    # ---- DSim-Join family ----
+
+    def tokenize(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            tokens_col(text_col).alias("tokens"),
+        )
+
+    def similarity_join(
+        self,
+        left: DataFrame,
+        right: DataFrame | None = None,
+        threshold: float | Fraction = Fraction(4, 5),
+        method: str = "prefix",
+    ) -> DataFrame:
+        fn = {
+            "prefix": similarity_join,
+            "dima": dima_similarity_join,
+            "brute": brute_force_similarity_join,
+        }[method]
+        return fn(left, right, threshold)
+
+    # ---- S3M family ----
+
+    def build_series_index(self, series: DataFrame, widths=(25, 50, 100, 200, 400),
+                           value_scale: int | None = None) -> DataFrame:
+        return build_kv_index(series, widths, value_scale=value_scale)
+
+    def subsequence_match(
+        self,
+        series: DataFrame,
+        query: list[float],
+        epsilon: float,
+        measure: str = "ED",
+        rho: int = 5,
+        **kw,
+    ) -> DataFrame:
+        """measure in {ED, DTW, NormED} (the reference's sel dispatch,
+        kvmatch/test.java:35-54)."""
+        if measure == "ED":
+            return subsequence_match_ed(series, query, epsilon, **kw)
+        if measure == "DTW":
+            return subsequence_match_dtw(series, query, epsilon, rho, **kw)
+        if measure == "NormED":
+            return subsequence_match_znorm(series, query, epsilon, **kw)
+        raise ValueError(f"unknown measure {measure!r}")
+
+    def online_regression(self, series: DataFrame, **kw) -> list[dict]:
+        return run_s3m_pipeline(series, **kw)
+
+    # ---- training-data extensions ----
+
+    def dedup(
+        self,
+        docs: DataFrame,
+        method: str = "minhash",
+        threshold: float | Fraction = Fraction(4, 5),
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        if method == "exact":
+            return exact_dedup_groups(docs, text_col, id_col)
+        tok = self.tokenize(docs, id_col, text_col)
+        if method == "minhash":
+            return minhash_lsh_dedup(tok, threshold)
+        if method == "simhash":
+            return simhash_near_pairs(tok)
+        if method == "jaccard":
+            return similarity_join(tok, None, threshold)
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    def ann_search(
+        self, queries: DataFrame, corpus: DataFrame, k: int = 10,
+        method: str = "brute",
+    ) -> DataFrame:
+        fn = {"brute": brute_force_topk, "lsh": lsh_topk}[method]
+        return fn(queries, corpus, k)
+
+    def asof_join(self, left, right, key, left_ts, right_ts, right_cols):
+        return asof_join(left, right, key, left_ts, right_ts, right_cols)

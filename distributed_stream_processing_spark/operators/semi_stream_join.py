@@ -43,8 +43,14 @@ class SemiStreamJoin:
     initial_cache: DataFrame | None = None
     controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
     checkpoint_every: int = 8
+    # frequency-based admission (DSim's filter(freq < 50),
+    # DS_SimJoin_stream.scala:838): keys seen in >= this many batches
+    # are NOT admitted to the cache (ultra-hot keys would bloat it and
+    # are cheap to refetch); None disables
+    admit_below_freq: int | None = None
     cache: DataFrame | None = None
     lru: DataFrame | None = None  # (key, last_seen)
+    freq: DataFrame | None = None  # (key, n_batches_seen)
 
     def __post_init__(self):
         spark = self.store.sparkSession
@@ -56,6 +62,9 @@ class SemiStreamJoin:
         self.lru = (
             self.cache.select(F.col(self.key), F.lit(0).alias("last_seen"))
         ).cache()
+        self.freq = self.cache.select(
+            F.col(self.key), F.lit(0).alias("n_batches_seen")
+        ).limit(0).cache()
         self._spark = spark
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
@@ -83,24 +92,47 @@ class SemiStreamJoin:
             lru.join(batch_keys, k, "left_anti")
             .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
         )
+        # per-key batch frequency (drives optional admission)
+        new_freq = (
+            self.freq.unionByName(
+                batch_keys.withColumn("n_batches_seen", F.lit(1))
+            )
+            .groupBy(k)
+            .agg(F.sum("n_batches_seen").alias("n_batches_seen"))
+        )
+
+        admitted = fetched
         window = self.controller.window
         stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
-        new_cache = cache.join(stale, k, "left_anti").unionByName(fetched)
+        if self.admit_below_freq is not None:
+            # a key only reveals itself as hot after repeat batches, so
+            # the filter both blocks admission AND evicts already-cached
+            # keys that crossed the threshold
+            hot = new_freq.filter(
+                F.col("n_batches_seen") >= self.admit_below_freq
+            ).select(k)
+            admitted = fetched.join(F.broadcast(hot), k, "left_anti")
+            stale = stale.unionByName(hot)
+        new_cache = cache.join(stale, k, "left_anti").unionByName(admitted)
         new_lru = new_lru.join(stale, k, "left_anti")
 
         if batch_id % self.checkpoint_every == self.checkpoint_every - 1:
             new_cache = new_cache.localCheckpoint(eager=True)
             new_lru = new_lru.localCheckpoint(eager=True)
+            new_freq = new_freq.localCheckpoint(eager=True)
         else:
             new_cache = new_cache.cache()
             new_lru = new_lru.cache()
+            new_freq = new_freq.cache()
             new_cache.count()
             new_lru.count()
+            new_freq.count()
         maintain_s = time.monotonic() - t1
 
         cache.unpersist()
         lru.unpersist()
-        self.cache, self.lru = new_cache, new_lru
+        self.freq.unpersist()
+        self.cache, self.lru, self.freq = new_cache, new_lru, new_freq
         self.controller.observe(
             BatchTimings(
                 batch_id=batch_id,

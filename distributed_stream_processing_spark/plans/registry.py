@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "distributed_stream_processing_spark.plans.stream_plans",
     "distributed_stream_processing_spark.plans.ml_plans",
     "distributed_stream_processing_spark.plans.extra_plans",
+    "distributed_stream_processing_spark.plans.interval_plans",
 )
 
 

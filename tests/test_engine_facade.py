@@ -1,0 +1,61 @@
+"""Facade smoke tests: every capability reachable from Engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark)
+
+
+def test_stream_join(eng, spark, sf_smoke):
+    cat = Catalog(spark, sf_smoke)
+    stream = cat.lineitem.select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_partkey").cast("bigint").alias("pk"),
+    )
+    store = cat.part.select(
+        F.col("p_partkey").cast("bigint").alias("pk"), "p_retailprice"
+    )
+    out = eng.stream_join(stream, store, key="pk", n_batches=2)
+    assert out.count() == stream.count()
+    assert set(out.columns) == {"okey", "pk", "p_retailprice"}
+
+
+def test_similarity_join_methods_agree(eng, spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents.limit(80)
+    tok = eng.tokenize(docs, "doc_id", "text")
+    a = {tuple(r) for r in eng.similarity_join(tok, threshold=0.8).collect()}
+    b = {tuple(r) for r in eng.similarity_join(tok, threshold=0.8, method="brute").collect()}
+    assert a == b
+
+
+def test_subsequence_match_dispatch(eng, spark, sf_smoke):
+    from distributed_stream_processing_spark.plans.timeseries_plans import series_df
+
+    s = series_df(spark, sf_smoke)
+    q = [r.value for r in s.filter(F.col("pos") < 50).orderBy("pos").collect()]
+    ed = eng.subsequence_match(s, q, epsilon=1.0, measure="ED", widths=(25, 50))
+    assert {r.start for r in ed.collect()} == {0}
+    with pytest.raises(ValueError):
+        eng.subsequence_match(s, q, epsilon=1.0, measure="nope")
+
+
+def test_dedup_dispatch(eng, spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents.limit(60)
+    assert eng.dedup(docs, method="exact").count() == 60
+    assert eng.dedup(docs, method="minhash").count() >= 0
+    assert eng.dedup(docs, method="simhash").count() >= 0
+
+
+def test_ann_dispatch(eng, spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).embeddings
+    q = emb.filter(F.col("vec_id") < 3)
+    out = eng.ann_search(q, emb, k=3)
+    assert out.groupBy("q_id").count().filter("count != 3").count() == 0
