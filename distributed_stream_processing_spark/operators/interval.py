@@ -19,23 +19,31 @@ from pyspark.sql import functions as F
 
 
 def merge_intervals(
-    df: DataFrame, key: str, start: str = "start", end: str = "end"
+    df: DataFrame,
+    key: str | list[str],
+    start: str = "start",
+    end: str = "end",
+    merge_gap: int = 0,
 ) -> DataFrame:
-    """Coalesce overlapping/touching [start, end] intervals per key.
+    """Coalesce overlapping/near [start, end] intervals per key.
 
-    Output: (key, start, end, n_merged) — inputs with start <= a
-    running max end join the open group; otherwise a new group opens.
+    Output: (key..., start, end, n_merged) — an interval joins the
+    open group when its start <= running max end + ``merge_gap``
+    (gap=1 also merges integer-adjacent runs); otherwise a new group
+    opens.
     """
-    w = W.partitionBy(key).orderBy(start, end)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = W.partitionBy(*keys).orderBy(start, end)
     prev_max_end = F.max(end).over(w.rowsBetween(W.unboundedPreceding, -1))
     grouped = df.withColumn(
         "_new",
         F.when(
-            prev_max_end.isNull() | (F.col(start) > prev_max_end), F.lit(1)
+            prev_max_end.isNull() | (F.col(start) > prev_max_end + merge_gap),
+            F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("_grp", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
     return (
-        grouped.groupBy(key, "_grp")
+        grouped.groupBy(*keys, "_grp")
         .agg(
             F.min(start).alias(start),
             F.max(end).alias(end),

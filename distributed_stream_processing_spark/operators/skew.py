@@ -1,0 +1,40 @@
+"""Skew-aware join: salting for hot keys.
+
+The reference balanced hot signatures with a hand-built load-aware
+partitioner (ds_join/SimilarityQueryPartitioner.scala:36-57). Spark's
+AQE skew-join splitting covers most cases; this explicit salted join
+is the fallback for extreme single-key skew (one key larger than an
+executor), and documents the pattern:
+
+left rows get a deterministic salt in [0, n); the (small) right side
+is replicated n times; the join key becomes (key, salt), splitting a
+hot key's rows across n tasks. Semantically identical to the plain
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Equi-join with the left side salted across ``n_salt`` buckets.
+
+    ``salt_on``: a left column whose hash picks the salt (defaults to
+    the whole row being nondeterministic-free: uses key + a stable
+    hash of all left columns).
+    """
+    salt_src = F.col(salt_on) if salt_on else F.struct(*[F.col(c) for c in left.columns])
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return l.join(r, [key, "_salt"], how).drop("_salt")

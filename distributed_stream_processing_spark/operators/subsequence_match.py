@@ -167,6 +167,23 @@ def build_kv_index(
     return out
 
 
+def compact_kv_index(index: DataFrame, factor: int = 2) -> DataFrame:
+    """Shrink the index by coarsening the mean grid ``factor``x and
+    merging adjacent position runs (the reference's size-based row
+    compaction, IndexBuilder.java:262-301). Probing a compacted index
+    requires grid = factor * _GRID for completeness (the coarser
+    bucket widens the rounding slack)."""
+    from distributed_stream_processing_spark.operators.interval import (
+        merge_intervals,
+    )
+
+    coarse = float(factor) * _GRID
+    bucketed = index.withColumn("mr", F.floor(F.col("mr") / coarse) * coarse)
+    return merge_intervals(
+        bucketed, ["w", "mr"], "pos_start", "pos_end", merge_gap=1
+    ).drop("n_merged")
+
+
 # ---------------------------------------------------------------------------
 # query segmentation + probe
 # ---------------------------------------------------------------------------
@@ -203,6 +220,7 @@ def probe_index(
     epsilon: float,
     n_positions: int,
     query_len: int,
+    grid: float = _GRID,
 ) -> DataFrame:
     """Window starts passing every segment's mean-range filter.
 
@@ -211,11 +229,19 @@ def probe_index(
     extreme scale) and intersected by counting segment hits.
     """
     max_start = n_positions - query_len
+    available = {r.w for r in index.select("w").distinct().collect()}
+    needed = {s.width for s in segments}
+    if not needed <= available:
+        raise ValueError(
+            f"index lacks widths {sorted(needed - available)} required by the "
+            f"segmentation (has {sorted(available)}); build the index with "
+            "matching widths or pass widths= to the match call"
+        )
     cands = None
     for i, seg in enumerate(segments):
-        # GRID (not GRID/2) slack: mr is a *floor* rounding, so the true
-        # mean lies in [mr, mr+GRID) — full-grid slack keeps completeness
-        slack = epsilon / math.sqrt(seg.width) + _GRID
+        # full-grid (not half) slack: mr is a *floor* rounding, so the
+        # true mean lies in [mr, mr+grid) — keeps completeness
+        slack = epsilon / math.sqrt(seg.width) + grid
         rows = index.filter(
             (F.col("w") == seg.width)
             & (F.col("mr") >= seg.mean - slack)
@@ -303,11 +329,13 @@ def subsequence_match_ed(
     index: DataFrame | None = None,
     n_positions: int | None = None,
     value_scale: int | None = None,
+    index_grid: float = _GRID,
 ) -> DataFrame:
     """RSM with ED: all window starts within ``epsilon`` of ``query``.
 
     Exact: phase-1 mean-range pruning is complete (Cauchy-Schwarz),
-    phase-2 verification is exact.
+    phase-2 verification is exact. Pass ``index_grid`` when probing a
+    compacted index (factor * default grid).
     """
     if not query:
         raise ValueError("empty query")
@@ -317,7 +345,9 @@ def subsequence_match_ed(
         usable = tuple(w for w in widths if w <= len(query)) or (min(widths),)
         index = build_kv_index(series, usable, value_scale=value_scale)
     segments = plan_segments(query, widths)
-    cands = probe_index(index, segments, epsilon, n_positions, len(query))
+    cands = probe_index(
+        index, segments, epsilon, n_positions, len(query), grid=index_grid
+    )
     return verify_ed(series, cands, query, epsilon)
 
 

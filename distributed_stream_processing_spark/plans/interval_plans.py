@@ -143,3 +143,34 @@ def q41_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q42_json_props_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS distinct_k
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Schema-on-read JSON (S5 parity, sqlContext.read.json -> "
+        "from_json): parse the props JSON payload column, extract and "
+        "aggregate a typed field."
+    ),
+)
+def q42_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
