@@ -132,6 +132,66 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (pyspark.ml), corpus bucketed
+    by nearest centroid, queries scored only against their ``n_probe``
+    nearest centroids' buckets. Same output contract as
+    brute_force_topk; recall < 1 (single-digit % of corpus scanned).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col("vec_id"), array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("prediction").alias("bucket"),
+    )
+    c = corpus.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").alias("c_vec"),
+    ).join(assigned, "vec_id")
+
+    # nearest n_probe centroids per query, computed driver-side (the
+    # centroid table is tiny) and broadcast via the exploded probe rows
+    import numpy as np
+
+    centroids = [np.asarray(ctr) for ctr in model.clusterCenters()]
+    qrows = queries.select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r.embedding, dtype=np.float64)
+        dists = [float(np.linalg.norm(qv - ctr)) for ctr in centroids]
+        for b in np.argsort(dists)[:n_probe]:
+            probe_rows.append((int(r.vec_id), int(b)))
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(probe_rows, "q_id long, bucket int")
+    q = queries.select(
+        F.col("vec_id").cast("bigint").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    ).join(probes, "q_id")
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos4").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos4", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos4", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def embedding_near_pairs(vectors: DataFrame, min_cos4: float) -> DataFrame:
     """All pairs with rounded cosine >= threshold (exact, O(n^2) scan)."""
     a = vectors.select(

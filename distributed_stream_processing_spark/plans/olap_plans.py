@@ -1,0 +1,116 @@
+"""Cube / pivot OLAP shapes + streaming similarity join + IVF ANN."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.functions.text import tokens
+from distributed_stream_processing_spark.operators.similarity_join import (
+    similarity_join,
+)
+from distributed_stream_processing_spark.operators.similarity_search import ivf_topk
+from distributed_stream_processing_spark.plans.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q43_cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation with grouping indicators (OLAP superset of the reference's flat aggs).",
+)
+def q43_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q44_pivot_user_event_value",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           {", ".join(
+               f"round(sum(value) FILTER (event_type = '{t}'), 2) AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot event_type -> columns of per-user value sums.",
+)
+def q44_pivot_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    pivoted = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted
+
+
+@query(
+    "q45_stream_similarity_join",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                                            x -> x <> ''))) AS toks
+                 FROM documents),
+    stream AS (SELECT * FROM tok WHERE doc_id % 10 < 3),
+    stored AS (SELECT * FROM tok WHERE doc_id % 10 >= 3)
+    SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+           CAST(b.doc_id AS BIGINT) AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM stream a JOIN stored b
+      ON 4 * len(list_intersect(a.toks, b.toks))
+         >= 3 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    """,
+    doc=(
+        "DSim semi-stream shape end-to-end: the query corpus replayed "
+        "in 3 micro-batches, each prefix-joined to the stored corpus at "
+        "t=0.75; union of batch outputs == one-shot join (stream/batch "
+        "transparency for the similarity pipeline)."
+    ),
+)
+def q45_stream_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    stream = base.filter(F.col("id") % 10 < 3)
+    stored = base.filter(F.col("id") % 10 >= 3)
+    outs = []
+    for b in range(3):
+        batch = stream.filter(F.col("id") % 3 == b)
+        outs.append(similarity_join(batch, stored, Fraction(3, 4)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "q46_ann_ivf",
+    oracle=None,  # k-means quantizer is approximate; pytest checks recall
+    doc=(
+        "IVF ANN: pyspark.ml k-means coarse quantizer, corpus bucketed "
+        "by centroid, queries probe their 4 nearest centroids only."
+    ),
+)
+def q46_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, k=5)
