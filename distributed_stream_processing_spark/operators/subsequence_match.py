@@ -214,6 +214,85 @@ def plan_segments(query: list[float], widths: tuple[int, ...] = DEFAULT_WIDTHS) 
     return segs
 
 
+def index_stats(index: DataFrame, bucket: float = 2.0) -> dict[int, list[tuple[float, int]]]:
+    """Per-width histogram of candidate volume: mr bucketed to a
+    coarse grid -> total covered positions. Small (hundreds of rows),
+    collected driver-side to feed the DP segment planner — the
+    engine's analogue of the reference's index statistics block
+    (IndexFileOperator.java:127-170)."""
+    rows = (
+        index.groupBy(
+            "w", (F.floor(F.col("mr") / bucket) * bucket).alias("mb")
+        )
+        .agg(F.sum(F.col("pos_end") - F.col("pos_start") + 1).alias("span"))
+        .collect()
+    )
+    out: dict[int, list[tuple[float, int]]] = {}
+    for r in rows:
+        out.setdefault(r.w, []).append((float(r.mb), int(r.span)))
+    for w in out:
+        out[w].sort()
+    return out
+
+
+def plan_segments_dp(
+    query: list[float],
+    widths: tuple[int, ...],
+    stats: dict[int, list[tuple[float, int]]],
+    epsilon: float,
+    bucket: float = 2.0,
+) -> list[Segment]:
+    """Statistics-driven DP segmentation (QueryEngine.java:337-416
+    re-derived): choose disjoint consecutive segments minimizing the
+    total estimated candidate volume, where a segment's cost is the
+    covered-position count of index buckets within its mean range."""
+    m = len(query)
+    usable = sorted(w for w in widths if w <= m and w in stats)
+    if not usable:
+        return plan_segments(query, widths)
+    prefix = np.concatenate(([0.0], np.cumsum(np.asarray(query, dtype=np.float64))))
+
+    def seg_cost(off: int, w: int) -> float:
+        mu = (prefix[off + w] - prefix[off]) / w
+        slack = epsilon / math.sqrt(w) + _GRID + bucket
+        return float(
+            sum(span for mb, span in stats[w] if mu - slack <= mb <= mu + slack)
+        )
+
+    INF = float("inf")
+    dp = [INF] * (m + 1)
+    choice: list[tuple[int, int] | None] = [None] * (m + 1)
+    dp[0] = 0.0
+    for i in range(m + 1):
+        if dp[i] is INF:
+            continue
+        for w in usable:
+            j = i + w
+            if j > m:
+                continue
+            c = dp[i] + seg_cost(i, w)
+            if c < dp[j]:
+                dp[j], choice[j] = c, (i, w)
+    # best endpoint leaving a tail shorter than the smallest width
+    best_end = max(
+        (j for j in range(m + 1) if dp[j] < INF and m - j < usable[0]),
+        default=None,
+        key=lambda j: j,
+    )
+    if best_end is None or best_end == 0:
+        return plan_segments(query, widths)
+    segs: list[Segment] = []
+    j = best_end
+    while j > 0:
+        i, w = choice[j]
+        segs.append(
+            Segment(i, w, float((prefix[i + w] - prefix[i]) / w))
+        )
+        j = i
+    segs.reverse()
+    return segs
+
+
 def probe_index(
     index: DataFrame,
     segments: list[Segment],
@@ -330,12 +409,15 @@ def subsequence_match_ed(
     n_positions: int | None = None,
     value_scale: int | None = None,
     index_grid: float = _GRID,
+    segmenter: str = "greedy",
 ) -> DataFrame:
     """RSM with ED: all window starts within ``epsilon`` of ``query``.
 
     Exact: phase-1 mean-range pruning is complete (Cauchy-Schwarz),
     phase-2 verification is exact. Pass ``index_grid`` when probing a
-    compacted index (factor * default grid).
+    compacted index (factor * default grid); ``segmenter="dp"``
+    plans segments from index statistics (minimum estimated candidate
+    volume) instead of greedily.
     """
     if not query:
         raise ValueError("empty query")
@@ -344,7 +426,10 @@ def subsequence_match_ed(
     if index is None:
         usable = tuple(w for w in widths if w <= len(query)) or (min(widths),)
         index = build_kv_index(series, usable, value_scale=value_scale)
-    segments = plan_segments(query, widths)
+    if segmenter == "dp":
+        segments = plan_segments_dp(query, widths, index_stats(index), epsilon)
+    else:
+        segments = plan_segments(query, widths)
     cands = probe_index(
         index, segments, epsilon, n_positions, len(query), grid=index_grid
     )

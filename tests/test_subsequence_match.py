@@ -146,3 +146,43 @@ def test_znorm_equals_brute_force(spark, series):
     assert set(got) == set(want)
     for s in want:
         assert math.isclose(got[s], want[s], abs_tol=1e-6)
+
+
+def test_dp_segmenter_equals_greedy_results(spark, series):
+    """DP segmentation is a cost optimization only — match results
+    must be identical to the greedy segmentation (both complete)."""
+    df, arr = series
+    q = arr[700 : 700 + M].tolist()
+    eps = 8.0
+    greedy = {
+        (r.start, r.dist)
+        for r in subsequence_match_ed(
+            df, q, eps, widths=(25, 50), value_scale=100
+        ).collect()
+    }
+    dp = {
+        (r.start, r.dist)
+        for r in subsequence_match_ed(
+            df, q, eps, widths=(25, 50), value_scale=100, segmenter="dp"
+        ).collect()
+    }
+    assert dp == greedy and len(greedy) > 0
+
+
+def test_dp_segments_cover_disjointly(spark, series):
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        build_kv_index,
+        index_stats,
+        plan_segments_dp,
+    )
+
+    df, arr = series
+    idx = build_kv_index(df, widths=(25, 50), value_scale=100)
+    stats = index_stats(idx)
+    q = arr[100:220].tolist()
+    segs = plan_segments_dp(q, (25, 50), stats, epsilon=5.0)
+    spans = [(s.offset, s.offset + s.width) for s in segs]
+    assert spans[0][0] == 0
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert c == b
+    assert 120 - spans[-1][1] < 25
