@@ -47,6 +47,37 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every token k-gram, slide a window of ``w`` hashes, keep each
+    window's minimum; the distinct kept hashes are the fingerprint
+    set. Shift-robust (guaranteed to share fingerprints with any copy
+    of length >= w+k-1 tokens). All JVM-side higher-order functions.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    seq = F.filter(F.split(c, " "), lambda x: x != "")
+    empty = F.array().cast("array<bigint>")
+    # guard the sequences: F.sequence(0, stop) DESCENDS when stop < 0
+    kgrams = F.when(
+        F.size(seq) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(seq) - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(seq, i + 1, k))),
+        ),
+    ).otherwise(empty)
+    mins = F.when(
+        F.size(kgrams) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(kgrams) - w),
+            lambda j: F.array_min(F.slice(kgrams, j + 1, w)),
+        ),
+    ).otherwise(empty)
+    # short docs (< k+w-1 tokens): fall back to all k-gram hashes
+    return F.when(F.size(mins) > 0, F.array_distinct(mins)).otherwise(
+        F.array_distinct(kgrams)
+    )
+
+
 def jaccard_parts(a_tokens: Column, b_tokens: Column) -> tuple[Column, Column]:
     """(intersection size, union size) of two token arrays — exact ints.
 

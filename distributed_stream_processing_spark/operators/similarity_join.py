@@ -180,38 +180,84 @@ def dima_similarity_join(
     threshold: Fraction | float,
     max_len: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard join via Dima-style segment signatures
-    (reference parity path; see functions.signatures for the scheme
-    and the completeness argument).
+    """Exact Jaccard join via Dima-style segment signatures with
+    length-grouped segment counts (reference parity path; scheme and
+    completeness in functions.signatures).
 
-    Candidates = equi-join on (seg, sig); verification identical to
-    ``similarity_join``. Same output contract.
+    Records are bucketed into geometric length groups
+    (multigroup, BuildSig.scala:125-137); each group g probes with its
+    own H_g = floor((1-t)*hi_g/t)+1 segments. Hash segmentation is
+    set-stable (a token's segment never depends on the rest of the
+    record), so for any qualifying pair |x Δ y| <= (1-t)*min(|x|,|y|)
+    / t <= H_g - 1 — at least one segment matches by equality; no
+    deletion-signature probing is required for completeness. Probe
+    side emits signatures for its own group; index side emits for
+    every group its length is compatible with (t*lo_g <= |y| <=
+    hi_g/t). Candidates = equi-join on (g, seg, sig); verification
+    exact. Same output contract as similarity_join.
     """
     from distributed_stream_processing_spark.functions.signatures import (
-        seg_count_for,
+        multigroup,
+        seg_count_dima,
         segment_signatures,
     )
 
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
     right = left if self_join else right
-    if max_len is None:
-        lmax = max(
-            left.agg(F.max(F.size("tokens"))).first()[0],
-            right.agg(F.max(F.size("tokens"))).first()[0],
-        )
-    else:
-        lmax = max_len
-    h = seg_count_for(t, lmax)
+    sizes = left.agg(
+        F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
+    ).first()
+    lmin, lmax = sizes.lo or 1, sizes.hi or 1
+    if not self_join:
+        s2 = right.agg(
+            F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
+        ).first()
+        lmin, lmax = min(lmin, s2.lo or 1), max(lmax, s2.hi or 1)
+    if max_len is not None:
+        lmax = max(lmax, max_len)
+    groups = multigroup(max(1, lmin), lmax, t)
+    hs = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
 
-    def sigs(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.col("id").alias(f"{prefix}_id"),
-            F.col("tokens").alias(f"{prefix}_tokens"),
-            F.explode(segment_signatures(F.col("tokens"), h)).alias("s"),
-        ).select(f"{prefix}_id", f"{prefix}_tokens", "s.seg", "s.sig")
+    def probe_sigs(df: DataFrame, prefix: str) -> DataFrame:
+        """Signatures for the record's OWN length group."""
+        parts = []
+        for g, (lo, hi) in enumerate(groups):
+            sub = df.filter(
+                (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+            ).select(
+                F.col("id").alias(f"{prefix}_id"),
+                F.col("tokens").alias(f"{prefix}_tokens"),
+                F.lit(g).alias("g"),
+                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
+            )
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig")
 
-    a, b = sigs(left, "a"), sigs(right, "b")
+    def index_sigs(df: DataFrame, prefix: str) -> DataFrame:
+        """Signatures for every group the record could qualify with."""
+        parts = []
+        for g, (lo, hi) in enumerate(groups):
+            lo_len = -(-t.numerator * lo // t.denominator)  # ceil(t*lo)
+            hi_len = hi * t.denominator // t.numerator  # floor(hi/t)
+            sub = df.filter(
+                (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+            ).select(
+                F.col("id").alias(f"{prefix}_id"),
+                F.col("tokens").alias(f"{prefix}_tokens"),
+                F.lit(g).alias("g"),
+                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
+            )
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig")
+
+    a, b = probe_sigs(left, "a"), index_sigs(right, "b")
     pair_filter = (
         (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
         & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
@@ -220,7 +266,7 @@ def dima_similarity_join(
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
 
     cands = (
-        a.join(b, ["seg", "sig"])
+        a.join(b, ["g", "seg", "sig"])
         .filter(pair_filter)
         .select("a_id", "b_id", "a_tokens", "b_tokens")
         .dropDuplicates(["a_id", "b_id"])

@@ -165,3 +165,40 @@ def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         quality_score("text").alias("quality"),
     )
+
+
+@query(
+    "q47_winnowing_candidates",
+    oracle=None,  # xxhash-based; shift-robustness checked by pytest
+    doc=(
+        "Winnowing rolling-hash fingerprints (k-gram window minima): "
+        "near-dup candidate pairs sharing >= 5 fingerprints — the "
+        "shift-robust dedup primitive (vs q19's whole-doc md5)."
+    ),
+)
+def q47_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    # materialize once: the fingerprint expression is reused by the
+    # frequency filter and both join sides
+    fp = docs.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.explode(winnow_fingerprints("text")).alias("fp"),
+    ).localCheckpoint(eager=True)
+    # stop-shingle removal: fingerprints in >5% of docs carry no
+    # discriminative signal and would make the join quadratic
+    n_docs = docs.count()
+    rare = fp.groupBy("fp").count().filter(F.col("count") <= 0.05 * n_docs)
+    fp = fp.join(F.broadcast(rare.select("fp")), "fp")
+    a = fp.selectExpr("id a_id", "fp")
+    b = fp.selectExpr("id b_id", "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 5)
+    )

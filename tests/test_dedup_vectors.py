@@ -97,3 +97,37 @@ def test_ann_lsh_subset_of_bruteforce_candidates(spark, sf_smoke):
     et = {(r.q_id, r.vec_id) for r in exact.collect()}
     at = {(r.q_id, r.vec_id) for r in approx.collect()}
     assert len(at & et) >= 0.2 * len(et)
+
+
+def test_winnowing_shift_robust(spark):
+    """A document with text inserted at the front must still share
+    most fingerprints with the original (winnowing guarantee)."""
+    from distributed_stream_processing_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    shifted = "aaa bbb ccc " + base
+    unrelated = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, unrelated)], "id long, text string"
+    )
+    fps = {
+        r.id: set(r.fp)
+        for r in df.select("id", winnow_fingerprints("text").alias("fp")).collect()
+    }
+    overlap_shifted = len(fps[1] & fps[2]) / len(fps[1])
+    overlap_unrelated = len(fps[1] & fps[3]) / len(fps[1])
+    assert overlap_shifted > 0.8
+    assert overlap_unrelated == 0.0
+
+
+def test_winnowing_short_doc_fallback(spark):
+    from distributed_stream_processing_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "a b")], "id long, text string")
+    rows = {r.id: r.fp for r in df.select("id", winnow_fingerprints("text").alias("fp")).collect()}
+    assert len(rows[1]) >= 1  # 5 tokens, k=4 -> 2 kgrams, fallback
+    assert rows[2] == []  # shorter than k -> no kgrams at all
