@@ -130,6 +130,12 @@ class Engine:
             return subsequence_match_dtw(series, query, epsilon, rho, **kw)
         if measure == "NormED":
             return subsequence_match_znorm(series, query, epsilon, **kw)
+        if measure == "cNSM":
+            from distributed_stream_processing_spark.operators.subsequence_match import (
+                subsequence_match_cnsm,
+            )
+
+            return subsequence_match_cnsm(series, query, epsilon, **kw)
         raise ValueError(f"unknown measure {measure!r}")
 
     def online_regression(self, series: DataFrame, **kw) -> list[dict]:

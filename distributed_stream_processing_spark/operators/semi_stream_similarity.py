@@ -1,0 +1,193 @@
+"""Semi-stream similarity join with a signature cache — DSim-Join's
+phase-2 pipeline (SURVEY §3.2) re-expressed on DataFrames.
+
+Reference flow per micro-batch (ds_join/DS_SimJoin_stream.scala:
+455-866): query docs -> signatures -> zipPartitions probe of the
+cached signature store (hit), missed signatures fetched from the
+remote Mongo signature collection in per-partition batched lookups,
+verify, union; signature-keyed LRU + eviction + frequency-based
+admission maintain the cache.
+
+Engine version: the signature store is a DataFrame
+(g, seg, sig, b_id, b_tokens); the cache holds a SUBSET OF WHOLE
+SIGNATURE KEYS of that store (all rows of a key enter/leave
+together), which makes the pipeline provably transparent: every probe
+signature either joins the cache (hit) or the fetched rows for its
+key (miss) — the union of candidates is exactly the one-shot join's.
+
+LRU/eviction/controller are shared with the equi-join cache layer.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.functions.text import jaccard_parts
+from distributed_stream_processing_spark.streaming.cache_controller import (
+    AdaptiveCacheController,
+    BatchTimings,
+)
+
+_KEY = ["g", "seg", "sig"]
+
+
+def _verify(cands: DataFrame, t: Fraction) -> DataFrame:
+    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
+    return (
+        cands.dropDuplicates(["a_id", "b_id"])
+        .withColumn("inter", inter.cast("bigint"))
+        .withColumn("uni", uni.cast("bigint"))
+        .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
+        .select("a_id", "b_id", "inter", "uni")
+    )
+
+
+@dataclass
+class SemiStreamSimilarityJoin:
+    stored: DataFrame  # (id, tokens) — the remote document store
+    threshold: Fraction | float = Fraction(4, 5)
+    controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
+    sig_store: DataFrame | None = None  # (g, seg, sig, b_id, b_tokens)
+    cache: DataFrame | None = None
+    lru: DataFrame | None = None
+    _groups: list | None = None
+    _hs: dict | None = None
+
+    def __post_init__(self):
+        from distributed_stream_processing_spark.functions.signatures import (
+            multigroup,
+            seg_count_dima,
+        )
+
+        self.threshold = Fraction(self.threshold).limit_denominator(1_000_000)
+        sizes = self.stored.agg(
+            F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
+        ).first()
+        # widen groups so stream docs within the length filter of any
+        # stored doc fall inside a group
+        t = self.threshold
+        lmin = max(1, int(sizes.lo * t))
+        lmax = max(1, -(-sizes.hi * t.denominator // t.numerator))
+        self._groups = multigroup(lmin, lmax, t)
+        self._hs = {
+            g: max(1, seg_count_dima(t, hi))
+            for g, (lo, hi) in enumerate(self._groups)
+        }
+        self.sig_store = self._index_sigs(self.stored, "b").cache()
+        self.sig_store.count()
+        spark = self.stored.sparkSession
+        self.cache = self.sig_store.limit(0).cache()
+        self.lru = spark.createDataFrame([], "g int, seg int, sig long, last_seen long").cache()
+
+    def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
+        from distributed_stream_processing_spark.functions.signatures import (
+            segment_signatures,
+        )
+
+        t = self.threshold
+        parts = []
+        for g, (lo, hi) in enumerate(self._groups):
+            if own_group_only:
+                cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+            else:
+                lo_len = -(-t.numerator * lo // t.denominator)
+                hi_len = hi * t.denominator // t.numerator
+                cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+            parts.append(
+                df.filter(cond).select(
+                    F.col("id").alias(f"{prefix}_id"),
+                    F.col("tokens").alias(f"{prefix}_tokens"),
+                    F.lit(g).alias("g"),
+                    F.explode(
+                        segment_signatures(F.col("tokens"), self._hs[g])
+                    ).alias("s"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig"
+        )
+
+    def _index_sigs(self, df: DataFrame, prefix: str) -> DataFrame:
+        return self._sigs(df, prefix, own_group_only=False)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """One micro-batch of query docs (id, tokens) -> verified
+        similar pairs vs the stored corpus, through the cache."""
+        t = self.threshold
+        probe = self._sigs(batch, "a", own_group_only=True).cache()
+        probe.count()
+
+        hit = probe.join(self.cache, _KEY)
+
+        t0 = time.monotonic()
+        probe_keys = probe.select(*_KEY).distinct()
+        missed_keys = probe_keys.join(self.cache.select(*_KEY).distinct(), _KEY, "left_anti")
+        n_miss = missed_keys.count()
+        fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
+        fetched.count()
+        fetch_s = time.monotonic() - t0
+
+        miss = probe.join(fetched, _KEY)
+        pair_filter = (
+            (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
+            & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
+        )
+        out = _verify(hit.unionByName(miss).filter(pair_filter), t)
+
+        # ---- signature-keyed LRU / eviction / cache rebuild ----
+        t1 = time.monotonic()
+        new_lru = (
+            self.lru.join(probe_keys, _KEY, "left_anti")
+            .unionByName(probe_keys.withColumn("last_seen", F.lit(batch_id)))
+        )
+        stale = new_lru.filter(
+            F.col("last_seen") < batch_id - self.controller.window
+        ).select(*_KEY)
+        new_cache = self.cache.join(stale, _KEY, "left_anti").unionByName(fetched)
+        new_lru = new_lru.join(stale, _KEY, "left_anti")
+        new_cache = new_cache.cache()
+        new_lru = new_lru.cache()
+        new_cache.count()
+        new_lru.count()
+        maintain_s = time.monotonic() - t1
+
+        self.cache.unpersist()
+        self.lru.unpersist()
+        probe.unpersist()
+        self.cache, self.lru = new_cache, new_lru
+        self.controller.observe(
+            BatchTimings(batch_id, n_miss, fetch_s, maintain_s)
+        )
+        return out
+
+
+def run_semi_stream_similarity(
+    stream_table: DataFrame,
+    stored: DataFrame,
+    threshold: Fraction | float,
+    n_batches: int = 3,
+    controller: AdaptiveCacheController | None = None,
+) -> DataFrame:
+    """Replay (id, tokens) stream docs through the signature-cached
+    similarity join; union of batch outputs == one-shot join."""
+    j = SemiStreamSimilarityJoin(
+        stored=stored,
+        threshold=threshold,
+        controller=controller or AdaptiveCacheController(),
+    )
+    outs = []
+    for b in range(n_batches):
+        batch = stream_table.filter(F.pmod(F.col("id"), F.lit(n_batches)) == b)
+        outs.append(j.process_batch(batch, b))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -580,6 +580,71 @@ def subsequence_match_znorm(
     )
 
 
+def subsequence_match_cnsm(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    alpha: float = 2.0,
+    beta: float = 10.0,
+    chunk: int = 8192,
+) -> DataFrame:
+    """cNSM (NormQueryEngine.java semantics): windows x matching the
+    query under a CONSTRAINED linear normalization — exists a in
+    [1/alpha, alpha], b in [-beta, beta] with ||x - (a*q + b)|| <= eps.
+
+    Per window the optimal (a, b) is the least-squares fit (a* =
+    cov(x,q)/var(q), b* = mean(x) - a*mean(q)) clamped to the
+    constraint box; the residual of the clamped fit is checked against
+    eps (convexity: clamping coordinates of the box-constrained
+    quadratic keeps the residual minimal on the box edge). Distributed
+    over chunked windows like the other numpy paths.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    m = len(q)
+    if m == 0:
+        raise ValueError("empty query")
+    qc = q - q.mean()
+    qvar = float(np.dot(qc, qc))
+    eps2 = epsilon * epsilon
+    a_lo, a_hi = 1.0 / alpha, alpha
+
+    def gen(batches):
+        import pandas as pdl
+
+        for pdf in batches:
+            for cid, grp in pdf.groupby("chunk_id"):
+                grp = grp.sort_values("pos")
+                pos = grp["pos"].to_numpy()
+                val = grp["value"].to_numpy(dtype=np.float64)
+                base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
+                outs, outd, outa, outb = [], [], [], []
+                for s in range(len(val) - m + 1):
+                    st = pos[s]
+                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
+                        continue
+                    x = val[s : s + m]
+                    xm = x.mean()
+                    a = float(np.dot(x - xm, qc) / qvar) if qvar > 0 else 1.0
+                    a = min(max(a, a_lo), a_hi)
+                    b = min(max(xm - a * q.mean(), -beta), beta)
+                    r = x - (a * q + b)
+                    d2 = float(np.dot(r, r))
+                    if d2 <= eps2:
+                        outs.append(st)
+                        outd.append(round(math.sqrt(d2), 6))
+                        outa.append(round(a, 6))
+                        outb.append(round(b, 6))
+                yield pdl.DataFrame(
+                    {"start": outs, "dist": outd, "alpha": outa, "beta": outb}
+                )
+
+    return (
+        _chunked(series, m, 0, chunk)
+        .repartition("chunk_id")
+        .mapInPandas(gen, schema="start long, dist double, alpha double, beta double")
+    )
+
+
 def brute_force_ed(series_values: np.ndarray, query: np.ndarray, epsilon: float):
     """O(n*m) numpy reference scan (test oracle)."""
     n, m = len(series_values), len(query)

@@ -103,6 +103,43 @@ def q45_stream_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q48_semi_stream_similarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                                            x -> x <> ''))) AS toks
+                 FROM documents),
+    stream AS (SELECT * FROM tok WHERE doc_id % 10 < 3),
+    stored AS (SELECT * FROM tok WHERE doc_id % 10 >= 3)
+    SELECT CAST(a.doc_id AS BIGINT) AS a_id,
+           CAST(b.doc_id AS BIGINT) AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+    FROM stream a JOIN stored b
+      ON 4 * len(list_intersect(a.toks, b.toks))
+         >= 3 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    """,
+    doc=(
+        "DSim-Join phase-2 END-TO-END: query docs replayed in 3 "
+        "micro-batches through the signature-CACHED similarity join "
+        "(signature-keyed LRU, batched store fetch, eviction). Oracle "
+        "= one-shot brute-force join: the signature cache is "
+        "semantically transparent."
+    ),
+)
+def q48_semi_stream_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        run_semi_stream_similarity,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    stream = base.filter(F.col("id") % 10 < 3)
+    stored = base.filter(F.col("id") % 10 >= 3)
+    return run_semi_stream_similarity(stream, stored, Fraction(3, 4), n_batches=3)
+
+
+@query(
     "q46_ann_ivf",
     oracle=None,  # k-means quantizer is approximate; pytest checks recall
     doc=(

@@ -137,6 +137,25 @@ def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q49_subseq_match_cnsm",
+    oracle=None,  # constrained-fit chain not SQL-expressible; pytest vs numpy
+    doc=(
+        "cNSM: subsequence match under constrained linear "
+        "normalization (amplitude alpha<=2, offset |beta|<=10), "
+        "least-squares fit clamped to the constraint box."
+    ),
+)
+def q49_subseq_match_cnsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        subsequence_match_cnsm,
+    )
+
+    s = series_df(spark, sf_dir)
+    qv = _query_values(spark, sf_dir)
+    return subsequence_match_cnsm(s, qv, epsilon=300.0, alpha=2.0, beta=10.0)
+
+
+@query(
     "q32_subseq_match_znorm",
     oracle=None,  # float64 z-norm chain not reproducible in SQL; pytest vs numpy
     doc="Normalized subsequence match (NSM): z-normalized ED <= 11.",

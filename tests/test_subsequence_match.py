@@ -186,3 +186,48 @@ def test_dp_segments_cover_disjointly(spark, series):
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert c == b
     assert 120 - spans[-1][1] < 25
+
+
+def test_cnsm_equals_brute_force(spark, series):
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        subsequence_match_cnsm,
+    )
+
+    df, arr = series
+    q = arr[500 : 500 + M]
+    eps, alpha, beta = 2.0, 2.0, 10.0
+    # plant a scaled+shifted copy: x = 1.5*q + 3 at 1000
+    import numpy as np
+
+    scaled = np.round(1.5 * q + 3.0, 2)
+    rows = [(int(2900 + i), float(v)) for i, v in enumerate(scaled)]
+    extra = spark.createDataFrame(rows, "pos long, value double")
+    # positions 2900.. overlap the fixture tail; rebuild a standalone series
+    vals2 = np.concatenate([arr[:2900], scaled, arr[2900 + M :]])
+    df2 = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals2)], "pos long, value double"
+    )
+
+    qc = q - q.mean()
+    qvar = float(np.dot(qc, qc))
+    want = {}
+    for s in range(len(vals2) - M + 1):
+        x = vals2[s : s + M]
+        a = float(np.dot(x - x.mean(), qc) / qvar)
+        a = min(max(a, 1 / alpha), alpha)
+        b = min(max(x.mean() - a * q.mean(), -beta), beta)
+        r = x - (a * q + b)
+        d = float(np.dot(r, r)) ** 0.5
+        if d <= eps:
+            want[s] = round(d, 6)
+    got = {
+        r.start: r.dist
+        for r in subsequence_match_cnsm(
+            df2, q.tolist(), eps, alpha, beta, chunk=CHUNK
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert 2900 in got  # the planted scaled+shifted copy is found
+    assert 500 in got  # the identity match too (alpha=1, beta=0)
+    for s in want:
+        assert math.isclose(got[s], want[s], abs_tol=1e-6)
