@@ -33,6 +33,7 @@ HEADLINE = [
     "q29_subseq_match_ed",        # KV-match ED (index build + probe + verify)
     "q33_semi_stream_cached_join",  # DS-Join cached pipeline, 4 batches
     "q34_stream_minute_rollup",   # Structured Streaming rollup
+    "q48_semi_stream_similarity",  # DSim cached similarity pipeline, 3 batches
 ]
 
 

@@ -36,12 +36,23 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 _KEY = ["g", "seg", "sig"]
 
 
-def _verify(cands: DataFrame, t: Fraction) -> DataFrame:
-    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
+def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
+    if masked:
+        # O(1) bit_count verify; dedupe the (small) verified output
+        inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
+        uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
+        return (
+            cands.withColumn("inter", inter)
+            .withColumn("uni", uni)
+            .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
+            .select("a_id", "b_id", "inter", "uni")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    inter_c, uni_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
     return (
         cands.dropDuplicates(["a_id", "b_id"])
-        .withColumn("inter", inter.cast("bigint"))
-        .withColumn("uni", uni.cast("bigint"))
+        .withColumn("inter", inter_c.cast("bigint"))
+        .withColumn("uni", uni_c.cast("bigint"))
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
@@ -78,6 +89,14 @@ class SemiStreamSimilarityJoin:
             g: max(1, seg_count_dima(t, hi))
             for g, (lo, hi) in enumerate(self._groups)
         }
+        # dictionary bitmask over the STORED vocabulary: stream-only
+        # tokens cannot intersect any stored doc, so masking them out
+        # keeps (inter, uni) exact as long as sizes count all tokens
+        from distributed_stream_processing_spark.operators.similarity_join import (
+            token_bitmask_dict,
+        )
+
+        self._mapping = token_bitmask_dict(self.stored)
         self.sig_store = self._index_sigs(self.stored, "b").cache()
         self.sig_store.count()
         spark = self.stored.sparkSession
@@ -98,10 +117,19 @@ class SemiStreamSimilarityJoin:
                 lo_len = -(-t.numerator * lo // t.denominator)
                 hi_len = hi * t.denominator // t.numerator
                 cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+            if self._mapping is not None:
+                from distributed_stream_processing_spark.operators.similarity_join import (
+                    _mask_col,
+                )
+
+                rep = _mask_col(self._mapping)
+            else:
+                rep = F.col("tokens")
             parts.append(
                 df.filter(cond).select(
                     F.col("id").alias(f"{prefix}_id"),
-                    F.col("tokens").alias(f"{prefix}_tokens"),
+                    F.size("tokens").alias(f"{prefix}_sz"),
+                    rep.alias(f"{prefix}_rep"),
                     F.lit(g).alias("g"),
                     F.explode(
                         segment_signatures(F.col("tokens"), self._hs[g])
@@ -112,7 +140,7 @@ class SemiStreamSimilarityJoin:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.select(
-            f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig"
+            f"{prefix}_id", f"{prefix}_sz", f"{prefix}_rep", "g", "s.seg", "s.sig"
         )
 
     def _index_sigs(self, df: DataFrame, prefix: str) -> DataFrame:
@@ -137,10 +165,12 @@ class SemiStreamSimilarityJoin:
 
         miss = probe.join(fetched, _KEY)
         pair_filter = (
-            (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
-            & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
+            (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+            & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
         )
-        out = _verify(hit.unionByName(miss).filter(pair_filter), t)
+        out = _verify(
+            hit.unionByName(miss).filter(pair_filter), t, self._mapping is not None
+        )
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
         t1 = time.monotonic()

@@ -44,3 +44,40 @@ def test_running_state_converges_to_batch_totals(spark, sf_smoke):
     batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert w_latest.exceptAll(batch).count() == 0
     assert batch.exceptAll(w_latest).count() == 0
+
+
+def test_progress_recorder_captures_batches(spark, sf_smoke):
+    from distributed_stream_processing_spark.sources.stream import (
+        read_events_stream,
+    )
+    from distributed_stream_processing_spark.streaming.metrics import (
+        ProgressRecorder,
+    )
+    from pyspark.sql import functions as F
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        sdf = read_events_stream(spark, sf_smoke, n_files=3)
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("metrics_probe")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener delivery is async; wait briefly for the bus to drain
+        import time
+
+        for _ in range(50):
+            if len(rec.batches) >= 3:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+    s = rec.summary()
+    assert s["n_batches"] >= 3  # one per staged file
+    assert s["total_rows"] == 1000
+    assert s["avg_trigger_ms"] > 0
