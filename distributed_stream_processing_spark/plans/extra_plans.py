@@ -90,3 +90,40 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_media(media_table(spark, sf_dir)), every_n=4)
+
+
+@query(
+    "q50_multimodal_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
+             CAST(concat('0x', substr(sha256(text), 17, 2)) AS BIGINT) AS b8,
+             CAST(concat('0x', substr(sha256(text), 19, 2)) AS BIGINT) AS b9
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           media_type,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS BIGINT) AS duration_ms
+    FROM m
+    """,
+    doc=(
+        "Multimodal decode metadata, oracle-backed: the deterministic "
+        "stub derives metadata from sha256(payload) bytes, which DuckDB "
+        "reproduces exactly — gate-checks the mapInPandas decode "
+        "plumbing end-to-end (features stay in rows-only q37)."
+    ),
+)
+def q50_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_media(media_table(spark, sf_dir))
+    return decoded.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "media_type",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
