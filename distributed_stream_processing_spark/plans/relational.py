@@ -476,6 +476,30 @@ def q14_length_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q51_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact interpolated percentiles per group (percentile / "
+        "quantile_cont agree on linear interpolation); the approximate "
+        "path at scale is percentile_approx."
+    ),
+)
+def q51_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _cat(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_p50"),
+    )
+
+
+@query(
     "q15_word_count",
     oracle="""
     SELECT word, CAST(count(*) AS BIGINT) AS n
