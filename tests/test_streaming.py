@@ -158,3 +158,52 @@ def test_streaming_rollup_matches_batch(spark, sf_smoke):
     batch_out = specs["q10_event_minute_rollup"].fn(spark, sf_smoke)
     assert stream_out.exceptAll(batch_out).count() == 0
     assert batch_out.exceptAll(stream_out).count() == 0
+
+
+def test_semi_stream_join_via_foreachbatch(spark, sf_smoke):
+    """The real Structured Streaming integration: a readStream source
+    driving SemiStreamJoin.process_batch inside foreachBatch; union of
+    emitted batches must equal the plain join (cache transparency
+    through the actual streaming engine, not the replay harness)."""
+    from distributed_stream_processing_spark.sources.stream import stage_stream_files
+
+    cat = Catalog(spark, sf_smoke)
+    stream_tbl = cat.lineitem.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    store = cat.part.select(
+        F.col("p_partkey").cast("bigint").alias("l_partkey"), "p_retailprice"
+    )
+    path = stage_stream_files(stream_tbl, "febatch_lineitem", 3, "l_orderkey")
+    sdf = (
+        spark.readStream.schema(stream_tbl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    j = SemiStreamJoin(
+        store=store,
+        key="l_partkey",
+        initial_cache=store.filter(F.col("p_retailprice") < 1000),
+        controller=AdaptiveCacheController(window=2, min_window=1),
+    )
+    collected = []
+
+    def handle(batch_df, batch_id):
+        out = j.process_batch(batch_df, int(batch_id))
+        collected.append(out.select("l_orderkey", "l_partkey", "p_retailprice"))
+
+    q = sdf.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(collected) >= 3  # one per staged file
+    got = collected[0]
+    for o in collected[1:]:
+        got = got.unionByName(o)
+    plain = stream_tbl.join(store, "l_partkey").select(
+        "l_orderkey", "l_partkey", "p_retailprice"
+    )
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
