@@ -171,3 +171,26 @@ class Engine:
 
     def asof_join(self, left, right, key, left_ts, right_ts, right_cols):
         return asof_join(left, right, key, left_ts, right_ts, right_cols)
+
+    # ---- result sinks (S11: saveAsTextFile parity) ----
+
+    def save(
+        self,
+        df: DataFrame,
+        path: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.format(fmt).save(path)
+
+    def load(self, path: str, fmt: str = "parquet") -> DataFrame:
+        r = self.spark.read
+        if fmt == "csv":
+            return r.csv(path, header=True, inferSchema=True)
+        return r.format(fmt).load(path)

@@ -59,3 +59,16 @@ def test_ann_dispatch(eng, spark, sf_smoke):
     q = emb.filter(F.col("vec_id") < 3)
     out = eng.ann_search(q, emb, k=3)
     assert out.groupBy("q_id").count().filter("count != 3").count() == 0
+
+
+def test_save_load_roundtrip(eng, spark, sf_smoke, tmp_path):
+    docs = Catalog(spark, sf_smoke).documents.select("doc_id", "lang", "n_chars")
+    p = str(tmp_path / "out_parquet")
+    eng.save(docs, p, partition_by=["lang"])
+    back = eng.load(p)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    c = str(tmp_path / "out_csv")
+    eng.save(docs, c, fmt="csv")
+    back_csv = eng.load(c, fmt="csv")
+    assert back_csv.count() == docs.count()
