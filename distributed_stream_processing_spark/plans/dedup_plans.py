@@ -168,6 +168,33 @@ def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q52_content_flags",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '\\b[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
+           CAST(CASE WHEN regexp_matches(text, 'https?://') THEN 1 ELSE 0 END AS BIGINT) AS has_url,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_punct
+    FROM documents
+    """,
+    doc=(
+        "Regex content-flag profiling (curation filters): numeric-token "
+        "count, capitalized words, URL presence, sentence punctuation — "
+        "all JVM-side regexp_extract_all."
+    ),
+)
+def q52_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("bigint").alias("n_numbers"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+"), 0)).cast("bigint").alias("n_capitalized"),
+        F.when(F.col("text").rlike("https?://"), 1).otherwise(0).cast("bigint").alias("has_url"),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)).cast("bigint").alias("n_sentence_punct"),
+    )
+
+
+@query(
     "q47_winnowing_candidates",
     oracle=None,  # xxhash-based; shift-robustness checked by pytest
     doc=(
