@@ -70,26 +70,105 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_bytes(feature_col) -> F.Column:
+    """Serialize the 8-dim feature vector back to its digest bytes as a
+    CSV string: f = (b-128)/128 exactly (power-of-two denominator), so
+    f*128+128 recovers b bit-exactly. Arrays crash the driver gate's
+    canonicalizer (round-1 q37/q38 failure), so every registered query
+    emits this string instead of the raw array<float>."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            feature_col, lambda f: (f * 128 + 128).cast("bigint").cast("string")
+        ),
+    )
+
+
+# DuckDB twin of _feature_bytes: sha256 hex -> first 8 bytes as CSV.
+_DUCK_FEATURE_BYTES = "concat_ws(',', " + ", ".join(
+    f"CAST(concat('0x', substr(hx, {2 * i + 1}, 2)) AS BIGINT)" for i in range(8)
+) + ") AS feature_bytes"
+
+
 @query(
     "q37_multimodal_decode",
-    oracle=None,  # decode stub is engine-side; plumbing checked by pytest
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
+             sha256(text) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, media_type,
+             CAST(concat('0x', substr(hx, 17, 2)) AS BIGINT) AS b8,
+             CAST(concat('0x', substr(hx, 19, 2)) AS BIGINT) AS b9,
+             {_DUCK_FEATURE_BYTES}
+      FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           media_type,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS BIGINT) AS duration_ms,
+           feature_bytes
+    FROM b
+    """,
     doc=(
         "Multimodal pipeline: opaque binary payloads -> mapInPandas "
         "decode/feature-extract (stubbed deterministically) -> typed "
-        "metadata + 8-dim feature vectors."
+        "metadata + 8-dim feature vectors. The deterministic stub is "
+        "sha256-derived, so the oracle reproduces metadata AND features "
+        "(serialized to digest bytes — arrays crash the gate)."
     ),
 )
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(media_table(spark, sf_dir))
+    decoded = decode_media(media_table(spark, sf_dir))
+    return decoded.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "media_type",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        _feature_bytes(F.col("feature")).alias("feature_bytes"),
+    )
 
 
 @query(
     "q38_multimodal_frame_sample",
-    oracle=None,
-    doc="Frame sampling over decoded multi-frame media (JVM-side explode).",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
+             sha256(text) AS hx
+      FROM documents
+    ), a AS (
+      SELECT doc_id, media_type,
+             1 + CAST(concat('0x', substr(hx, 17, 2)) AS BIGINT) % 16 AS n_frames,
+             {_DUCK_FEATURE_BYTES}
+      FROM m WHERE media_type = 'audio/wav'
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           media_type,
+           CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_no,
+           feature_bytes
+    FROM a WHERE n_frames > 1
+    """,
+    doc=(
+        "Frame sampling over decoded multi-frame media (JVM-side "
+        "explode of a stride sequence); oracle unrolls the same stride "
+        "with generate_series over the sha256-derived frame counts."
+    ),
 )
 def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(decode_media(media_table(spark, sf_dir)), every_n=4)
+    frames = frame_sample(decode_media(media_table(spark, sf_dir)), every_n=4)
+    return frames.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "media_type",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        _feature_bytes(F.col("feature")).alias("feature_bytes"),
+    )
 
 
 @query(

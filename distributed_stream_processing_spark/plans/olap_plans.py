@@ -9,9 +9,6 @@ from pyspark.sql import functions as F
 
 from distributed_stream_processing_spark.catalog import Catalog
 from distributed_stream_processing_spark.functions.text import tokens
-from distributed_stream_processing_spark.operators.similarity_join import (
-    similarity_join,
-)
 from distributed_stream_processing_spark.operators.similarity_search import ivf_topk
 from distributed_stream_processing_spark.plans.registry import query
 
@@ -63,43 +60,11 @@ def q44_pivot_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted
 
 
-@query(
-    "q45_stream_similarity_join",
-    oracle="""
-    WITH tok AS (SELECT doc_id,
-                        list_sort(list_distinct(list_filter(string_split(text, ' '),
-                                                            x -> x <> ''))) AS toks
-                 FROM documents),
-    stream AS (SELECT * FROM tok WHERE doc_id % 10 < 3),
-    stored AS (SELECT * FROM tok WHERE doc_id % 10 >= 3)
-    SELECT CAST(a.doc_id AS BIGINT) AS a_id,
-           CAST(b.doc_id AS BIGINT) AS b_id,
-           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
-    FROM stream a JOIN stored b
-      ON 4 * len(list_intersect(a.toks, b.toks))
-         >= 3 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-    """,
-    doc=(
-        "DSim semi-stream shape end-to-end: the query corpus replayed "
-        "in 3 micro-batches, each prefix-joined to the stored corpus at "
-        "t=0.75; union of batch outputs == one-shot join (stream/batch "
-        "transparency for the similarity pipeline)."
-    ),
-)
-def q45_stream_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
-    stream = base.filter(F.col("id") % 10 < 3)
-    stored = base.filter(F.col("id") % 10 >= 3)
-    outs = []
-    for b in range(3):
-        batch = stream.filter(F.col("id") % 3 == b)
-        outs.append(similarity_join(batch, stored, Fraction(3, 4)))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+# q45_stream_similarity_join (micro-batched prefix join, union of
+# batches == one-shot oracle) was retired in round 2: it shared q48's
+# oracle verbatim and its operators (J7 prefix filter, O4 union) are
+# gate-covered by q16/q17/q48 — the driver gates only the first 50
+# registered queries, so redundant rows cost flagship coverage.
 
 
 @query(

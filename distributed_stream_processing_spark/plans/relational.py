@@ -390,29 +390,10 @@ def q11_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q12_sliding_mean",
-    oracle="""
-    SELECT CAST(event_id AS BIGINT) AS event_id,
-           CAST(user_id AS BIGINT) AS user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING), 6)
-             AS w25_mean
-    FROM events
-    """,
-    doc=(
-        "KV-match index-build sliding mean of width 25 "
-        "(IndexBuilder.java:186-245) as a rows-window average per series."
-    ),
-)
-def q12_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _cat(spark, sf_dir).events
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(0, 24)
-    return ev.select(
-        F.col("event_id").cast("bigint").alias("event_id"),
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.round(F.avg("value").over(w), 6).alias("w25_mean"),
-    )
+# q12_sliding_mean was retired in round 2: the width-25 sliding mean
+# (A5) is gate-covered by q30_kv_index_w25, whose oracle checks the
+# same window statistic inside the index build (the driver gates only
+# the first 50 registered queries).
 
 
 @query(

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from distributed_stream_processing_spark.catalog import Catalog
 from distributed_stream_processing_spark.functions.text import (
-    fingerprint_md5,
     tokens,
     word_ngrams,
 )
@@ -124,18 +123,6 @@ def q18_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_join(shingled, None, Fraction(1, 2))
 
 
-@query(
-    "q19_doc_fingerprint",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
-    doc="Deterministic md5 fingerprint of normalized text (dedup primitive).",
-)
-def q19_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        fingerprint_md5("text").alias("fp"),
-    )
+# q19_doc_fingerprint was retired in round 2: the md5-of-normalized-
+# text primitive is gate-covered by q20_dedup_exact's fp column (the
+# driver gates only the first 50 registered queries).

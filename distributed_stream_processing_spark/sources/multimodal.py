@@ -64,7 +64,9 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic pseudo-decode: metadata + an 8-dim feature vector
     derived from the payload digest (reproducible everywhere)."""
     h = hashlib.sha256(payload).digest()
-    feat = [round((b - 128) / 128.0, 6) for b in h[:8]]
+    # exact binary values (b-128)/128 — power-of-two denominator, so
+    # feature*128+128 recovers the digest byte exactly (q37's oracle)
+    feat = [(b - 128) / 128.0 for b in h[:8]]
     if media_type.startswith("image/"):
         return {
             "width": 64 + h[8] % 192,
