@@ -75,7 +75,7 @@ class Engine:
         ]
         return run_semi_stream_join(
             stream, store, key, out_cols, n_batches=n_batches,
-            initial_cache=initial_cache,
+            initial_cache=initial_cache, admit_below_freq=admit_below_freq,
         )
 
     def stream_joiner(self, store: DataFrame, key: str, **kw) -> SemiStreamJoin:

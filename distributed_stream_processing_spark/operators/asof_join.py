@@ -32,13 +32,23 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join (inclusive: right.ts <= left.ts, ties -> right
     row visible). Returns all left columns plus ``right_cols`` (null
-    when the key has no prior right row)."""
+    when the key has no prior right row).
+
+    All right columns are carried as ONE struct through a single
+    last(ignorenulls) so they always come from the same right row —
+    per-column last would mix rows when a right column is null.
+    """
     lcols = left.columns
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r = right.select(
         *[
@@ -47,19 +57,20 @@ def asof_join(
         ],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        *right_cols,
+        F.struct(*right_cols).alias("_r"),
     )
     w = (
         W.partitionBy(key)
         .orderBy("_ts", "_tag")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    carried = F.last("_r", ignorenulls=True).over(w)
     return (
         l.unionByName(r)
         .select(
             *lcols,
             "_tag",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+            *[carried[c].alias(c) for c in right_cols],
         )
         .filter(F.col("_tag") == 1)
         .drop("_tag")

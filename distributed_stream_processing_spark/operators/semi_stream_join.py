@@ -165,6 +165,7 @@ def run_semi_stream_join(
     bucket_col: str | None = None,
     initial_cache: DataFrame | None = None,
     controller: AdaptiveCacheController | None = None,
+    admit_below_freq: int | None = None,
 ) -> DataFrame:
     """Replay ``stream_table`` through the cached semi-stream join and
     return the union of per-batch outputs (cache-transparent: equals
@@ -174,6 +175,7 @@ def run_semi_stream_join(
         key=key,
         initial_cache=initial_cache,
         controller=controller or AdaptiveCacheController(),
+        admit_below_freq=admit_below_freq,
     )
     outs = []
     for batch_id, batch in replay_in_batches(

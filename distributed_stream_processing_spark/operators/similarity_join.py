@@ -41,18 +41,27 @@ def _prefix_len(size_col, t: Fraction):
     return size_col - (-F.floor((-t.numerator * size_col) / F.lit(t.denominator)).cast("int")) + 1
 
 
-def _with_prefix(df: DataFrame, t: Fraction, order: str) -> DataFrame:
+def _token_freq(*dfs: DataFrame) -> DataFrame:
+    """One shared token-frequency table over ALL join inputs: prefix-
+    filter completeness needs both sides sorted under the same global
+    order, so per-side frequencies would silently drop pairs."""
+    vocab = dfs[0].select(F.explode("tokens").alias("tok"))
+    for d in dfs[1:]:
+        vocab = vocab.unionByName(d.select(F.explode("tokens").alias("tok")))
+    return vocab.groupBy("tok").count().withColumnRenamed("count", "tok_freq")
+
+
+def _with_prefix(
+    df: DataFrame, t: Fraction, order: str, freq: DataFrame | None = None
+) -> DataFrame:
     """Attach sorted token array + exploded prefix tokens."""
     toks = F.col("tokens")
     if order == "freq":
         # global frequency-ascending order: rare tokens first minimizes
-        # candidate pairs; any total order preserves completeness.
-        freq = (
-            df.select(F.explode("tokens").alias("tok"))
-            .groupBy("tok")
-            .count()
-            .withColumnRenamed("count", "tok_freq")
-        )
+        # candidate pairs; any SHARED total order preserves completeness
+        # (the caller passes one freq table covering both sides).
+        if freq is None:
+            freq = _token_freq(df)
         exploded = df.select("id", F.posexplode("tokens").alias("_", "tok")).join(
             F.broadcast(freq), "tok"
         )
@@ -125,9 +134,13 @@ def similarity_join(
     right = left if self_join else right
 
     mapping = token_bitmask_dict(left) if self_join else token_bitmask_dict(left, right)
+    freq = None
+    if order == "freq":
+        freq = _token_freq(left) if self_join else _token_freq(left, right)
+        freq = freq.localCheckpoint(eager=False)
 
     def rep(df: DataFrame, prefix: str) -> DataFrame:
-        out = _with_prefix(df, t, order)
+        out = _with_prefix(df, t, order, freq)
         if mapping is not None:
             out = out.withColumn("rep", _mask_col(mapping))
         else:

@@ -64,6 +64,26 @@ def test_asof_row_count_preserved(spark, asof_fixture):
     assert asof_join(left, right, "key", "ts", "rts", ["rid"]).count() == left.count()
 
 
+def test_asof_nullable_right_cols_stay_coherent(spark):
+    """All right columns must come from the SAME matched right row:
+    per-column last(ignorenulls) would backfill a null column from an
+    older row (the struct-carry regression)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))],
+        "event_id long, key long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 100, "old"),
+            # latest match has a NULL rid — must NOT mix with rid=100
+            (10, _ts("2024-01-01T11:00:00"), None, "new"),
+        ],
+        "key long, rts timestamp, rid long, tag string",
+    )
+    row = asof_join(left, right, "key", "ts", "rts", ["rid", "tag"]).first()
+    assert row.tag == "new" and row.rid is None
+
+
 def test_media_decode_shapes(spark, sf_smoke):
     decoded = decode_media(media_table(spark, sf_smoke))
     rows = decoded.collect()

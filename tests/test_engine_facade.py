@@ -26,6 +26,12 @@ def test_stream_join(eng, spark, sf_smoke):
     out = eng.stream_join(stream, store, key="pk", n_batches=2)
     assert out.count() == stream.count()
     assert set(out.columns) == {"okey", "pk", "p_retailprice"}
+    # admission control must actually reach the join (it was once a
+    # silent no-op) while staying cache-transparent
+    gated = eng.stream_join(
+        stream, store, key="pk", n_batches=2, admit_below_freq=1
+    )
+    assert gated.count() == stream.count()
 
 
 def test_similarity_join_methods_agree(eng, spark, sf_smoke):

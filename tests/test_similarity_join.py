@@ -85,6 +85,17 @@ def test_two_table_join_equals_brute_force(spark, corpus):
     )
 
 
+def test_two_table_freq_order_equals_brute_force(spark, corpus):
+    """Prefix-filter completeness under order='freq' requires ONE
+    shared token order across both sides — per-side frequency tables
+    would sort the prefixes under different orders and drop pairs."""
+    left = corpus.filter(F.col("id") % 3 == 0)
+    right = corpus.filter(F.col("id") % 3 != 0)
+    assert _pairs(similarity_join(left, right, T, order="freq")) == _pairs(
+        brute_force_similarity_join(left, right, T)
+    )
+
+
 def test_signature_completeness_property(spark):
     """Any pair with J >= t must share >= 1 equal segment signature.
 
