@@ -62,7 +62,7 @@ def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
         F.size(seq) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(seq) - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(seq, i + 1, k))),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(seq, i + 1, k))),
         ),
     ).otherwise(empty)
     mins = F.when(
@@ -76,6 +76,32 @@ def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
     return F.when(F.size(mins) > 0, F.array_distinct(mins)).otherwise(
         F.array_distinct(kgrams)
     )
+
+
+def md5_hash60(c: Column) -> Column:
+    """Deterministic 60-bit positive hash = first 15 hex chars of md5.
+
+    Chosen over xxhash64 for the dedup/fingerprint primitives because
+    DuckDB reproduces it exactly (CAST(concat('0x', substr(md5(x),1,15))
+    AS BIGINT)), which turns the MinHash/SimHash/winnowing queries into
+    hard oracle-gated checks. 15 hex chars keep the value < 2^60, so
+    it stays positive in both engines' BIGINT.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def duck_md5_hash60(expr: str) -> str:
+    """The DuckDB twin of md5_hash60, as SQL text over ``expr``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_hash32_pair(c: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit positive hashes (hi, lo) from one md5 —
+    used where 64 independent bits are needed (SimHash) without ever
+    forming a negative/overflowing 64-bit value in either engine."""
+    hi = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("bigint")
+    return hi, lo
 
 
 def jaccard_parts(a_tokens: Column, b_tokens: Column) -> tuple[Column, Column]:

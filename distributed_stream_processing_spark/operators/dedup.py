@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from distributed_stream_processing_spark.functions.text import (
     fingerprint_md5,
     jaccard_parts,
+    md5_hash32_pair,
+    md5_hash60,
 )
 
 # 31-bit Mersenne prime: with token hashes reduced mod P (< 2^31) and
@@ -56,15 +58,36 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signature(tokens_col, num_perm: int = 64, seed: int = 42):
-    """ARRAY<BIGINT> of ``num_perm`` MinHash values over a token array."""
-    th = F.transform(tokens_col, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P)))
-    mins = [
-        F.array_min(
-            F.transform(th, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)))
-        )
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    return F.array(*mins)
+    """ARRAY<BIGINT> of ``num_perm`` MinHash values over a token array.
+
+    One aggregate pass: hash each token once (md5-derived, DuckDB-
+    reproducible), then fold the token-hash array updating all
+    ``num_perm`` running minima via zip_with against the literal
+    (a, b) coefficient arrays — instead of ``num_perm`` independent
+    array_min(transform(...)) expressions, which re-hashed every token
+    per permutation (the round-1 q21 bench cost center).
+    """
+    params = _perm_params(num_perm, seed)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b")
+            )
+            for a, b in params
+        ]
+    )
+    th = F.transform(tokens_col, lambda t: F.pmod(md5_hash60(t), F.lit(_MERSENNE_P)))
+    return F.aggregate(
+        th,
+        F.array_repeat(F.lit(_MERSENNE_P).cast("bigint"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, F.pmod(c["a"] * h + c["b"], F.lit(_MERSENNE_P))
+            ),
+        ),
+    )
 
 
 def minhash_lsh_dedup(
@@ -140,60 +163,92 @@ def minhash_lsh_dedup(
     return out
 
 
-def simhash64(tokens_col):
-    """64-bit SimHash of a token array as BIGINT (may be negative)."""
-    # per-bit vote: sum over tokens of (bit ? +1 : -1); bit i of the
-    # token's xxhash64. Bit positions unrolled as literals because
-    # shiftright requires a literal shift amount.
+def simhash_halves(tokens_col) -> tuple[F.Column, F.Column]:
+    """64-bit SimHash of a token array as two positive 32-bit halves
+    (hi = bits 32..63, lo = bits 0..31).
+
+    Two halves instead of one signed 64-bit value: both engines keep
+    every intermediate positive (< 2^32), so the DuckDB oracle can
+    reproduce the signature without signed-overflow games. Per-bit
+    vote = sum over tokens of (bit ? +1 : -1); bits come from two
+    independent md5-derived 32-bit token hashes. Bit positions are
+    unrolled as literals because shiftright needs a literal shift.
+    """
+    th = F.transform(
+        tokens_col,
+        lambda t: F.struct(
+            md5_hash32_pair(t)[0].alias("hi"), md5_hash32_pair(t)[1].alias("lo")
+        ),
+    )
     votes = F.aggregate(
-        F.transform(tokens_col, lambda t: F.xxhash64(t)),
+        th,
         F.array_repeat(F.lit(0).cast("int"), 64),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-                    for i in range(64)
+                    (F.shiftright(h["lo"], i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                    for i in range(32)
+                ]
+                + [
+                    (F.shiftright(h["hi"], i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                    for i in range(32)
                 ]
             ),
             lambda x, y: x + y,
         ),
     )
-    out = F.lit(0).cast("bigint")
-    for i in range(64):
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(votes, i + 1) > 0,
-                F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return out
+
+    def pack(offset: int) -> F.Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out.bitwiseOR(
+                F.when(
+                    F.element_at(votes, offset + i + 1) > 0,
+                    F.lit(1 << i).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        return out
+
+    return pack(32), pack(0)
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash packed into one BIGINT (may be negative) — kept
+    for API compatibility; the join path uses simhash_halves."""
+    hi, lo = simhash_halves(tokens_col)
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming (<= 3 keeps
     the 4x16-bit band pigeonhole exact: d<=3 -> >=1 equal chunk)."""
-    sig = df.select("id", simhash64(F.col("tokens")).alias("sh"))
+    hi, lo = simhash_halves(F.col("tokens"))
+    sig = df.select("id", hi.alias("sh_hi"), lo.alias("sh_lo"))
+    chunk_vals = [
+        F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sh_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     chunked = sig.select(
         "id",
-        "sh",
+        "sh_hi",
+        "sh_lo",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).cast("int").alias("chunk"),
-                        F.shiftright(F.col("sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).cast("int").alias("chunk"), v.alias("val"))
+                    for c, v in enumerate(chunk_vals)
                 ]
             )
         ).alias("cc"),
-    ).select("id", "sh", "cc.chunk", "cc.val")
-    a = chunked.selectExpr("id a_id", "sh a_sh", "chunk", "val")
-    b = chunked.selectExpr("id b_id", "sh b_sh", "chunk", "val")
-    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    ).select("id", "sh_hi", "sh_lo", "cc.chunk", "cc.val")
+    a = chunked.selectExpr("id a_id", "sh_hi a_hi", "sh_lo a_lo", "chunk", "val")
+    b = chunked.selectExpr("id b_id", "sh_hi b_hi", "sh_lo b_lo", "chunk", "val")
+    ham = F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi"))) + F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    )
     return (
         a.join(b, ["chunk", "val"])
         .filter(F.col("a_id") < F.col("b_id"))

@@ -645,6 +645,198 @@ def subsequence_match_cnsm(
     )
 
 
+# ---------------------------------------------------------------------------
+# exact (oracle-reproducible) normalized matching — integer window sums
+# + closed-form double math evaluated identically in any engine
+# ---------------------------------------------------------------------------
+
+
+def window_int_sums(
+    series: DataFrame,
+    query: list[float],
+    value_scale: int,
+    chunk: int = 8192,
+) -> DataFrame:
+    """(start, sx, sxx, sxq) for every complete width-m window, where
+    sx/sxx/sxq are EXACT int64 sums of scaled values: sx = Σ X[s+i],
+    sxx = Σ X[s+i]², sxq = Σ X[s+i]·Q[i] with X = rint(value*scale).
+
+    Integer sums are order-independent, so the distributed chunked
+    computation is bit-equal to any SQL engine's GROUP BY sum — the
+    foundation that makes the normalized-match closed forms (zNorm,
+    cNSM) reproducible in the DuckDB oracle. Chunked with overlap
+    replication like sliding_stats; no global sort.
+    """
+    q = np.rint(np.asarray(query, dtype=np.float64) * value_scale).astype(np.int64)
+    m = len(q)
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        pos = pdf["pos"].to_numpy()
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        base = int(pdf["chunk_id"].iloc[0]) * chunk
+        hi = base + chunk
+        if len(val) < m:
+            return pd.DataFrame(
+                {"start": [], "sx": [], "sxx": [], "sxq": []}
+            ).astype("int64")
+        X = np.rint(val * value_scale).astype(np.int64)
+        starts = pos[: len(X) - m + 1]
+        own = (starts >= base) & (starts < hi) & (pos[m - 1 :] == starts + m - 1)
+        c1 = np.concatenate(([0], np.cumsum(X)))
+        c2 = np.concatenate(([0], np.cumsum(X * X)))
+        windows = np.lib.stride_tricks.sliding_window_view(X, m)
+        sxq = windows @ q  # int64 matmul — exact
+        return pd.DataFrame(
+            {
+                "start": starts[own],
+                "sx": (c1[m:] - c1[:-m])[own],
+                "sxx": (c2[m:] - c2[:-m])[own],
+                "sxq": sxq[own],
+            }
+        )
+
+    return (
+        _chunked(series, m, 0, chunk)
+        .groupBy("chunk_id")
+        .applyInPandas(
+            per_chunk, schema="start long, sx long, sxx long, sxq long"
+        )
+    )
+
+
+def znorm_d2_sql(m: int, sq: int | str, sqq: int | str) -> str:
+    """SQL for the z-normalized squared distance from exact integer
+    window sums (columns sx, sxx, sxq; sq/sqq are the query's own
+    exact sums — int literals on the engine side, column refs in the
+    DuckDB oracle; equal values give bit-equal doubles either way).
+
+    Derivation: with population std, Σ xn² = Σ qn² = m, so
+    d² = 2m(1 − r), r = Cxq/√(Vx·Vq) with V/C the scaled second
+    moments (m·Σxx − (Σx)², all exact int64). The same formula runs
+    in Spark and DuckDB: identical IEEE ops on identical inputs give
+    bit-identical doubles.
+    """
+    vx = f"({m} * sxx - sx * sx)"
+    cxq = f"({m} * sxq - sx * ({sq}))"
+    if isinstance(sq, int) and isinstance(sqq, int):
+        vq_val = m * sqq - sq * sq
+        if vq_val == 0:
+            return f"CASE WHEN {vx} = 0 THEN 0.0 ELSE CAST({m} AS DOUBLE) END"
+        vq = str(vq_val)
+        return (
+            f"CASE WHEN {vx} = 0 THEN CAST({m} AS DOUBLE) "
+            f"ELSE greatest(2.0 * CAST({m} AS DOUBLE) * "
+            f"(1.0 - CAST({cxq} AS DOUBLE) / "
+            f"sqrt(CAST({vx} AS DOUBLE) * CAST({vq} AS DOUBLE))), 0.0) END"
+        )
+    vq = f"({m} * ({sqq}) - ({sq}) * ({sq}))"
+    return (
+        f"CASE WHEN {vx} = 0 AND {vq} = 0 THEN 0.0 "
+        f"WHEN {vx} = 0 OR {vq} = 0 THEN CAST({m} AS DOUBLE) "
+        f"ELSE greatest(2.0 * CAST({m} AS DOUBLE) * "
+        f"(1.0 - CAST({cxq} AS DOUBLE) / "
+        f"sqrt(CAST({vx} AS DOUBLE) * CAST({vq} AS DOUBLE))), 0.0) END"
+    )
+
+
+def cnsm_fit_sql(
+    m: int,
+    sq: int | str,
+    sqq: int | str,
+    scale: int,
+    alpha: float,
+    beta: float,
+) -> tuple[str, str, str]:
+    """(a_sql, b_sql, d2_sql) for the clamped least-squares cNSM fit
+    from exact integer window sums — same reproducibility contract as
+    znorm_d2_sql. a* = Cxq/Vq clamped to [1/alpha, alpha]; b* =
+    mean(x) − a·mean(q) clamped to [−beta, beta]; d² expanded in the
+    exact integer moments."""
+    cxq = f"({m} * sxq - sx * ({sq}))"
+    if isinstance(sq, int) and isinstance(sqq, int):
+        vq_val = m * sqq - sq * sq
+        if vq_val == 0:
+            a_raw = "1.0"
+        else:
+            a_raw = f"(CAST({cxq} AS DOUBLE) / CAST({vq_val} AS DOUBLE))"
+    else:
+        vq = f"({m} * ({sqq}) - ({sq}) * ({sq}))"
+        a_raw = (
+            f"(CASE WHEN {vq} = 0 THEN 1.0 "
+            f"ELSE CAST({cxq} AS DOUBLE) / CAST({vq} AS DOUBLE) END)"
+        )
+    a_sql = f"least(greatest({a_raw}, {1.0 / alpha!r}), {float(alpha)!r})"
+    denom = float(scale * m)
+    b_raw = (
+        f"(CAST(sx AS DOUBLE) / {denom!r} - _a * "
+        f"(CAST(({sq}) AS DOUBLE) / {denom!r}))"
+    )
+    b_sql = f"least(greatest({b_raw}, {-float(beta)!r}), {float(beta)!r})"
+    s2 = float(scale * scale)
+    d2_sql = (
+        f"greatest((CAST(sxx AS DOUBLE) - 2.0 * _a * CAST(sxq AS DOUBLE) "
+        f"+ _a * _a * CAST(({sqq}) AS DOUBLE)) / {s2!r} "
+        f"- 2.0 * _b * (CAST(sx AS DOUBLE) - _a * CAST(({sq}) AS DOUBLE)) / {float(scale)!r} "
+        f"+ CAST({m} AS DOUBLE) * _b * _b, 0.0)"
+    )
+    return a_sql, b_sql, d2_sql
+
+
+def _query_int_sums(query: list[float], scale: int) -> tuple[int, int, int]:
+    q = np.rint(np.asarray(query, dtype=np.float64) * scale).astype(np.int64)
+    return len(q), int(q.sum()), int((q * q).sum())
+
+
+def subsequence_match_znorm_exact(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    value_scale: int = 100,
+    chunk: int = 8192,
+) -> DataFrame:
+    """NSM via exact integer window sums + closed-form distance — same
+    semantics as subsequence_match_znorm (population std, std=0 → unit
+    divisor) but bit-reproducible in any SQL engine (the DuckDB oracle
+    evaluates the identical formula on identical integer sums)."""
+    m, sq, sqq = _query_int_sums(query, value_scale)
+    sums = window_int_sums(series, query, value_scale, chunk)
+    d2 = znorm_d2_sql(m, sq, sqq)
+    return (
+        sums.selectExpr("start", f"{d2} AS d2")
+        .filter(F.col("d2") <= epsilon * epsilon)
+        .selectExpr("CAST(start AS BIGINT) AS start", "round(sqrt(d2), 6) AS dist")
+    )
+
+
+def subsequence_match_cnsm_exact(
+    series: DataFrame,
+    query: list[float],
+    epsilon: float,
+    alpha: float = 2.0,
+    beta: float = 10.0,
+    value_scale: int = 100,
+    chunk: int = 8192,
+) -> DataFrame:
+    """cNSM via exact integer window sums + closed-form clamped fit —
+    same semantics as subsequence_match_cnsm, oracle-reproducible."""
+    m, sq, sqq = _query_int_sums(query, value_scale)
+    sums = window_int_sums(series, query, value_scale, chunk)
+    a_sql, b_sql, d2_sql = cnsm_fit_sql(m, sq, sqq, value_scale, alpha, beta)
+    return (
+        sums.selectExpr("start", "sx", "sxx", "sxq", f"{a_sql} AS _a")
+        .selectExpr("start", "sx", "sxx", "sxq", "_a", f"{b_sql} AS _b")
+        .selectExpr("start", "_a", "_b", f"{d2_sql} AS d2")
+        .filter(F.col("d2") <= epsilon * epsilon)
+        .selectExpr(
+            "CAST(start AS BIGINT) AS start",
+            "round(sqrt(d2), 6) AS dist",
+            "round(_a, 6) AS alpha",
+            "round(_b, 6) AS beta",
+        )
+    )
+
+
 def brute_force_ed(series_values: np.ndarray, query: np.ndarray, epsilon: float):
     """O(n*m) numpy reference scan (test oracle)."""
     n, m = len(series_values), len(query)

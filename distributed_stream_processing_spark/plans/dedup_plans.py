@@ -20,11 +20,112 @@ from distributed_stream_processing_spark.functions.text_analysis import (
     ws_token_count,
 )
 from distributed_stream_processing_spark.operators.dedup import (
+    _MERSENNE_P,
+    _perm_params,
     exact_dedup_groups,
     minhash_lsh_dedup,
     simhash_near_pairs,
 )
 from distributed_stream_processing_spark.plans.registry import query
+
+_DUCK_TOKENS = (
+    "list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))"
+)
+
+
+def _duck_minhash_oracle(threshold: Fraction, num_perm: int, bands: int, seed: int) -> str:
+    """DuckDB twin of minhash_lsh_dedup: identical md5-derived token
+    hashes, the same 64 (a,b) permutations as literals, band keys as
+    raw value strings (the Spark side hashes the same strings — equal
+    strings => equal buckets), then the same exact-Jaccard verify."""
+    p = _MERSENNE_P
+    r = num_perm // bands
+    mins = ",\n             ".join(
+        f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {p}), 'min')"
+        for a, b in _perm_params(num_perm, seed)
+    )
+    t = threshold
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), th AS (
+      SELECT id, tokens,
+             list_transform(tokens,
+               t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS h
+      FROM toks
+    ), sig AS (
+      SELECT id, tokens,
+             [{mins}] AS mh
+      FROM th
+    ), banded AS (
+      SELECT id, tokens, band,
+             array_to_string(mh[band * {r} + 1 : band * {r} + {r}], ',') AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM banded a JOIN banded b USING (band, bkey)
+      WHERE a.id < b.id
+    ), ver AS (
+      SELECT a_id, b_id,
+             len(list_intersect(ta.tokens, tb.tokens)) AS inter,
+             len(ta.tokens) + len(tb.tokens)
+               - len(list_intersect(ta.tokens, tb.tokens)) AS uni
+      FROM cand
+      JOIN toks ta ON ta.id = a_id
+      JOIN toks tb ON tb.id = b_id
+    )
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+    FROM ver WHERE {t.denominator} * inter >= {t.numerator} * uni
+    """
+
+
+def _duck_simhash_oracle(max_hamming: int) -> str:
+    """DuckDB twin of simhash_near_pairs: the same two md5-derived
+    32-bit token hashes, the same per-bit +/-1 votes, the same 4x16-bit
+    band join and hamming verify."""
+
+    def half(hcol: str) -> str:
+        terms = []
+        for i in range(32):
+            vote = (
+                f"list_aggregate(list_transform({hcol}, "
+                f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END), 'sum')"
+            )
+            terms.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
+        return " + ".join(terms)
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), th AS (
+      SELECT id,
+             list_transform(tokens,
+               t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hhi,
+             list_transform(tokens,
+               t -> CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT)) AS hlo
+      FROM toks
+    ), sig AS (
+      SELECT id, ({half("hhi")}) AS sh_hi, ({half("hlo")}) AS sh_lo FROM th
+    ), chunks AS (
+      SELECT id, sh_hi, sh_lo, 0 AS chunk, sh_lo & 65535 AS val FROM sig
+      UNION ALL
+      SELECT id, sh_hi, sh_lo, 1, (sh_lo >> 16) & 65535 FROM sig
+      UNION ALL
+      SELECT id, sh_hi, sh_lo, 2, sh_hi & 65535 FROM sig
+      UNION ALL
+      SELECT id, sh_hi, sh_lo, 3, (sh_hi >> 16) & 65535 FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+             bit_count(xor(a.sh_hi, b.sh_hi))
+               + bit_count(xor(a.sh_lo, b.sh_lo)) AS hamming
+      FROM chunks a JOIN chunks b USING (chunk, val)
+      WHERE a.id < b.id
+    )
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,11 +149,12 @@ def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_dedup_minhash_lsh",
-    oracle=None,  # LSH recall is probabilistic; pytest checks recall vs brute force
+    oracle=_duck_minhash_oracle(Fraction(4, 5), num_perm=64, bands=16, seed=42),
     doc=(
         "MinHash(64)+LSH(16 bands) candidate generation, exact-Jaccard "
-        "verified at t=0.8 — the scalable near-dup path (output is a "
-        "subset of q16's brute-force-equal result)."
+        "verified at t=0.8 — the scalable near-dup path. Token hashes "
+        "are md5-derived so the oracle reproduces the exact signatures "
+        "and band buckets (hard gate, not just a recall property)."
     ),
 )
 def q21_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,8 +163,12 @@ def q21_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_dedup_simhash",
-    oracle=None,  # depends on xxhash64, not reproducible in DuckDB
-    doc="SimHash64 near-dup pairs at hamming<=3 via 4x16-bit band join.",
+    oracle=_duck_simhash_oracle(max_hamming=3),
+    doc=(
+        "SimHash64 near-dup pairs at hamming<=3 via 4x16-bit band "
+        "join; md5-derived bit votes make the oracle reproduce the "
+        "exact signatures."
+    ),
 )
 def q22_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_doc_tokens(spark, sf_dir), max_hamming=3)
@@ -194,13 +300,49 @@ def q52_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_WINNOW_HASH = "CAST(concat('0x', substr(md5(array_to_string(seq[i : i + 3], ' ')), 1, 15)) AS BIGINT)"
+
+
 @query(
     "q47_winnowing_candidates",
-    oracle=None,  # xxhash-based; shift-robustness checked by pytest
+    oracle=f"""
+    WITH seqd AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS seq
+      FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             CASE WHEN len(seq) >= 4 THEN
+               list_transform(generate_series(1, len(seq) - 3),
+                              i -> {_DUCK_WINNOW_HASH})
+             ELSE CAST([] AS BIGINT[]) END AS kh
+      FROM seqd
+    ), wn AS (
+      SELECT doc_id,
+             CASE WHEN len(kh) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(kh) - 4),
+                                            j -> list_aggregate(kh[j : j + 4], 'min')))
+             ELSE list_distinct(kh) END AS fps
+      FROM kg
+    ), fp AS (
+      SELECT doc_id AS id, unnest(fps) AS fp FROM wn
+    ), rare AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING 20 * count(*) <= (SELECT count(*) FROM documents)
+    ), fr AS (
+      SELECT id, f.fp FROM fp f JOIN rare USING (fp)
+    )
+    SELECT CAST(a.id AS BIGINT) AS a_id, CAST(b.id AS BIGINT) AS b_id,
+           CAST(count(*) AS BIGINT) AS shared_fp
+    FROM fr a JOIN fr b USING (fp)
+    WHERE a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= 5
+    """,
     doc=(
-        "Winnowing rolling-hash fingerprints (k-gram window minima): "
-        "near-dup candidate pairs sharing >= 5 fingerprints — the "
-        "shift-robust dedup primitive (vs q19's whole-doc md5)."
+        "Winnowing rolling-hash fingerprints (k=4 shingles, window 5 "
+        "minima, Schleimer et al. SIGMOD'03): near-dup candidate pairs "
+        "sharing >= 5 fingerprints — the shift-robust dedup primitive. "
+        "md5-derived k-gram hashes make the oracle bit-exact."
     ),
 )
 def q47_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,8 +359,9 @@ def q47_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # stop-shingle removal: fingerprints in >5% of docs carry no
     # discriminative signal and would make the join quadratic
+    # (integer-exact threshold: 20*count <= n_docs <=> count <= 5%)
     n_docs = docs.count()
-    rare = fp.groupBy("fp").count().filter(F.col("count") <= 0.05 * n_docs)
+    rare = fp.groupBy("fp").count().filter(20 * F.col("count") <= F.lit(n_docs))
     fp = fp.join(F.broadcast(rare.select("fp")), "fp")
     a = fp.selectExpr("id a_id", "fp")
     b = fp.selectExpr("id b_id", "fp")

@@ -14,14 +14,36 @@ from pyspark.sql import functions as F
 from distributed_stream_processing_spark.catalog import Catalog
 from distributed_stream_processing_spark.operators.subsequence_match import (
     build_kv_index,
+    cnsm_fit_sql,
+    subsequence_match_cnsm_exact,
     subsequence_match_dtw,
     subsequence_match_ed,
-    subsequence_match_znorm,
+    subsequence_match_znorm_exact,
+    znorm_d2_sql,
 )
 from distributed_stream_processing_spark.plans.registry import query
 
 QSTART, QLEN = 1000, 100
 EPS_ED = 575.0
+EPS_ZN = 11.0
+EPS_CNSM = 300.0
+CNSM_ALPHA, CNSM_BETA = 2.0, 10.0
+
+# shared CTE prefix: scaled-integer series, query slice, its exact
+# sums, and per-window exact integer sums (the DuckDB twin of
+# operators.subsequence_match.window_int_sums)
+_DUCK_WINDOW_SUMS = f"""
+    WITH s AS (SELECT event_id AS pos,
+                      CAST(round(value * 100) AS BIGINT) AS cx FROM events),
+    q AS (SELECT pos - {QSTART} AS qoff, cx AS cq FROM s
+          WHERE pos BETWEEN {QSTART} AND {QSTART + QLEN - 1}),
+    qs AS (SELECT sum(cq) AS sq0, sum(cq * cq) AS sqq0 FROM q),
+    j AS (SELECT s.pos - q.qoff AS start, s.cx AS cx, q.cq AS cq
+          FROM s JOIN q ON s.pos - q.qoff >= 0),
+    sums AS (SELECT start, count(*) AS c, sum(cx) AS sx,
+                    sum(cx * cx) AS sxx, sum(cx * cq) AS sxq
+             FROM j GROUP BY start)
+"""
 
 
 def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,31 +158,63 @@ def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_match_dtw(s, qv, epsilon=300.0, rho=5)
 
 
+def _cnsm_oracle() -> str:
+    a_sql, b_sql, d2_sql = cnsm_fit_sql(
+        QLEN, "sq0", "sqq0", 100, CNSM_ALPHA, CNSM_BETA
+    )
+    return f"""
+    {_DUCK_WINDOW_SUMS},
+    fa AS (SELECT start, sx, sxx, sxq, sq0, sqq0, {a_sql} AS _a
+           FROM sums CROSS JOIN qs WHERE c = {QLEN}),
+    fb AS (SELECT start, sx, sxx, sxq, sq0, sqq0, _a, {b_sql} AS _b FROM fa),
+    d AS (SELECT start, _a, _b, {d2_sql} AS d2 FROM fb)
+    SELECT CAST(start AS BIGINT) AS start, round(sqrt(d2), 6) AS dist,
+           round(_a, 6) AS alpha, round(_b, 6) AS beta
+    FROM d WHERE d2 <= {EPS_CNSM * EPS_CNSM!r}
+    """
+
+
 @query(
     "q49_subseq_match_cnsm",
-    oracle=None,  # constrained-fit chain not SQL-expressible; pytest vs numpy
+    oracle=_cnsm_oracle(),
     doc=(
         "cNSM: subsequence match under constrained linear "
         "normalization (amplitude alpha<=2, offset |beta|<=10), "
-        "least-squares fit clamped to the constraint box."
+        "least-squares fit clamped to the constraint box. Exact "
+        "integer window sums + a closed-form fit evaluated with the "
+        "identical IEEE expression in both engines make the oracle "
+        "bit-exact (cnsm_fit_sql is shared text)."
     ),
 )
 def q49_subseq_match_cnsm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from distributed_stream_processing_spark.operators.subsequence_match import (
-        subsequence_match_cnsm,
-    )
-
     s = series_df(spark, sf_dir)
     qv = _query_values(spark, sf_dir)
-    return subsequence_match_cnsm(s, qv, epsilon=300.0, alpha=2.0, beta=10.0)
+    return subsequence_match_cnsm_exact(
+        s, qv, epsilon=EPS_CNSM, alpha=CNSM_ALPHA, beta=CNSM_BETA, value_scale=100
+    )
+
+
+def _znorm_oracle() -> str:
+    d2 = znorm_d2_sql(QLEN, "sq0", "sqq0")
+    return f"""
+    {_DUCK_WINDOW_SUMS},
+    d AS (SELECT start, {d2} AS d2 FROM sums CROSS JOIN qs WHERE c = {QLEN})
+    SELECT CAST(start AS BIGINT) AS start, round(sqrt(d2), 6) AS dist
+    FROM d WHERE d2 <= {EPS_ZN * EPS_ZN!r}
+    """
 
 
 @query(
     "q32_subseq_match_znorm",
-    oracle=None,  # float64 z-norm chain not reproducible in SQL; pytest vs numpy
-    doc="Normalized subsequence match (NSM): z-normalized ED <= 11.",
+    oracle=_znorm_oracle(),
+    doc=(
+        "Normalized subsequence match (NSM): z-normalized ED <= 11 "
+        "via d2 = 2m(1-corr) over exact integer window sums — the "
+        "oracle evaluates the identical closed form (znorm_d2_sql is "
+        "shared text), so the gate is bit-exact."
+    ),
 )
 def q32_subseq_match_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
     qv = _query_values(spark, sf_dir)
-    return subsequence_match_znorm(s, qv, epsilon=11.0)
+    return subsequence_match_znorm_exact(s, qv, epsilon=EPS_ZN, value_scale=100)

@@ -148,6 +148,27 @@ def test_znorm_equals_brute_force(spark, series):
         assert math.isclose(got[s], want[s], abs_tol=1e-6)
 
 
+def test_znorm_exact_equals_numpy_path(spark, series):
+    """The closed-form integer-sum zNorm path (oracle-reproducible)
+    must agree with the numpy z-normalization to float tolerance."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        subsequence_match_znorm_exact,
+    )
+
+    df, arr = series
+    q = arr[500 : 500 + M]
+    eps = 5.0
+    base = {r.start: r.dist for r in
+            subsequence_match_znorm(df, q.tolist(), eps, chunk=CHUNK).collect()}
+    exact = {r.start: r.dist for r in
+             subsequence_match_znorm_exact(
+                 df, q.tolist(), eps, value_scale=100, chunk=CHUNK
+             ).collect()}
+    assert set(exact) == set(base) and len(base) > 0
+    for s in base:
+        assert math.isclose(exact[s], base[s], abs_tol=1e-5)
+
+
 def test_dp_segmenter_equals_greedy_results(spark, series):
     """DP segmentation is a cost optimization only — match results
     must be identical to the greedy segmentation (both complete)."""
@@ -231,3 +252,18 @@ def test_cnsm_equals_brute_force(spark, series):
     assert 500 in got  # the identity match too (alpha=1, beta=0)
     for s in want:
         assert math.isclose(got[s], want[s], abs_tol=1e-6)
+
+    # the closed-form integer-sum path (oracle-reproducible) agrees
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        subsequence_match_cnsm_exact,
+    )
+
+    exact = {
+        r.start: (r.dist, r.alpha, r.beta)
+        for r in subsequence_match_cnsm_exact(
+            df2, q.tolist(), eps, alpha, beta, value_scale=100, chunk=CHUNK
+        ).collect()
+    }
+    assert set(exact) == set(want)
+    for s in want:
+        assert math.isclose(exact[s][0], want[s], abs_tol=1e-5)
