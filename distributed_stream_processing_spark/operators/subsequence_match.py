@@ -120,6 +120,75 @@ def sliding_stats(
     )
 
 
+def _index_runs(
+    series: DataFrame, w: int, value_scale: int | None, chunk: int = 8192
+) -> DataFrame:
+    """(mr, pos_start, pos_end) runs of equal grid-rounded mean,
+    detected PER CHUNK inside the overlap-replicated applyInPandas —
+    runs that span a chunk boundary come out split and are re-joined
+    by the caller's merge_intervals pass. No stage ever holds the
+    whole series in one task (the round-1 W.partitionBy(lit(w))
+    single-partition Window is gone)."""
+    n_copy = w - 1
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        pos = pdf["pos"].to_numpy()
+        val = pdf["value"].to_numpy(dtype=np.float64)
+        base = int(pdf["chunk_id"].iloc[0]) * chunk
+        hi = base + chunk
+        empty = pd.DataFrame({"mr": [], "pos_start": [], "pos_end": []}).astype(
+            {"pos_start": "int64", "pos_end": "int64"}
+        )
+        if len(val) < w:
+            return empty
+        starts = pos[: len(val) - w + 1]
+        own = (starts >= base) & (starts < hi) & (pos[w - 1 :] == starts + w - 1)
+        if not own.any():
+            return empty
+        if value_scale is not None:
+            vi = np.rint(val * value_scale).astype(np.int64)
+            ci = np.concatenate(([0], np.cumsum(vi)))
+            s1i = (ci[w:] - ci[:-w])[own]
+            mr = np.floor(s1i / float(value_scale * w * _GRID)) * _GRID
+        else:
+            c1 = np.concatenate(([0.0], np.cumsum(val)))
+            mean = ((c1[w:] - c1[:-w]) / w)[own]
+            mr = np.floor(mean / _GRID) * _GRID
+        st = starts[own]
+        brk = np.flatnonzero((mr[1:] != mr[:-1]) | (st[1:] != st[:-1] + 1)) + 1
+        seg = np.concatenate(([0], brk, [len(st)]))
+        return pd.DataFrame(
+            {
+                "mr": mr[seg[:-1]],
+                "pos_start": st[seg[:-1]],
+                "pos_end": st[seg[1:] - 1],
+            }
+        )
+
+    owned = series.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("value").cast("double").alias("value"),
+        F.floor(F.col("pos") / chunk).cast("bigint").alias("chunk_id"),
+    )
+    spill = (
+        series.filter(F.pmod(F.col("pos"), F.lit(chunk)) < n_copy)
+        .filter(F.col("pos") >= chunk)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("value").cast("double").alias("value"),
+            (F.floor(F.col("pos") / chunk) - 1).cast("bigint").alias("chunk_id"),
+        )
+    )
+    return (
+        owned.unionByName(spill)
+        .groupBy("chunk_id")
+        .applyInPandas(
+            per_chunk, schema="mr double, pos_start long, pos_end long"
+        )
+    )
+
+
 def build_kv_index(
     series: DataFrame,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
@@ -127,40 +196,29 @@ def build_kv_index(
 ) -> DataFrame:
     """(w, mr, pos_start, pos_end): runs of consecutive window starts
     whose grid-rounded mean is equal (IndexBuilder.java:219-245
-    re-derived as lag-based run detection + groupBy min/max).
+    re-derived as per-chunk run detection + a distributed
+    merge_intervals pass that re-joins boundary-spanning runs; the
+    merge shuffles by (w, mr) — many small groups, never one task).
 
     With ``value_scale`` set, mr comes from the exact integer window
     sum — floor(sum_scaled / (scale*w*GRID)) * GRID — so the grid
     assignment has no float summation-order ambiguity.
     """
-    from pyspark.sql import Window as W
+    from distributed_stream_processing_spark.operators.interval import (
+        merge_intervals,
+    )
 
     parts = []
     for w in widths:
-        stats = sliding_stats(series, w, value_scale=value_scale)
-        if value_scale is not None:
-            divisor = float(value_scale * w * _GRID)
-            stats = stats.withColumn(
-                "mr", F.floor(F.col("sum_scaled") / divisor) * _GRID
-            )
-        else:
-            stats = stats.withColumn("mr", F.floor(F.col("mean") / _GRID) * _GRID)
-        win = W.partitionBy(F.lit(w)).orderBy("pos")
-        runs = (
-            stats.withColumn(
-                "new_run",
-                F.when(
-                    (F.col("mr") != F.lag("mr").over(win))
-                    | (F.col("pos") != F.lag("pos").over(win) + 1),
-                    1,
-                ).otherwise(0),
-            )
-            .withColumn("run_id", F.sum("new_run").over(win.rowsBetween(W.unboundedPreceding, 0)))
-            .groupBy("run_id", "mr")
-            .agg(F.min("pos").alias("pos_start"), F.max("pos").alias("pos_end"))
-            .select(F.lit(w).alias("w"), "mr", "pos_start", "pos_end")
+        runs = _index_runs(series, w, value_scale).withColumn(
+            "w", F.lit(w).cast("int")
         )
-        parts.append(runs)
+        # within-chunk runs are maximal, so only integer-adjacent
+        # same-mr runs (chunk boundaries) can merge under gap=1
+        merged = merge_intervals(
+            runs, ["w", "mr"], "pos_start", "pos_end", merge_gap=1
+        ).drop("n_merged")
+        parts.append(merged.select("w", "mr", "pos_start", "pos_end"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
