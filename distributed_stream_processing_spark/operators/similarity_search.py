@@ -161,24 +161,37 @@ def ivf_topk(
         F.col("embedding").alias("c_vec"),
     ).join(assigned, "vec_id")
 
-    # nearest n_probe centroids per query, computed driver-side (the
-    # centroid table is tiny) and broadcast via the exploded probe rows
-    import numpy as np
-
-    centroids = [np.asarray(ctr) for ctr in model.clusterCenters()]
-    qrows = queries.select("vec_id", "embedding").collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.array(r.embedding, dtype=np.float64)
-        dists = [float(np.linalg.norm(qv - ctr)) for ctr in centroids]
-        for b in np.argsort(dists)[:n_probe]:
-            probe_rows.append((int(r.vec_id), int(b)))
+    # nearest n_probe centroids per query, ranked DF-side against the
+    # broadcast (tiny) centroid table — queries never leave the cluster
     spark = queries.sparkSession
-    probes = spark.createDataFrame(probe_rows, "q_id long, bucket int")
-    q = queries.select(
-        F.col("vec_id").cast("bigint").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-    ).join(probes, "q_id")
+    cent = spark.createDataFrame(
+        [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ],
+        "bucket int, ctr array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("ctr"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("q_id").orderBy(F.col("cd2").asc(), F.col("bucket"))
+    q = (
+        queries.select(
+            F.col("vec_id").cast("bigint").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        .join(F.broadcast(cent))
+        .withColumn("cd2", d2)
+        .withColumn("crk", F.row_number().over(pw))
+        .filter(F.col("crk") <= n_probe)
+        .select("q_id", "q_vec", "bucket")
+    )
 
     w = W.partitionBy("q_id").orderBy(F.col("cos4").desc(), F.col("vec_id"))
     return (

@@ -113,6 +113,33 @@ class OnlineLinearRegressionSGD:
             self.intercept -= lr * gb
 
 
+def _fetch_ranges(
+    series: DataFrame, ranges: list[tuple[int, int, int]]
+) -> dict[int, np.ndarray]:
+    """Fetch {rid: values[lo:hi]} from a (pos, value) series via one
+    broadcast range join — the J12 as-of fetch shape (pos BETWEEN),
+    so only the requested slices ever reach the driver."""
+    if not ranges:
+        return {}
+    spark = series.sparkSession
+    rdf = spark.createDataFrame(ranges, "rid long, lo long, hi long")
+    rows = (
+        series.join(
+            F.broadcast(rdf),
+            (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")),
+        )
+        .select("rid", "pos", "value")
+        .collect()
+    )
+    grouped: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        grouped.setdefault(r.rid, []).append((r.pos, r.value))
+    return {
+        k: np.array([v for _, v in sorted(vs)], dtype=np.float64)
+        for k, vs in grouped.items()
+    }
+
+
 def run_s3m_pipeline(
     series: DataFrame,
     split_frac: float = 0.6,
@@ -133,23 +160,34 @@ def run_s3m_pipeline(
     training is delayed through a depth-``q_size`` queue exactly like
     the reference (s3m.scala:77,100-124).
     """
-    rows = series.orderBy("pos").collect()
-    vals = np.array([r.value for r in rows], dtype=np.float64)
-    n = len(vals)
+    n = series.agg(F.max("pos")).first()[0] + 1
     split = int(n * split_frac)
     stored_df = series.filter(F.col("pos") < split)
-    deltas = np.diff(vals)
 
+    # stream-window + label slices: one broadcast range join, only
+    # ~n_windows*(m+pred) feature rows reach the driver (the round-1
+    # full-series orderBy().collect() is gone)
     m = window_size
-    windows: dict[int, np.ndarray] = {}
     meta: dict[int, int] = {}
     for i in range(n_windows):
         start = split + i * slide
         if start + m + pred >= n:
             break
-        windows[i] = vals[start : start + m]
         meta[i] = start
+    slices = _fetch_ranges(
+        series, [(i, s, s + m + pred) for i, s in meta.items()]
+    )
+    windows = {i: slices[i][:m] for i in meta}
     matches = batch_best_match(stored_df, windows)
+    # future points of each matched stored sequence (J12 as-of fetch)
+    futures = _fetch_ranges(
+        series,
+        [
+            (i, matches[i][0] + m - 1, matches[i][0] + m + pred)
+            for i in sorted(windows)
+            if i in matches
+        ],
+    )
 
     feat_dim = (m - 1) + pred
     model = OnlineLinearRegressionSGD(
@@ -160,12 +198,12 @@ def run_s3m_pipeline(
     for i in sorted(windows):
         start = meta[i]
         mpos, mdist = matches.get(i, (0, float("inf")))
-        qs = np.diff(vals[start : start + m])  # stream window deltas
-        # future points of the matched stored sequence (J12 as-of fetch)
-        fut = vals[mpos + m - 1 : mpos + m + pred]
+        sl = slices[i]
+        qs = np.diff(sl[:m])  # stream window deltas
+        fut = futures.get(i, np.empty(0))
         ds = np.diff(fut) if len(fut) == pred + 1 else np.zeros(pred)
         x = np.concatenate([qs, ds])
-        label = vals[start + m + pred - 1] - vals[start + m + pred - 2]
+        label = sl[m + pred - 1] - sl[m + pred - 2]
         queue.append((i, x, label))
         if len(queue) > q_size:
             wid, xq, yq = queue.pop(0)
