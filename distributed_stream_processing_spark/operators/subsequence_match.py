@@ -351,15 +351,17 @@ def plan_segments_dp(
     return segs
 
 
-def probe_index(
+def probe_index_ranges(
     index: DataFrame,
-    segments: list[Segment],
-    epsilon: float,
+    probes: list[tuple[int, int, float, float]],
     n_positions: int,
     query_len: int,
     grid: float = _GRID,
 ) -> DataFrame:
-    """Window starts passing every segment's mean-range filter.
+    """Window starts whose width-``w`` segment at ``offset`` has its
+    grid-rounded mean inside [lo, hi] for EVERY probe
+    (w, offset, lo, hi) — the shared probe core for ED (point mean ±
+    Cauchy-Schwarz slack) and DTW (envelope-widened mean ranges).
 
     Interval rows are exploded to positions (fine at these interval
     sizes; an interval-algebra join would replace the explode at
@@ -367,7 +369,7 @@ def probe_index(
     """
     max_start = n_positions - query_len
     available = {r.w for r in index.select("w").distinct().collect()}
-    needed = {s.width for s in segments}
+    needed = {w for w, _, _, _ in probes}
     if not needed <= available:
         raise ValueError(
             f"index lacks widths {sorted(needed - available)} required by the "
@@ -375,19 +377,18 @@ def probe_index(
             "matching widths or pass widths= to the match call"
         )
     cands = None
-    for i, seg in enumerate(segments):
+    for i, (w, offset, lo, hi) in enumerate(probes):
         # full-grid (not half) slack: mr is a *floor* rounding, so the
         # true mean lies in [mr, mr+grid) — keeps completeness
-        slack = epsilon / math.sqrt(seg.width) + grid
         rows = index.filter(
-            (F.col("w") == seg.width)
-            & (F.col("mr") >= seg.mean - slack)
-            & (F.col("mr") <= seg.mean + slack)
+            (F.col("w") == w)
+            & (F.col("mr") >= lo - grid)
+            & (F.col("mr") <= hi + grid)
         )
         starts = (
             rows.select(F.explode(F.sequence("pos_start", "pos_end")).alias("p"))
             .select(
-                (F.col("p") - F.lit(seg.offset)).alias("start"),
+                (F.col("p") - F.lit(offset)).alias("start"),
                 F.lit(i).alias("seg"),
             )
             .filter((F.col("start") >= 0) & (F.col("start") <= max_start))
@@ -396,9 +397,62 @@ def probe_index(
     return (
         cands.groupBy("start")
         .agg(F.countDistinct("seg").alias("n_seg"))
-        .filter(F.col("n_seg") == len(segments))
+        .filter(F.col("n_seg") == len(probes))
         .select("start")
     )
+
+
+def probe_index(
+    index: DataFrame,
+    segments: list[Segment],
+    epsilon: float,
+    n_positions: int,
+    query_len: int,
+    grid: float = _GRID,
+) -> DataFrame:
+    """ED probe: |segment mean diff| <= eps/sqrt(w) (Cauchy-Schwarz)."""
+    probes = [
+        (
+            s.width,
+            s.offset,
+            s.mean - epsilon / math.sqrt(s.width),
+            s.mean + epsilon / math.sqrt(s.width),
+        )
+        for s in segments
+    ]
+    return probe_index_ranges(index, probes, n_positions, query_len, grid)
+
+
+def dtw_envelope_probes(
+    query: list[float],
+    rho: int,
+    epsilon: float,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+) -> list[tuple[int, int, float, float]]:
+    """Mean-range probes sound for banded DTW (QueryEngineDtw.java's
+    envelope-widened ranges re-derived).
+
+    If DTW_rho(x, q) <= eps then for any segment S of the window,
+    sum_{i in S} dist(x_i, [lo_env_i, hi_env_i])^2 <= eps^2 (each x_i
+    aligns only within the band, LB_Keogh per element), so by
+    Cauchy-Schwarz mean_S(x) lies in
+    [mean(lo_env[S]) - eps/sqrt(|S|), mean(hi_env[S]) + eps/sqrt(|S|)].
+    """
+    q = np.asarray(query, dtype=np.float64)
+    m = len(q)
+    lo_env = np.array([q[max(0, j - rho) : j + rho + 1].min() for j in range(m)])
+    hi_env = np.array([q[max(0, j - rho) : j + rho + 1].max() for j in range(m)])
+    return [
+        (
+            s.width,
+            s.offset,
+            float(lo_env[s.offset : s.offset + s.width].mean())
+            - epsilon / math.sqrt(s.width),
+            float(hi_env[s.offset : s.offset + s.width].mean())
+            + epsilon / math.sqrt(s.width),
+        )
+        for s in plan_segments(list(q), widths)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +573,45 @@ def _chunked(series: DataFrame, m: int, extra: int, chunk: int) -> DataFrame:
     return owned.unionByName(spill)
 
 
+def _verify_starts(
+    series: DataFrame,
+    candidates: DataFrame,
+    m: int,
+    chunk: int,
+    row_fn,
+    schema: str,
+) -> DataFrame:
+    """Run ``row_fn(pos, val, starts) -> pd.DataFrame`` per chunk over
+    ONLY the candidate window starts: the chunked series is cogrouped
+    with the candidate positions on chunk_id, so a probe that prunes
+    translates directly into chunks that verify fewer (or zero)
+    windows. Starts are owned by floor(start/chunk); overlap
+    replication guarantees the owning chunk holds the full window."""
+    ser = _chunked(series, m, 0, chunk)
+    cand = candidates.select(
+        F.col("start").cast("bigint").alias("start"),
+        F.floor(F.col("start") / chunk).cast("bigint").alias("chunk_id"),
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return row_fn(
+                np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.int64)
+            )
+        left = left.sort_values("pos")
+        return row_fn(
+            left["pos"].to_numpy(),
+            left["value"].to_numpy(dtype=np.float64),
+            np.unique(right["start"].to_numpy()),
+        )
+
+    return (
+        ser.groupBy("chunk_id")
+        .cogroup(cand.groupBy("chunk_id"))
+        .applyInPandas(fn, schema=schema)
+    )
+
+
 def _dtw_banded(x: np.ndarray, q: np.ndarray, rho: int, abandon: float) -> float:
     """Sakoe-Chiba banded DTW with early abandon; returns sqrt cost."""
     m = len(q)
@@ -551,10 +644,25 @@ def subsequence_match_dtw(
     epsilon: float,
     rho: int,
     chunk: int = 8192,
+    index: DataFrame | None = None,
+    n_positions: int | None = None,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    index_grid: float = _GRID,
 ) -> DataFrame:
     """RSM with banded DTW: LB_Keogh cascade + early abandon, numpy
     over chunked windows (the reference's DtwUtils.java:50-338 cascade
-    distributed via mapInPandas)."""
+    distributed via mapInPandas).
+
+    With ``index`` (a build_kv_index result), window starts are first
+    pruned through envelope-widened mean-range probes
+    (dtw_envelope_probes; QueryEngineDtw.java's phase 1) and only
+    candidates are verified — exact, the probe bound is complete.
+    Pruning power is data-dependent: tight envelopes on smooth series
+    prune hard; on noise-like series (e.g. the events fixture, window
+    means concentrated ~5x tighter than the eps slack) the probe
+    passes most windows through and the LB_Keogh cascade carries the
+    filtering, matching the reference's behavior on the same inputs.
+    """
     q = np.asarray(query, dtype=np.float64)
     m = len(q)
     if m == 0:
@@ -563,28 +671,51 @@ def subsequence_match_dtw(
     lo_env = np.array([q[max(0, j - rho) : j + rho + 1].min() for j in range(m)])
     hi_env = np.array([q[max(0, j - rho) : j + rho + 1].max() for j in range(m)])
 
-    def gen(batches):
-        import pandas as pdl
+    def verify(pos: np.ndarray, val: np.ndarray, starts: np.ndarray) -> pd.DataFrame:
+        outs, outd = [], []
+        for st in starts:
+            s = int(np.searchsorted(pos, st))
+            if (
+                s + m > len(pos)
+                or pos[s] != st
+                or pos[s + m - 1] != st + m - 1
+            ):
+                continue
+            x = val[s : s + m]
+            if _lb_keogh(x, lo_env, hi_env) > eps2:
+                continue
+            d = _dtw_banded(x, q, rho, eps2)
+            if d * d <= eps2:
+                outs.append(int(st))
+                outd.append(round(d, 6))
+        return pd.DataFrame({"start": outs, "dist": outd}).astype(
+            {"start": "int64", "dist": "float64"}
+        )
 
+    if index is not None:
+        if n_positions is None:
+            n_positions = series.count()
+        cands = probe_index_ranges(
+            index,
+            dtw_envelope_probes(list(q), rho, epsilon, widths),
+            n_positions,
+            m,
+            grid=index_grid,
+        )
+        return _verify_starts(
+            series, cands, m, chunk, verify, "start long, dist double"
+        )
+
+    def gen(batches):
         for pdf in batches:
             for cid, grp in pdf.groupby("chunk_id"):
                 grp = grp.sort_values("pos")
                 pos = grp["pos"].to_numpy()
-                val = grp["value"].to_numpy(dtype=np.float64)
                 base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
-                outs, outd = [], []
-                for s in range(len(val) - m + 1):
-                    st = pos[s]
-                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
-                        continue
-                    x = val[s : s + m]
-                    if _lb_keogh(x, lo_env, hi_env) > eps2:
-                        continue
-                    d = _dtw_banded(x, q, rho, eps2)
-                    if d * d <= eps2:
-                        outs.append(st)
-                        outd.append(round(d, 6))
-                yield pdl.DataFrame({"start": outs, "dist": outd})
+                starts = pos[(pos >= base) & (pos < hi)]
+                yield verify(
+                    pos, grp["value"].to_numpy(dtype=np.float64), starts
+                )
 
     return (
         _chunked(series, m, 0, chunk)
@@ -714,6 +845,7 @@ def window_int_sums(
     query: list[float],
     value_scale: int,
     chunk: int = 8192,
+    prune=None,
 ) -> DataFrame:
     """(start, sx, sxx, sxq) for every complete width-m window, where
     sx/sxx/sxq are EXACT int64 sums of scaled values: sx = Σ X[s+i],
@@ -724,6 +856,14 @@ def window_int_sums(
     foundation that makes the normalized-match closed forms (zNorm,
     cNSM) reproducible in the DuckDB oracle. Chunked with overlap
     replication like sliding_stats; no global sort.
+
+    ``prune(sx, sxx, segmean) -> keep mask`` (numpy, per chunk) drops
+    windows BEFORE the O(m)-per-window sxq dot product — the engine's
+    ENABLE_STD_FILTER analogue (NormQueryEngine.java:54-56). segmean
+    (offset, width) -> per-window mean of values[start+offset :
+    start+offset+width], from the same cumsum (O(1) per window). The
+    mask must be conservative w.r.t. the caller's final exact
+    distance filter; pruned windows emit no row at all.
     """
     q = np.rint(np.asarray(query, dtype=np.float64) * value_scale).astype(np.int64)
     m = len(q)
@@ -743,14 +883,26 @@ def window_int_sums(
         own = (starts >= base) & (starts < hi) & (pos[m - 1 :] == starts + m - 1)
         c1 = np.concatenate(([0], np.cumsum(X)))
         c2 = np.concatenate(([0], np.cumsum(X * X)))
+        idx = np.flatnonzero(own)
+        sx = c1[idx + m] - c1[idx]
+        sxx = c2[idx + m] - c2[idx]
+        if prune is not None:
+
+            def segmean(offset: int, width: int) -> np.ndarray:
+                return (c1[idx + offset + width] - c1[idx + offset]) / (
+                    width * value_scale
+                )
+
+            keep = prune(sx, sxx, segmean)
+            idx, sx, sxx = idx[keep], sx[keep], sxx[keep]
         windows = np.lib.stride_tricks.sliding_window_view(X, m)
-        sxq = windows @ q  # int64 matmul — exact
+        sxq = windows[idx] @ q  # int64 matmul, survivors only — exact
         return pd.DataFrame(
             {
-                "start": starts[own],
-                "sx": (c1[m:] - c1[:-m])[own],
-                "sxx": (c2[m:] - c2[:-m])[own],
-                "sxq": sxq[own],
+                "start": starts[idx],
+                "sx": sx,
+                "sxx": sxx,
+                "sxq": sxq,
             }
         )
 
@@ -846,19 +998,109 @@ def _query_int_sums(query: list[float], scale: int) -> tuple[int, int, int]:
     return len(q), int(q.sum()), int((q * q).sum())
 
 
+_PRUNE_SLACK = 1e-6  # absolute float-evaluation guard on exact bounds
+
+
+def znorm_segment_prune(
+    query: list[float],
+    epsilon: float,
+    value_scale: int,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
+):
+    """Conservative keep-mask for z-normalized matching from window
+    stats only (no per-element work): if ||x_hat - q_hat|| <= eps then
+    for each query segment S, |mean_S(x_hat) - mean_S(q_hat)| <=
+    eps/sqrt(|S|) (Cauchy-Schwarz), and mean_S(x_hat) =
+    (mean_S(x) - mu_x)/sigma_x is O(1) per window from cumsums — the
+    normalized-index probe of NormQueryEngine.java:136-243 re-derived
+    against sliding stats instead of a beta-partitioned index file.
+    sigma_x ~ 0 windows are kept (the exact formula decides them)."""
+    qv = np.rint(np.asarray(query, dtype=np.float64) * value_scale) / value_scale
+    m = len(qv)
+    qstd = float(qv.std())
+    if qstd <= 0:
+        return None  # degenerate query: no sound stats bound
+    qn = (qv - qv.mean()) / qstd
+    segs = [
+        (s.offset, s.width, float(qn[s.offset : s.offset + s.width].mean()))
+        for s in plan_segments(list(qv), widths)
+    ]
+
+    def prune(sx, sxx, segmean):
+        mu = sx / (m * value_scale)
+        var = np.maximum(sxx / (m * value_scale * value_scale) - mu * mu, 0.0)
+        sd = np.sqrt(var)
+        degenerate = sd <= _PRUNE_SLACK
+        keep = degenerate.copy()
+        ok = ~degenerate
+        sd_safe = np.where(degenerate, 1.0, sd)
+        all_in = np.ones(len(sx), dtype=bool)
+        for offset, width, qhm in segs:
+            bound = epsilon / math.sqrt(width) + _PRUNE_SLACK
+            all_in &= np.abs((segmean(offset, width) - mu) / sd_safe - qhm) <= bound
+        keep |= ok & all_in
+        return keep
+
+    return prune
+
+
+def cnsm_stats_prune(
+    query: list[float],
+    epsilon: float,
+    alpha: float,
+    beta: float,
+    value_scale: int,
+):
+    """Conservative keep-mask for cNSM from window mean/std only: a
+    match means exists a in [1/alpha, alpha], b in [-beta, beta] with
+    ||x - (a q + b)|| <= eps, which forces
+    mean(x) in [min_a(a mu_q) - beta - eps/sqrt(m),
+                max_a(a mu_q) + beta + eps/sqrt(m)] and
+    std(x)  in [sigma_q/alpha - eps/sqrt(m),
+                alpha sigma_q + eps/sqrt(m)]
+    (|mean r| <= eps/sqrt(m), std r <= eps/sqrt(m) for ||r|| <= eps)
+    — the ENABLE_STD_FILTER screen (NormQueryEngine.java:54-56)."""
+    qv = np.rint(np.asarray(query, dtype=np.float64) * value_scale) / value_scale
+    m = len(qv)
+    mq, sq_ = float(qv.mean()), float(qv.std())
+    slack = epsilon / math.sqrt(m) + _PRUNE_SLACK
+    a_lo, a_hi = 1.0 / alpha, alpha
+    mu_lo = min(a_lo * mq, a_hi * mq) - beta - slack
+    mu_hi = max(a_lo * mq, a_hi * mq) + beta + slack
+    sd_lo = sq_ / alpha - slack
+    sd_hi = alpha * sq_ + slack
+
+    def prune(sx, sxx, segmean):
+        mu = sx / (m * value_scale)
+        var = np.maximum(sxx / (m * value_scale * value_scale) - mu * mu, 0.0)
+        sd = np.sqrt(var)
+        return (mu >= mu_lo) & (mu <= mu_hi) & (sd >= sd_lo) & (sd <= sd_hi)
+
+    return prune
+
+
 def subsequence_match_znorm_exact(
     series: DataFrame,
     query: list[float],
     epsilon: float,
     value_scale: int = 100,
     chunk: int = 8192,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
 ) -> DataFrame:
     """NSM via exact integer window sums + closed-form distance — same
     semantics as subsequence_match_znorm (population std, std=0 → unit
     divisor) but bit-reproducible in any SQL engine (the DuckDB oracle
-    evaluates the identical formula on identical integer sums)."""
+    evaluates the identical formula on identical integer sums).
+    Windows failing the segment-mean stats screen skip the O(m) sxq
+    dot product; the screen is complete, so results are unchanged."""
     m, sq, sqq = _query_int_sums(query, value_scale)
-    sums = window_int_sums(series, query, value_scale, chunk)
+    sums = window_int_sums(
+        series,
+        query,
+        value_scale,
+        chunk,
+        prune=znorm_segment_prune(query, epsilon, value_scale, widths),
+    )
     d2 = znorm_d2_sql(m, sq, sqq)
     return (
         sums.selectExpr("start", f"{d2} AS d2")
@@ -877,9 +1119,17 @@ def subsequence_match_cnsm_exact(
     chunk: int = 8192,
 ) -> DataFrame:
     """cNSM via exact integer window sums + closed-form clamped fit —
-    same semantics as subsequence_match_cnsm, oracle-reproducible."""
+    same semantics as subsequence_match_cnsm, oracle-reproducible.
+    The mean/std stats screen (cnsm_stats_prune) drops windows before
+    the O(m) sxq dot product; complete, so results are unchanged."""
     m, sq, sqq = _query_int_sums(query, value_scale)
-    sums = window_int_sums(series, query, value_scale, chunk)
+    sums = window_int_sums(
+        series,
+        query,
+        value_scale,
+        chunk,
+        prune=cnsm_stats_prune(query, epsilon, alpha, beta, value_scale),
+    )
     a_sql, b_sql, d2_sql = cnsm_fit_sql(m, sq, sqq, value_scale, alpha, beta)
     return (
         sums.selectExpr("start", "sx", "sxx", "sxq", f"{a_sql} AS _a")

@@ -148,14 +148,21 @@ def q30_kv_index_w25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_subseq_match_dtw",
     oracle=None,  # DTW is not SQL-expressible; pytest checks vs numpy brute force
     doc=(
-        "KV-match RSM/DTW (Sakoe-Chiba band rho=5): LB_Keogh cascade + "
-        "early-abandon DTW over chunked windows (mapInPandas)."
+        "KV-match RSM/DTW (Sakoe-Chiba band rho=5): envelope-widened "
+        "mean-range probes against the kv index (QueryEngineDtw "
+        "phase 1), then LB_Keogh cascade + early-abandon DTW on the "
+        "candidates only (cogrouped chunks)."
     ),
 )
 def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
     qv = _query_values(spark, sf_dir)
-    return subsequence_match_dtw(s, qv, epsilon=300.0, rho=5)
+    n = s.count()
+    idx = build_kv_index(s, widths=(25, 50, 100), value_scale=100)
+    return subsequence_match_dtw(
+        s, qv, epsilon=300.0, rho=5, index=idx, n_positions=n,
+        widths=(25, 50, 100),
+    )
 
 
 def _cnsm_oracle() -> str:

@@ -128,6 +128,87 @@ def test_dtw_equals_brute_force(spark, series):
         assert math.isclose(got[s], want[s], abs_tol=1e-6)
 
 
+def test_dtw_index_probe_equals_full_scan(spark, series):
+    """The envelope-widened mean-range probe (QueryEngineDtw phase 1)
+    must not change DTW results, and on this random-walk series (whose
+    window means spread widely) it must prune hard."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        dtw_envelope_probes,
+        probe_index_ranges,
+    )
+
+    df, arr = series
+    q = arr[500 : 500 + M]
+    rho, eps = 3, 4.0
+    widths = (25, 50)
+    full = {r.start: r.dist for r in
+            subsequence_match_dtw(df, q.tolist(), eps, rho, chunk=CHUNK).collect()}
+    idx = build_kv_index(df, widths=widths, value_scale=100)
+    probed = {r.start: r.dist for r in
+              subsequence_match_dtw(
+                  df, q.tolist(), eps, rho, chunk=CHUNK,
+                  index=idx, n_positions=N, widths=widths,
+              ).collect()}
+    assert probed == full and len(full) > 0
+    n_cand = probe_index_ranges(
+        idx, dtw_envelope_probes(q.tolist(), rho, eps, widths), N, M
+    ).count()
+    assert n_cand < 0.2 * (N - M + 1)  # candidates << window count
+
+
+def test_normalized_prunes_complete_and_selective(series):
+    """znorm/cnsm stats screens: never drop a true match; prune most
+    windows on the random-walk fixture (numpy-level check)."""
+    import numpy as np
+
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        cnsm_stats_prune,
+        znorm_segment_prune,
+    )
+
+    _, arr = series
+    q = arr[500 : 500 + M]
+    scale = 100
+    X = np.rint(arr * scale).astype(np.int64)
+    c1 = np.concatenate(([0], np.cumsum(X)))
+    c2 = np.concatenate(([0], np.cumsum(X * X)))
+    idx = np.arange(N - M + 1)
+    sx, sxx = c1[idx + M] - c1[idx], c2[idx + M] - c2[idx]
+
+    def segmean(offset, width):
+        return (c1[idx + offset + width] - c1[idx + offset]) / (width * scale)
+
+    xs = np.rint(arr * scale) / scale
+    sw = np.lib.stride_tricks.sliding_window_view(xs, M)
+    qv = np.rint(q * scale) / scale
+    qn = (qv - qv.mean()) / qv.std()
+
+    # two w=25 segments: a single near-window-length segment would be
+    # vacuous (z-normalized means are ~0 by construction); per-segment
+    # normalized shape means are what discriminate
+    eps = 1.0
+    keep = znorm_segment_prune(q.tolist(), eps, scale, (25,))(sx, sxx, segmean)
+    sds = sw.std(axis=1)
+    xn = (sw - sw.mean(axis=1, keepdims=True)) / np.where(
+        sds > 0, sds, 1.0
+    )[:, None]
+    d = np.sqrt(((xn - qn) ** 2).sum(axis=1))
+    assert (d <= eps).any()  # the planted near-copy matches
+    assert keep[d <= eps].all()  # complete
+    assert keep.mean() < 0.2  # selective on spread-out means
+
+    eps_c, al, be = 4.0, 2.0, 1.0
+    keep_c = cnsm_stats_prune(q.tolist(), eps_c, al, be, scale)(sx, sxx, segmean)
+    qc = qv - qv.mean()
+    qvar = float(np.dot(qc, qc))
+    a = np.clip(((sw - sw.mean(axis=1, keepdims=True)) @ qc) / qvar, 1 / al, al)
+    b = np.clip(sw.mean(axis=1) - a * qv.mean(), -be, be)
+    r = sw - (a[:, None] * qv + b[:, None])
+    d_c = np.sqrt((r * r).sum(axis=1))
+    assert keep_c[d_c <= eps_c].all()  # complete
+    assert keep_c.mean() < 0.2  # mean/std screen selective here
+
+
 def test_znorm_equals_brute_force(spark, series):
     df, arr = series
     q = arr[500 : 500 + M]
