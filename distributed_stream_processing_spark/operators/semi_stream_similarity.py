@@ -14,6 +14,9 @@ SIGNATURE KEYS of that store (all rows of a key enter/leave
 together), which makes the pipeline provably transparent: every probe
 signature either joins the cache (hit) or the fetched rows for its
 key (miss) — the union of candidates is exactly the one-shot join's.
+The LRU is the key registry: a key in the LRU has all of its store
+rows cached, or none exist (negative caching — probed keys absent
+from the store are not refetched every batch).
 
 LRU/eviction/controller are shared with the equi-join cache layer.
 """
@@ -150,39 +153,47 @@ class SemiStreamSimilarityJoin:
         """One micro-batch of query docs (id, tokens) -> verified
         similar pairs vs the stored corpus, through the cache."""
         t = self.threshold
+        # the probe side (one micro-batch of signatures) is the small
+        # side of every join below — broadcast it so the cached
+        # signature store is only ever SCANNED, never shuffled
         probe = self._sigs(batch, "a", own_group_only=True).cache()
-        probe.count()
-
-        hit = probe.join(self.cache, _KEY)
 
         t0 = time.monotonic()
         probe_keys = probe.select(*_KEY).distinct()
-        missed_keys = probe_keys.join(self.cache.select(*_KEY).distinct(), _KEY, "left_anti")
-        n_miss = missed_keys.count()
+        # the LRU holds exactly the keys whose store rows are already
+        # cached OR known absent from the store (negative caching:
+        # keys with no store rows are not refetched every batch)
+        missed_keys = probe_keys.join(self.lru, _KEY, "left_anti")
+        n_miss = missed_keys.count()  # also materializes probe's cache
         fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
         fetched.count()
         fetch_s = time.monotonic() - t0
 
-        miss = probe.join(fetched, _KEY)
+        hit = self.cache.join(F.broadcast(probe), _KEY)
+        miss = fetched.join(F.broadcast(probe), _KEY)
         pair_filter = (
             (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
             & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
         )
+        # eager localCheckpoint (the X8 lineage-truncation pattern):
+        # the verified pairs are tiny, and the caller's final
+        # evaluation of the unioned batches must not recompute through
+        # this batch's (by then unpersisted) cache state
         out = _verify(
             hit.unionByName(miss).filter(pair_filter), t, self._mapping is not None
-        )
+        ).localCheckpoint(eager=True)
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
         t1 = time.monotonic()
         new_lru = (
-            self.lru.join(probe_keys, _KEY, "left_anti")
+            self.lru.join(F.broadcast(probe_keys), _KEY, "left_anti")
             .unionByName(probe_keys.withColumn("last_seen", F.lit(batch_id)))
         )
         stale = new_lru.filter(
             F.col("last_seen") < batch_id - self.controller.window
         ).select(*_KEY)
-        new_cache = self.cache.join(stale, _KEY, "left_anti").unionByName(fetched)
-        new_lru = new_lru.join(stale, _KEY, "left_anti")
+        new_cache = self.cache.join(F.broadcast(stale), _KEY, "left_anti").unionByName(fetched)
+        new_lru = new_lru.join(F.broadcast(stale), _KEY, "left_anti")
         new_cache = new_cache.cache()
         new_lru = new_lru.cache()
         new_cache.count()
