@@ -192,6 +192,7 @@ def dima_similarity_join(
     right: DataFrame | None,
     threshold: Fraction | float,
     max_len: int | None = None,
+    scheme: str = "equality",
 ) -> DataFrame:
     """Exact Jaccard join via Dima-style segment signatures with
     length-grouped segment counts (reference parity path; scheme and
@@ -208,13 +209,30 @@ def dima_similarity_join(
     every group its length is compatible with (t*lo_g <= |y| <=
     hi_g/t). Candidates = equi-join on (g, seg, sig); verification
     exact. Same output contract as similarity_join.
+
+    ``scheme="deletion"`` is the reference's low-H mode
+    (BuildSig.scala:187-200 createDeletion, probe selection
+    DimaJoin.scala:481-574): HALF the segments, with both sides also
+    emitting per-segment single-token-deletion signatures. If every
+    segment of a qualifying pair held >= 2 symmetric-difference
+    tokens we'd need |x Δ y| >= 2H', so some segment holds <= 1 —
+    matched by segment equality (0 diffs) or by one side's deletion
+    signature equaling the other's segment signature (1 diff).
+    Candidates come from one equi-join on (g, seg, sig) over the
+    union of both kinds, excluding deletion x deletion matches
+    (2 diffs prove nothing). Fewer segment rows shuffle at the cost
+    of O(tokens) deletion rows per record — the trade the reference's
+    V-selection arbitrates per signature; here it is an explicit mode.
     """
     from distributed_stream_processing_spark.functions.signatures import (
+        deletion_signatures,
         multigroup,
         seg_count_dima,
         segment_signatures,
     )
 
+    if scheme not in ("equality", "deletion"):
+        raise ValueError(f"unknown scheme {scheme!r}")
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
     right = left if self_join else right
@@ -230,53 +248,74 @@ def dima_similarity_join(
     if max_len is not None:
         lmax = max(lmax, max_len)
     groups = multigroup(max(1, lmin), lmax, t)
-    hs = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
+    deletion = scheme == "deletion"
+    hs = {
+        g: max(
+            1,
+            (seg_count_dima(t, hi) + 1) // 2
+            if deletion
+            else seg_count_dima(t, hi),
+        )
+        for g, (lo, hi) in enumerate(groups)
+    }
 
-    def probe_sigs(df: DataFrame, prefix: str) -> DataFrame:
-        """Signatures for the record's OWN length group."""
+    def sig_col(h: int):
+        """ARRAY<STRUCT<seg,sig,kind>>: kind 0 = segment, 1 = deletion."""
+        segs = F.transform(
+            segment_signatures(F.col("tokens"), h),
+            lambda s: F.struct(
+                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
+            ),
+        )
+        if not deletion:
+            return segs
+        dels = F.transform(
+            deletion_signatures(F.col("tokens"), h),
+            lambda s: F.struct(
+                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(1).alias("kind")
+            ),
+        )
+        return F.concat(segs, dels)
+
+    def sigs(df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         parts = []
         for g, (lo, hi) in enumerate(groups):
-            sub = df.filter(
-                (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
-            ).select(
+            if own_group_only:
+                cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+            else:
+                lo_len = -(-t.numerator * lo // t.denominator)  # ceil(t*lo)
+                hi_len = hi * t.denominator // t.numerator  # floor(hi/t)
+                cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+            sub = df.filter(cond).select(
                 F.col("id").alias(f"{prefix}_id"),
                 F.col("tokens").alias(f"{prefix}_tokens"),
                 F.lit(g).alias("g"),
-                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
+                F.explode(sig_col(hs[g])).alias("s"),
             )
             parts.append(sub)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.select(f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig")
+        return out.select(
+            f"{prefix}_id",
+            f"{prefix}_tokens",
+            "g",
+            "s.seg",
+            "s.sig",
+            F.col("s.kind").alias(f"{prefix}_kind"),
+        )
 
-    def index_sigs(df: DataFrame, prefix: str) -> DataFrame:
-        """Signatures for every group the record could qualify with."""
-        parts = []
-        for g, (lo, hi) in enumerate(groups):
-            lo_len = -(-t.numerator * lo // t.denominator)  # ceil(t*lo)
-            hi_len = hi * t.denominator // t.numerator  # floor(hi/t)
-            sub = df.filter(
-                (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-            ).select(
-                F.col("id").alias(f"{prefix}_id"),
-                F.col("tokens").alias(f"{prefix}_tokens"),
-                F.lit(g).alias("g"),
-                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
-            )
-            parts.append(sub)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(f"{prefix}_id", f"{prefix}_tokens", "g", "s.seg", "s.sig")
-
-    a, b = probe_sigs(left, "a"), index_sigs(right, "b")
+    a = sigs(left, "a", own_group_only=True)
+    b = sigs(right, "b", own_group_only=False)
     pair_filter = (
         (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
         & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
     )
     if self_join:
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
+    if deletion:
+        # deletion x deletion collisions prove nothing (2 diffs)
+        pair_filter = pair_filter & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
 
     cands = (
         a.join(b, ["g", "seg", "sig"])

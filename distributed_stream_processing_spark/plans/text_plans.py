@@ -88,6 +88,33 @@ def q17_similarity_stream_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q53_similarity_deletion_sigs",
+    oracle=_brute_oracle(
+        "(SELECT * FROM tok WHERE doc_id % 10 = 0 AND len(text) > 10)",
+        "(SELECT * FROM tok WHERE doc_id % 10 <> 0)",
+        "TRUE",
+        7,
+        10,
+    ),
+    doc=(
+        "q17's stream x stored similarity join through the reference's "
+        "low-H deletion-signature scheme (BuildSig.scala:187-200, "
+        "DimaJoin.scala:481-574): half the segments, single-token "
+        "deletion signatures carry the 1-diff matches. Same oracle as "
+        "q17 — the gate proves the scheme exact."
+    ),
+)
+def q53_similarity_deletion_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens"), "text"
+    )
+    stream = base.filter((F.col("id") % 10 == 0) & (F.length("text") > 10)).drop("text")
+    stored = base.filter(F.col("id") % 10 != 0).drop("text")
+    return dima_similarity_join(stream, stored, Fraction(7, 10), scheme="deletion")
+
+
+@query(
     "q18_ngram_jaccard_join",
     oracle=f"""
     WITH seqd AS (

@@ -77,6 +77,22 @@ def test_dima_join_equals_brute_force(spark, corpus):
     )
 
 
+def test_dima_deletion_scheme_equals_brute_force(spark, corpus):
+    """The low-H deletion-signature mode (half the segments, deletion
+    sigs carrying the 1-diff matches) must stay exact."""
+    assert _pairs(dima_similarity_join(corpus, None, T, scheme="deletion")) == _pairs(
+        brute_force_similarity_join(corpus, None, T)
+    )
+
+
+def test_dima_deletion_scheme_two_table(spark, corpus):
+    left = corpus.filter(F.col("id") % 3 == 0)
+    right = corpus.filter(F.col("id") % 3 != 0)
+    assert _pairs(
+        dima_similarity_join(left, right, T, scheme="deletion")
+    ) == _pairs(brute_force_similarity_join(left, right, T))
+
+
 def test_two_table_join_equals_brute_force(spark, corpus):
     left = corpus.filter(F.col("id") % 3 == 0)
     right = corpus.filter(F.col("id") % 3 != 0)
