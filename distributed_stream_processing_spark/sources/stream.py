@@ -53,6 +53,54 @@ def read_events_stream(
     )
 
 
+def read_live_stream(
+    spark: SparkSession,
+    source: str = "rate",
+    host: str = "localhost",
+    port: int = 9999,
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """Live-source twin of read_events_stream: the same
+    (event_id, ts, value) shape from a real readStream source, for
+    parity with the reference's socket feeds (DS-Join
+    streaming.scala:139-156, socketTextStream per feed).
+
+    ``source="socket"`` parses `event_id,value` lines from a TCP feed
+    (arrival time becomes ts, like the reference's receiver clock);
+    ``source="rate"`` uses Spark's built-in load generator (events at
+    ``rows_per_second``, value derived deterministically) — the
+    no-network smoke path. Downstream plans are source-agnostic: any
+    of these or the file replay plug into the same transformations.
+    """
+    if source == "socket":
+        lines = (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .option("includeTimestamp", "true")
+            .load()
+        )
+        parts = F.split(F.col("value"), ",")
+        return lines.select(
+            parts.getItem(0).cast("bigint").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            parts.getItem(1).cast("double").alias("value"),
+        )
+    if source == "rate":
+        rows = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        return rows.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.pmod(F.col("value") * 37 + 11, F.lit(49000)).cast("double")
+            .alias("value"),
+        )
+    raise ValueError(f"unknown live source {source!r}")
+
+
 def drain_stream(sdf: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the final result as a batch DataFrame."""

@@ -207,3 +207,47 @@ def test_semi_stream_join_via_foreachbatch(spark, sf_smoke):
     )
     assert got.exceptAll(plain).count() == 0
     assert plain.exceptAll(got).count() == 0
+
+
+def test_rate_live_source_smoke(spark):
+    """Live-source adapter parity (streaming.scala:139-156): the rate
+    source emits the (event_id, ts, value) events shape and drives the
+    same downstream transformations as the file replay. The socket
+    variant shares the parser and needs a listener, so it is exercised
+    only for plan construction here (no network in CI)."""
+    from distributed_stream_processing_spark.sources.stream import (
+        drain_stream,
+        read_live_stream,
+    )
+
+    live = read_live_stream(spark, source="rate", rows_per_second=500)
+    assert [f.name for f in live.schema.fields] == ["event_id", "ts", "value"]
+    agg = live.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_id")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_smoke")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.monotonic() + 30
+        n = 0
+        while _t.monotonic() < deadline:
+            rows = spark.table("rate_smoke").collect()
+            if rows and rows[0].n and rows[0].n > 0:
+                n = rows[0].n
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+
+    # socket variant: plan constructs with the same output schema
+    sock = read_live_stream(spark, source="socket", port=19999)
+    assert [f.name for f in sock.schema.fields] == ["event_id", "ts", "value"]
+    assert sock.isStreaming
