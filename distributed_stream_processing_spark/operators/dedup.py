@@ -102,6 +102,26 @@ def minhash_lsh_dedup(
     Input: (id BIGINT, tokens ARRAY<STRING>). Output (a_id, b_id,
     inter, uni) — a subset of the brute-force result with recall
     P[candidate] = 1-(1-s^r)^b at similarity s (r = num_perm/bands).
+
+    Two scale techniques keep the quadratic core small:
+
+    * Exact-duplicate collapse. MinHash signatures, band buckets, and
+      Jaccard depend only on the token array, so documents with
+      identical arrays are interchangeable: the LSH join runs on one
+      representative per distinct array, and member pairs are expanded
+      afterwards through broadcast joins (intra-group pairs are
+      generated in-row from the sorted member list). On duplicate-heavy
+      corpora the candidate join shrinks by the duplication factor
+      squared; the result set is provably identical.
+
+    * First-match-band emission. Each representative pair is emitted
+      exactly once, at its FIRST matching band: both sides carry every
+      band bucket as a plain BIGINT column (b0..b{bands-1}, unrolled so
+      the no-earlier-band-matched predicate stays inside whole-stage
+      codegen), and the join output keeps a (band, bucket) match only
+      if all earlier bands differ. This replaces a dropDuplicates
+      shuffle over bands x pairs rows with a scalar filter evaluated
+      join-side — the pair multiplicity never reaches an exchange.
     """
     from distributed_stream_processing_spark.operators.similarity_join import (
         _mask_col,
@@ -110,57 +130,124 @@ def minhash_lsh_dedup(
 
     t = Fraction(threshold).limit_denominator(1_000_000)
     rows_per_band = num_perm // bands
-    mapping = token_bitmask_dict(df)
-    sig = df.select(
+    grouped = df.groupBy("tokens").agg(
+        F.min("id").alias("id"),
+        F.sort_array(F.collect_list("id")).alias("members"),
+    )
+    gdf = grouped.select("id", "tokens")
+    mapping = token_bitmask_dict(gdf)
+    sig = gdf.select(
         "id",
         F.size("tokens").alias("sz"),
         (_mask_col(mapping) if mapping is not None else F.col("tokens")).alias("rep"),
         minhash_signature(F.col("tokens"), num_perm, seed).alias("mh"),
     )
-    banded = sig.select(
-        "id",
-        "sz",
-        "rep",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.cast("int").alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("mh"), bnd * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
+    def bucket_col(bnd: int) -> F.Column:
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("mh"), bnd * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
                 ),
             )
-        ).alias("bb"),
-    ).select("id", "sz", "rep", "bb.band", "bb.bucket")
+        )
 
-    a = banded.selectExpr("id a_id", "sz a_sz", "rep a_rep", "band", "bucket")
-    b = banded.selectExpr("id b_id", "sz b_sz", "rep b_rep", "band", "bucket")
-    cands = a.join(b, ["band", "bucket"]).filter(F.col("a_id") < F.col("b_id"))
+    bcols = [bucket_col(i).alias(f"b{i}") for i in range(bands)]
+    banded = (
+        sig.select("id", "sz", "rep", *bcols)
+        .select(
+            "id",
+            "sz",
+            "rep",
+            *[f"b{i}" for i in range(bands)],
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket")) for i in range(bands)])
+            ).alias("bb"),
+        )
+        .select("id", "sz", "rep", *[f"b{i}" for i in range(bands)], "bb.band", "bb.bucket")
+    )
+
+    a = banded.selectExpr(
+        "id a_id", "sz a_sz", "rep a_rep", *[f"b{i} a_b{i}" for i in range(bands)], "band", "bucket"
+    )
+    b = banded.selectExpr(
+        "id b_id", "sz b_sz", "rep b_rep", *[f"b{i} b_b{i}" for i in range(bands)], "band", "bucket"
+    )
+    # first-match-band: keep this (band, bucket) match only if every
+    # earlier band bucketed the pair apart — each pair then survives
+    # in exactly one joined row, so no dropDuplicates pass is needed.
+    # Unrolled as plain column comparisons (one CASE on band) so the
+    # predicate stays inside whole-stage codegen.
+    no_earlier = F.lit(True)
+    first_match = F.when(F.col("band") == 0, F.lit(True))
+    for k in range(1, bands):
+        no_earlier = no_earlier & (F.col(f"a_b{k - 1}") != F.col(f"b_b{k - 1}"))
+        first_match = first_match.when(F.col("band") == k, no_earlier)
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(first_match.otherwise(F.lit(False)))
+    )
 
     if mapping is not None:
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
         uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
     else:
-        cands = cands.dropDuplicates(["a_id", "b_id"])
         i_c, u_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
         inter, uni = i_c.cast("bigint"), u_c.cast("bigint")
 
-    out = (
+    rep_pairs = (
         cands.withColumn("inter", inter)
         .withColumn("uni", uni)
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
-    if mapping is not None:
-        out = out.dropDuplicates(["a_id", "b_id"])
-    return out
+
+    # expand representative pairs back to member pairs (the member
+    # table is one row per distinct token array — broadcast-sized)
+    memb = grouped.select(F.col("id").alias("gid"), "members")
+    ma = F.broadcast(memb.select(F.col("gid").alias("a_id"), F.col("members").alias("a_members")))
+    mb = F.broadcast(memb.select(F.col("gid").alias("b_id"), F.col("members").alias("b_members")))
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(F.explode("a_members").alias("x"), "b_members", "inter", "uni")
+        .select("x", F.explode("b_members").alias("y"), "inter", "uni")
+        .select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+            "inter",
+            "uni",
+        )
+    )
+
+    # intra-group pairs: identical arrays, so inter/uni are the same
+    # expressions both verify paths reduce to on an identical pair;
+    # the threshold still applies (J < 1 iff the array has duplicates)
+    d = F.size(F.array_distinct("tokens")).cast("bigint")
+    u = (2 * F.size("tokens") - d).cast("bigint")
+    intra = (
+        grouped.filter(F.size("members") > 1)
+        .filter(t.denominator * d >= t.numerator * u)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            d.alias("inter"),
+            u.alias("uni"),
+        )
+        .select("p.a_id", "p.b_id", "inter", "uni")
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_halves(tokens_col) -> tuple[F.Column, F.Column]:
