@@ -54,11 +54,6 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         if name not in self._cache:
-            if name == "events":
-                # ns-precision parquet timestamps are unreadable by Spark's
-                # TimestampType; surface as long (runtime-settable SQL conf
-                # — the hosting session may not have it) and convert below.
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             self._cache[name] = self._post_read(name, df)
         return self._cache[name]
@@ -79,6 +74,17 @@ class Catalog:
             # mantissa and float rounding would drift the microsecond
             # (DuckDB truncates ns->us; match it exactly)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif name == "events" and isinstance(
+            df.schema["ts"].dataType, T.TimestampNTZType
+        ):
+            # Spark 4 may ignore a runtime nanosAsLong and surface the
+            # TIMESTAMP(NANOS) column as TIMESTAMP_NTZ (ns truncated to
+            # us).  NTZ refuses unix_micros / cast-to-long, so convert to
+            # a session-UTC TIMESTAMP once at the edge: the session pins
+            # UTC (session.py), making the cast an identity on the
+            # underlying microseconds — exactly DuckDB's naive-as-UTC
+            # epoch_us semantics.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -43,6 +43,8 @@ from distributed_stream_processing_spark.operators.similarity_search import (
 )
 from distributed_stream_processing_spark.operators.subsequence_match import (
     build_kv_index,
+    load_kv_index,
+    save_kv_index,
     subsequence_match_dtw,
     subsequence_match_ed,
     subsequence_match_znorm,
@@ -112,6 +114,15 @@ class Engine:
     def build_series_index(self, series: DataFrame, widths=(25, 50, 100, 200, 400),
                            value_scale: int | None = None) -> DataFrame:
         return build_kv_index(series, widths, value_scale=value_scale)
+
+    def save_series_index(self, index: DataFrame, path: str) -> None:
+        """Persist a KV index (build-once/probe-many,
+        IndexFileOperator.java:127-170): parquet partitioned by width,
+        mr-sorted within files for row-group skipping."""
+        save_kv_index(index, path)
+
+    def load_series_index(self, path: str) -> DataFrame:
+        return load_kv_index(self.spark, path)
 
     def subsequence_match(
         self,

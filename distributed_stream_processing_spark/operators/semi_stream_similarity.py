@@ -164,10 +164,7 @@ class SemiStreamSimilarityJoin:
         # cached OR known absent from the store (negative caching:
         # keys with no store rows are not refetched every batch)
         missed_keys = probe_keys.join(self.lru, _KEY, "left_anti")
-        n_miss = missed_keys.count()  # also materializes probe's cache
         fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
-        fetched.count()
-        fetch_s = time.monotonic() - t0
 
         hit = self.cache.join(F.broadcast(probe), _KEY)
         miss = fetched.join(F.broadcast(probe), _KEY)
@@ -178,10 +175,14 @@ class SemiStreamSimilarityJoin:
         # eager localCheckpoint (the X8 lineage-truncation pattern):
         # the verified pairs are tiny, and the caller's final
         # evaluation of the unioned batches must not recompute through
-        # this batch's (by then unpersisted) cache state
+        # this batch's (by then unpersisted) cache state. This one job
+        # also materializes probe's and fetched's caches (broadcast +
+        # semi-join inputs), so neither needs its own count barrier —
+        # round 2 ran 5 actions per batch; this runs 2.
         out = _verify(
             hit.unionByName(miss).filter(pair_filter), t, self._mapping is not None
         ).localCheckpoint(eager=True)
+        fetch_s = time.monotonic() - t0
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
         t1 = time.monotonic()
@@ -196,8 +197,15 @@ class SemiStreamSimilarityJoin:
         new_lru = new_lru.join(F.broadcast(stale), _KEY, "left_anti")
         new_cache = new_cache.cache()
         new_lru = new_lru.cache()
-        new_cache.count()
-        new_lru.count()
+        # one combined action: full scans materialize both state caches
+        # and count the missed keys for the controller as a by-product
+        tagged = (
+            missed_keys.select(F.lit("m").alias("t"))
+            .unionAll(new_cache.select(F.lit("c").alias("t")))
+            .unionAll(new_lru.select(F.lit("l").alias("t")))
+        )
+        counts = {r.t: r.n for r in tagged.groupBy("t").agg(F.count("*").alias("n")).collect()}
+        n_miss = int(counts.get("m", 0))
         maintain_s = time.monotonic() - t1
 
         self.cache.unpersist()

@@ -225,6 +225,36 @@ def build_kv_index(
     return out
 
 
+def save_kv_index(index: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a KV index as parquet, partitioned by width and sorted
+    by mr within files — the reference's build-once/probe-many model
+    (kvmatch/IndexFileOperator.java:127-170, IndexBuilder.java:62-302).
+
+    Probes filter on (w, mr-range): partitioning by w gives partition
+    pruning, and the within-file mr sort gives parquet row-group
+    min/max skipping, so a probe reads only the slice it needs — the
+    property that makes a 100 TB index probeable without scanning it.
+    """
+    (
+        index.repartition("w")
+        .sortWithinPartitions("mr", "pos_start")
+        .write.mode(mode)
+        .partitionBy("w")
+        .parquet(path)
+    )
+
+
+def load_kv_index(spark, path: str) -> DataFrame:
+    """Read back a save_kv_index parquet with the canonical schema."""
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col("w").cast("int").alias("w"),
+        F.col("mr").cast("double").alias("mr"),
+        F.col("pos_start").cast("long").alias("pos_start"),
+        F.col("pos_end").cast("long").alias("pos_end"),
+    )
+
+
 def compact_kv_index(index: DataFrame, factor: int = 2) -> DataFrame:
     """Shrink the index by coarsening the mean grid ``factor``x and
     merging adjacent position runs (the reference's size-based row
@@ -357,6 +387,7 @@ def probe_index_ranges(
     n_positions: int,
     query_len: int,
     grid: float = _GRID,
+    available_widths: set[int] | None = None,
 ) -> DataFrame:
     """Window starts whose width-``w`` segment at ``offset`` has its
     grid-rounded mean inside [lo, hi] for EVERY probe
@@ -366,9 +397,18 @@ def probe_index_ranges(
     Interval rows are exploded to positions (fine at these interval
     sizes; an interval-algebra join would replace the explode at
     extreme scale) and intersected by counting segment hits.
+
+    ``available_widths``: the widths the index is known to hold.  Pass
+    it whenever the caller built the index itself — the alternative is
+    a ``select(w).distinct().collect()``, a full materialization of an
+    index that the main DAG will recompute (the round-2 q29 2x
+    regression).
     """
     max_start = n_positions - query_len
-    available = {r.w for r in index.select("w").distinct().collect()}
+    if available_widths is not None:
+        available = set(available_widths)
+    else:
+        available = {r.w for r in index.select("w").distinct().collect()}
     needed = {w for w, _, _, _ in probes}
     if not needed <= available:
         raise ValueError(
@@ -409,6 +449,7 @@ def probe_index(
     n_positions: int,
     query_len: int,
     grid: float = _GRID,
+    available_widths: set[int] | None = None,
 ) -> DataFrame:
     """ED probe: |segment mean diff| <= eps/sqrt(w) (Cauchy-Schwarz)."""
     probes = [
@@ -420,7 +461,9 @@ def probe_index(
         )
         for s in segments
     ]
-    return probe_index_ranges(index, probes, n_positions, query_len, grid)
+    return probe_index_ranges(
+        index, probes, n_positions, query_len, grid, available_widths
+    )
 
 
 def dtw_envelope_probes(
@@ -522,6 +565,7 @@ def subsequence_match_ed(
     value_scale: int | None = None,
     index_grid: float = _GRID,
     segmenter: str = "greedy",
+    available_widths: set[int] | None = None,
 ) -> DataFrame:
     """RSM with ED: all window starts within ``epsilon`` of ``query``.
 
@@ -529,21 +573,42 @@ def subsequence_match_ed(
     phase-2 verification is exact. Pass ``index_grid`` when probing a
     compacted index (factor * default grid); ``segmenter="dp"``
     plans segments from index statistics (minimum estimated candidate
-    volume) instead of greedily.
+    volume) instead of greedily. ``available_widths`` declares the
+    widths a caller-supplied ``index`` holds, skipping the probe's
+    distinct-widths materialization.
     """
     if not query:
         raise ValueError("empty query")
     if n_positions is None:
         n_positions = series.count()
+    known_widths: set[int] | None = available_widths
     if index is None:
         usable = tuple(w for w in widths if w <= len(query)) or (min(widths),)
-        index = build_kv_index(series, usable, value_scale=value_scale)
-    if segmenter == "dp":
+        if segmenter == "dp":
+            # DP needs index statistics over every usable width
+            index = build_kv_index(series, usable, value_scale=value_scale).cache()
+            segments = plan_segments_dp(query, usable, index_stats(index), epsilon)
+        else:
+            # greedy segmentation is query-only: plan first, then build
+            # ONLY the widths it selected (round 2 built all three
+            # widths for a single-width segmentation — 3x the work) and
+            # cache so the probe's per-segment scans share one build
+            segments = plan_segments(query, usable)
+            usable = tuple(sorted({s.width for s in segments}, reverse=True))
+            index = build_kv_index(series, usable, value_scale=value_scale).cache()
+        known_widths = set(usable)
+    elif segmenter == "dp":
         segments = plan_segments_dp(query, widths, index_stats(index), epsilon)
     else:
         segments = plan_segments(query, widths)
     cands = probe_index(
-        index, segments, epsilon, n_positions, len(query), grid=index_grid
+        index,
+        segments,
+        epsilon,
+        n_positions,
+        len(query),
+        grid=index_grid,
+        available_widths=known_widths,
     )
     return verify_ed(series, cands, query, epsilon)
 
@@ -648,6 +713,7 @@ def subsequence_match_dtw(
     n_positions: int | None = None,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     index_grid: float = _GRID,
+    available_widths: set[int] | None = None,
 ) -> DataFrame:
     """RSM with banded DTW: LB_Keogh cascade + early abandon, numpy
     over chunked windows (the reference's DtwUtils.java:50-338 cascade
@@ -701,6 +767,7 @@ def subsequence_match_dtw(
             n_positions,
             m,
             grid=index_grid,
+            available_widths=available_widths,
         )
         return _verify_starts(
             series, cands, m, chunk, verify, "start long, dist double"

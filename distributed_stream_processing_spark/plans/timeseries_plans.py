@@ -54,7 +54,7 @@ def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _query_values(spark: SparkSession, sf_dir: str) -> list[float]:
+def _query_values(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
     s = series_df(spark, sf_dir)
     n = s.count()
     # clamp for small series (sf0.001 has 1k points); at sf0.01+ this
@@ -65,7 +65,27 @@ def _query_values(spark: SparkSession, sf_dir: str) -> list[float]:
         .orderBy("pos")
         .collect()
     )
-    return [r.value for r in rows]
+    return [r.value for r in rows], n
+
+
+# Build-once/probe-many (IndexFileOperator.java:127-170): q29 and q31
+# probe the same width-100 index (greedy segmentation of a 100-point
+# query selects exactly one width-100 segment), so one cached build
+# serves both. Keyed per (session, sf_dir); cache() stands in for the
+# reference's on-disk index file — save_kv_index/load_kv_index are the
+# durable twin (tests/test_subsequence_match.py round-trip).
+_INDEX_MEMO: dict[tuple[int, str, tuple[int, ...]], DataFrame] = {}
+
+
+def shared_index(
+    spark: SparkSession, sf_dir: str, widths: tuple[int, ...] = (100,)
+) -> DataFrame:
+    key = (id(spark), sf_dir, widths)
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build_kv_index(
+            series_df(spark, sf_dir), widths, value_scale=100
+        ).cache()
+    return _INDEX_MEMO[key]
 
 
 @query(
@@ -96,8 +116,17 @@ def _query_values(spark: SparkSession, sf_dir: str) -> list[float]:
 )
 def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
-    qv = _query_values(spark, sf_dir)
-    return subsequence_match_ed(s, qv, EPS_ED, widths=(25, 50, 100), value_scale=100)
+    qv, n = _query_values(spark, sf_dir)
+    return subsequence_match_ed(
+        s,
+        qv,
+        EPS_ED,
+        widths=(25, 50, 100),
+        value_scale=100,
+        index=shared_index(spark, sf_dir),
+        n_positions=n,
+        available_widths={100},
+    )
 
 
 @query(
@@ -156,12 +185,10 @@ def q30_kv_index_w25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
-    qv = _query_values(spark, sf_dir)
-    n = s.count()
-    idx = build_kv_index(s, widths=(25, 50, 100), value_scale=100)
+    qv, n = _query_values(spark, sf_dir)
     return subsequence_match_dtw(
-        s, qv, epsilon=300.0, rho=5, index=idx, n_positions=n,
-        widths=(25, 50, 100),
+        s, qv, epsilon=300.0, rho=5, index=shared_index(spark, sf_dir),
+        n_positions=n, widths=(25, 50, 100), available_widths={100},
     )
 
 
@@ -195,7 +222,7 @@ def _cnsm_oracle() -> str:
 )
 def q49_subseq_match_cnsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
-    qv = _query_values(spark, sf_dir)
+    qv, _n = _query_values(spark, sf_dir)
     return subsequence_match_cnsm_exact(
         s, qv, epsilon=EPS_CNSM, alpha=CNSM_ALPHA, beta=CNSM_BETA, value_scale=100
     )
@@ -223,5 +250,5 @@ def _znorm_oracle() -> str:
 )
 def q32_subseq_match_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
-    qv = _query_values(spark, sf_dir)
+    qv, _n = _query_values(spark, sf_dir)
     return subsequence_match_znorm_exact(s, qv, epsilon=EPS_ZN, value_scale=100)

@@ -41,10 +41,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # the driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
-        # cannot map to its micros TimestampType; read as long and convert
-        # in the catalog (see Catalog._post_read).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -348,3 +348,32 @@ def test_cnsm_equals_brute_force(spark, series):
     assert set(exact) == set(want)
     for s in want:
         assert math.isclose(exact[s][0], want[s], abs_tol=1e-5)
+
+
+def test_index_save_load_probe_roundtrip(spark, series, tmp_path):
+    """S9 parity (IndexFileOperator.java:127-170): probing a reloaded
+    index gives exactly the probe-on-built result."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        load_kv_index,
+        save_kv_index,
+    )
+
+    df, arr = series
+    q = arr[500 : 500 + M].tolist()
+    idx = build_kv_index(df, widths=(25, 50), value_scale=100)
+    path = str(tmp_path / "kvidx")
+    save_kv_index(idx, path)
+    idx2 = load_kv_index(spark, path)
+
+    def run(index):
+        return sorted(
+            (r.start, round(r.dist, 6))
+            for r in subsequence_match_ed(
+                df, q, 1.0, widths=(25, 50), index=index,
+                available_widths={25, 50},
+            ).collect()
+        )
+
+    built, loaded = run(idx), run(idx2)
+    assert built == loaded
+    assert {s for s, _ in built} >= {500, 2000}
