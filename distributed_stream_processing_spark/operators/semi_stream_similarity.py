@@ -9,9 +9,13 @@ verify, union; signature-keyed LRU + eviction + frequency-based
 admission maintain the cache.
 
 Engine version: the signature store is a DataFrame
-(g, seg, sig, b_id, b_tokens); the cache holds a SUBSET OF WHOLE
-SIGNATURE KEYS of that store (all rows of a key enter/leave
-together), which makes the pipeline provably transparent: every probe
+(g, seg, sig, b_id, b_sz) — ids and sizes only; document payloads
+live in a separate per-corpus (b_id, b_rep) table joined onto
+deduped candidate pairs at verification, so the cache rebuild and
+every probe shuffle move ids, not documents. The cache holds a
+SUBSET OF WHOLE SIGNATURE KEYS of that store (all rows of a key
+enter/leave together), which makes the pipeline provably
+transparent: every probe
 signature either joins the cache (hit) or the fetched rows for its
 key (miss) — the union of candidates is exactly the one-shot join's.
 The LRU is the key registry: a key in the LRU has all of its store
@@ -40,22 +44,17 @@ _KEY = ["g", "seg", "sig"]
 
 
 def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
+    """Exact (inter, uni) verification over UNIQUE candidate pairs
+    carrying (a_sz, a_rep, b_sz, b_rep)."""
     if masked:
-        # O(1) bit_count verify; dedupe the (small) verified output
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
         uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
-        return (
-            cands.withColumn("inter", inter)
-            .withColumn("uni", uni)
-            .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
-            .select("a_id", "b_id", "inter", "uni")
-            .dropDuplicates(["a_id", "b_id"])
-        )
-    inter_c, uni_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
+    else:
+        inter_c, uni_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
+        inter, uni = inter_c.cast("bigint"), uni_c.cast("bigint")
     return (
-        cands.dropDuplicates(["a_id", "b_id"])
-        .withColumn("inter", inter_c.cast("bigint"))
-        .withColumn("uni", uni_c.cast("bigint"))
+        cands.withColumn("inter", inter)
+        .withColumn("uni", uni)
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
@@ -96,10 +95,24 @@ class SemiStreamSimilarityJoin:
         # tokens cannot intersect any stored doc, so masking them out
         # keeps (inter, uni) exact as long as sizes count all tokens
         from distributed_stream_processing_spark.operators.similarity_join import (
+            _mask_col,
             token_bitmask_dict,
         )
 
         self._mapping = token_bitmask_dict(self.stored)
+        # verification payloads live in ONE compact per-corpus table
+        # (b_id -> rep); signature rows carry (id, sz) only, so the
+        # cache rebuild and every probe shuffle move ids, not documents
+        rep = (
+            _mask_col(self._mapping)
+            if self._mapping is not None
+            else F.col("tokens")
+        )
+        self.rep_store = self.stored.select(
+            F.col("id").alias("b_id"),
+            F.size("tokens").alias("b_sz"),
+            rep.alias("b_rep"),
+        ).cache()
         self.sig_store = self._index_sigs(self.stored, "b").cache()
         self.sig_store.count()
         spark = self.stored.sparkSession
@@ -120,19 +133,10 @@ class SemiStreamSimilarityJoin:
                 lo_len = -(-t.numerator * lo // t.denominator)
                 hi_len = hi * t.denominator // t.numerator
                 cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-            if self._mapping is not None:
-                from distributed_stream_processing_spark.operators.similarity_join import (
-                    _mask_col,
-                )
-
-                rep = _mask_col(self._mapping)
-            else:
-                rep = F.col("tokens")
             parts.append(
                 df.filter(cond).select(
                     F.col("id").alias(f"{prefix}_id"),
                     F.size("tokens").alias(f"{prefix}_sz"),
-                    rep.alias(f"{prefix}_rep"),
                     F.lit(g).alias("g"),
                     F.explode(
                         segment_signatures(F.col("tokens"), self._hs[g])
@@ -142,9 +146,7 @@ class SemiStreamSimilarityJoin:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.select(
-            f"{prefix}_id", f"{prefix}_sz", f"{prefix}_rep", "g", "s.seg", "s.sig"
-        )
+        return out.select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
 
     def _index_sigs(self, df: DataFrame, prefix: str) -> DataFrame:
         return self._sigs(df, prefix, own_group_only=False)
@@ -172,6 +174,33 @@ class SemiStreamSimilarityJoin:
             (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
             & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
         )
+        # candidate pairs are ids-only; the verification payloads join
+        # back from the per-corpus rep_store (stored side) and the
+        # tiny per-batch rep table (probe side) AFTER pair dedup —
+        # signature rows and the cache never carry document payloads
+        from distributed_stream_processing_spark.operators.similarity_join import (
+            _mask_col,
+        )
+
+        rep = (
+            _mask_col(self._mapping)
+            if self._mapping is not None
+            else F.col("tokens")
+        )
+        a_reps = batch.select(
+            F.col("id").alias("a_id"),
+            F.size("tokens").alias("a_sz"),
+            rep.alias("a_rep"),
+        )
+        pair_ids = (
+            hit.unionByName(miss)
+            .filter(pair_filter)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        pairs = pair_ids.join(F.broadcast(a_reps), "a_id").join(
+            self.rep_store, "b_id"
+        )
         # eager localCheckpoint (the X8 lineage-truncation pattern):
         # the verified pairs are tiny, and the caller's final
         # evaluation of the unioned batches must not recompute through
@@ -179,9 +208,9 @@ class SemiStreamSimilarityJoin:
         # also materializes probe's and fetched's caches (broadcast +
         # semi-join inputs), so neither needs its own count barrier —
         # round 2 ran 5 actions per batch; this runs 2.
-        out = _verify(
-            hit.unionByName(miss).filter(pair_filter), t, self._mapping is not None
-        ).localCheckpoint(eager=True)
+        out = _verify(pairs, t, self._mapping is not None).localCheckpoint(
+            eager=True
+        )
         fetch_s = time.monotonic() - t0
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----

@@ -141,16 +141,16 @@ def similarity_join(
 
     def rep(df: DataFrame, prefix: str) -> DataFrame:
         out = _with_prefix(df, t, order, freq)
-        if mapping is not None:
-            out = out.withColumn("rep", _mask_col(mapping))
-        else:
-            out = out.withColumn("rep", F.col("tokens"))
-        return out.select(
+        cols = [
             F.col("id").alias(f"{prefix}_id"),
             F.size("tokens").alias(f"{prefix}_sz"),
-            F.col("rep").alias(f"{prefix}_rep"),
             "ptok",
-        )
+        ]
+        if mapping is not None:
+            # single-long bitmask: 8 bytes, cheaper to carry through the
+            # prefix join than to join back afterwards
+            cols.insert(2, _mask_col(mapping).alias(f"{prefix}_rep"))
+        return out.select(*cols)
 
     a, b = rep(left, "a"), rep(right, "b")
 
@@ -167,23 +167,104 @@ def similarity_join(
     if mapping is not None:
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
         uni = (F.col("a_sz") + F.col("b_sz") - inter).cast("bigint")
-    else:
-        # general path: dedupe candidate instances before the O(|set|)
-        # verification so each pair is verified once
-        cands = cands.dropDuplicates(["a_id", "b_id"])
-        i_c, u_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
-        inter, uni = i_c.cast("bigint"), u_c.cast("bigint")
+        out = (
+            cands.withColumn("inter", inter)
+            .withColumn("uni", uni)
+            .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
+            .select("a_id", "b_id", "inter", "uni")
+            # bitmask verify is O(1): cheaper to verify duplicated
+            # candidate instances and dedupe the qualifying output after
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        return out
 
-    out = (
-        cands.withColumn("inter", inter)
-        .withColumn("uni", uni)
+    # general path: the prefix join shuffles IDS ONLY — candidate pairs
+    # are deduped first and the token arrays joined back just for
+    # verification. Carrying each doc's full token array on every
+    # prefix-token row (the round-2 layout) multiplies the shuffle by
+    # the prefix length; at 100 TB the candidate shuffle must be ids,
+    # not payloads.
+    pair_ids = cands.select("a_id", "b_id").dropDuplicates(["a_id", "b_id"])
+    averify = left.select(F.col("id").alias("a_id"), F.col("tokens").alias("a_rep"))
+    bverify = right.select(F.col("id").alias("b_id"), F.col("tokens").alias("b_rep"))
+    pairs = pair_ids.join(averify, "a_id").join(bverify, "b_id")
+    i_c, u_c = jaccard_parts(F.col("a_rep"), F.col("b_rep"))
+    return (
+        pairs.withColumn("inter", i_c.cast("bigint"))
+        .withColumn("uni", u_c.cast("bigint"))
         .filter(t.denominator * F.col("inter") >= t.numerator * F.col("uni"))
         .select("a_id", "b_id", "inter", "uni")
     )
-    if mapping is not None:
-        # bitmask verify is O(1): cheaper to verify duplicated candidate
-        # instances and dedupe the (small) qualifying output after
-        out = out.dropDuplicates(["a_id", "b_id"])
+
+
+def choose_signature_schemes(
+    index_side: DataFrame,
+    groups: list[tuple[int, int]],
+    threshold: Fraction,
+    h_eq: dict[int, int],
+    h_del: dict[int, int],
+) -> dict[int, bool]:
+    """Frequency-adaptive scheme choice per length group (T5): the
+    engine's analogue of Dima's per-signature V-selection
+    (DimaJoin.scala:330-479), which prices probe strategies from the
+    index's signature frequency table. Group granularity here — the
+    emitted signature layout must be fixed before the join — with the
+    same measured inputs: one pass over the index side builds the
+    segment-frequency table at BOTH candidate segment counts, and the
+    per-group cost compares
+
+        cost_eq  = rows_eq  + sum(cnt^2)_eq      (shuffle + collisions)
+        cost_del = rows_del + n_rec*avg_tokens + sum(cnt^2)_del
+                   (shuffle + deletion-row emission + collisions)
+
+    choosing deletion for a group iff cost_del < cost_eq — i.e. when
+    hot equality buckets make collision volume dominate emission.
+    Returns {group: use_deletion}.
+    """
+    t = threshold
+    parts = []
+    for g, (lo, hi) in enumerate(groups):
+        lo_len = -(-t.numerator * lo // t.denominator)
+        hi_len = hi * t.denominator // t.numerator
+        cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+        for mode, h in ((0, h_eq[g]), (1, h_del[g])):
+            from distributed_stream_processing_spark.functions.signatures import (
+                segment_signatures,
+            )
+
+            parts.append(
+                index_side.filter(cond).select(
+                    F.lit(g).alias("g"),
+                    F.lit(mode).alias("mode"),
+                    F.explode(segment_signatures(F.col("tokens"), h)).alias("s"),
+                    F.size("tokens").alias("sz"),
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    freq = u.groupBy("g", "mode", "s.seg", "s.sig").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("sz").alias("sz_sum")
+    )
+    stats = {
+        (r.g, r.mode): (int(r.rows), int(r.c2), float(r.sz_sum))
+        for r in freq.groupBy("g", "mode")
+        .agg(
+            F.sum("c").alias("rows"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+            F.sum("sz_sum").alias("sz_sum"),
+        )
+        .collect()
+    }
+    out: dict[int, bool] = {}
+    for g in range(len(groups)):
+        rows_eq, c2_eq, _ = stats.get((g, 0), (0, 0, 0.0))
+        rows_del, c2_del, sz_sum = stats.get((g, 1), (0, 0, 0.0))
+        n_rec = rows_del / max(1, h_del[g])
+        avg_tok = (sz_sum / rows_del) if rows_del else 0.0
+        cost_eq = rows_eq + c2_eq
+        cost_del = rows_del + n_rec * avg_tok + c2_del
+        out[g] = cost_del < cost_eq
     return out
 
 
@@ -222,7 +303,9 @@ def dima_similarity_join(
     union of both kinds, excluding deletion x deletion matches
     (2 diffs prove nothing). Fewer segment rows shuffle at the cost
     of O(tokens) deletion rows per record — the trade the reference's
-    V-selection arbitrates per signature; here it is an explicit mode.
+    V-selection arbitrates per signature; ``scheme="adaptive"`` makes
+    that choice per length group from the measured index signature
+    frequencies (choose_signature_schemes), the engine's T5 analogue.
     """
     from distributed_stream_processing_spark.functions.signatures import (
         deletion_signatures,
@@ -231,7 +314,7 @@ def dima_similarity_join(
         segment_signatures,
     )
 
-    if scheme not in ("equality", "deletion"):
+    if scheme not in ("equality", "deletion", "adaptive"):
         raise ValueError(f"unknown scheme {scheme!r}")
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
@@ -248,18 +331,19 @@ def dima_similarity_join(
     if max_len is not None:
         lmax = max(lmax, max_len)
     groups = multigroup(max(1, lmin), lmax, t)
-    deletion = scheme == "deletion"
-    hs = {
-        g: max(
-            1,
-            (seg_count_dima(t, hi) + 1) // 2
-            if deletion
-            else seg_count_dima(t, hi),
-        )
+    h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
+    h_del = {
+        g: max(1, (seg_count_dima(t, hi) + 1) // 2)
         for g, (lo, hi) in enumerate(groups)
     }
+    if scheme == "adaptive":
+        group_deletion = choose_signature_schemes(right, groups, t, h_eq, h_del)
+    else:
+        group_deletion = {g: scheme == "deletion" for g in range(len(groups))}
+    hs = {g: h_del[g] if group_deletion[g] else h_eq[g] for g in group_deletion}
+    any_deletion = any(group_deletion.values())
 
-    def sig_col(h: int):
+    def sig_col(h: int, with_deletion: bool):
         """ARRAY<STRUCT<seg,sig,kind>>: kind 0 = segment, 1 = deletion."""
         segs = F.transform(
             segment_signatures(F.col("tokens"), h),
@@ -267,7 +351,7 @@ def dima_similarity_join(
                 s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
             ),
         )
-        if not deletion:
+        if not with_deletion:
             return segs
         dels = F.transform(
             deletion_signatures(F.col("tokens"), h),
@@ -288,9 +372,9 @@ def dima_similarity_join(
                 cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
             sub = df.filter(cond).select(
                 F.col("id").alias(f"{prefix}_id"),
-                F.col("tokens").alias(f"{prefix}_tokens"),
+                F.size("tokens").alias(f"{prefix}_sz"),
                 F.lit(g).alias("g"),
-                F.explode(sig_col(hs[g])).alias("s"),
+                F.explode(sig_col(hs[g], group_deletion[g])).alias("s"),
             )
             parts.append(sub)
         out = parts[0]
@@ -298,7 +382,7 @@ def dima_similarity_join(
             out = out.unionByName(p)
         return out.select(
             f"{prefix}_id",
-            f"{prefix}_tokens",
+            f"{prefix}_sz",
             "g",
             "s.seg",
             "s.sig",
@@ -308,21 +392,27 @@ def dima_similarity_join(
     a = sigs(left, "a", own_group_only=True)
     b = sigs(right, "b", own_group_only=False)
     pair_filter = (
-        (t.denominator * F.size("b_tokens") >= t.numerator * F.size("a_tokens"))
-        & (t.denominator * F.size("a_tokens") >= t.numerator * F.size("b_tokens"))
+        (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+        & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
     )
     if self_join:
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
-    if deletion:
+    if any_deletion:
         # deletion x deletion collisions prove nothing (2 diffs)
         pair_filter = pair_filter & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
 
-    cands = (
+    # signature rows shuffle (id, sz) only; token arrays join back onto
+    # the deduped candidate pairs for verification (ids-not-payloads —
+    # the layout that survives a 100x corpus; see similarity_join)
+    pair_ids = (
         a.join(b, ["g", "seg", "sig"])
         .filter(pair_filter)
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    averify = left.select(F.col("id").alias("a_id"), F.col("tokens").alias("a_tokens"))
+    bverify = right.select(F.col("id").alias("b_id"), F.col("tokens").alias("b_tokens"))
+    cands = pair_ids.join(averify, "a_id").join(bverify, "b_id")
     inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
     return (
         cands.withColumn("inter", inter.cast("bigint"))

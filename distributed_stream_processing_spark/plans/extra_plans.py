@@ -21,21 +21,27 @@ from distributed_stream_processing_spark.sources.multimodal import (
     WITH purchases AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), clicks AS (
-      SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id,
+             max(CASE WHEN value >= 50 THEN value END) AS click_value
       FROM events WHERE event_type = 'click' GROUP BY user_id, ts
     )
     SELECT CAST(p.event_id AS BIGINT) AS event_id,
            CAST(p.user_id AS BIGINT) AS user_id,
            CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
            CAST(c.click_event_id AS BIGINT) AS click_event_id,
-           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us,
+           c.click_value AS click_value
     FROM purchases p ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.click_ts
     """,
     doc=(
         "As-of join (J12 family): each purchase enriched with the "
         "user's latest at-or-before click, via the union-window plan "
-        "(one shuffle, no range join). Oracle: DuckDB native ASOF JOIN."
+        "(one shuffle, no range join). click_value is NULL on ~half "
+        "the clicks, pinning the struct-carry property: a null column "
+        "in the matched right row must surface as NULL, never as a "
+        "stale value from an older row (what per-column "
+        "last(ignorenulls) would return). Oracle: DuckDB native ASOF."
     ),
 )
 def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +57,12 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("bigint").alias("user_id"),
             F.col("ts").alias("click_ts"),
         )
-        .agg(F.max("event_id").cast("bigint").alias("click_event_id"))
+        .agg(
+            F.max("event_id").cast("bigint").alias("click_event_id"),
+            F.max(F.when(F.col("value") >= 50, F.col("value"))).alias(
+                "click_value"
+            ),
+        )
     )
     out = asof_join(
         purchases,
@@ -59,7 +70,7 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         left_ts="ts",
         right_ts="click_ts",
-        right_cols=["click_event_id", "click_ts"],
+        right_cols=["click_event_id", "click_ts", "click_value"],
     )
     return out.select(
         "event_id",
@@ -67,6 +78,7 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("purchase_us"),
         "click_event_id",
         F.unix_micros("click_ts").alias("click_us"),
+        "click_value",
     )
 
 

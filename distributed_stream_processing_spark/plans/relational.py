@@ -337,21 +337,13 @@ def q09_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q10_event_minute_rollup",
-    oracle="""
-    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc=(
-        "Tumbling-window rollup over the event stream (micro-batch analogue "
-        "of DS-Join's per-batch counts, streaming.scala:237,613)."
-    ),
-)
+# q10 retired from the 50-row gate budget (round 3): its tumbling
+# rollup is byte-identical to q34_stream_minute_rollup's oracle (q34
+# runs the SAME aggregation through real Structured Streaming and its
+# gate row still covers it), and streaming/batch parity is pinned by
+# tests/test_streaming.py::test_streaming_rollup_matches_batch, which
+# calls this function directly. The freed row gates the adaptive
+# signature-scheme join (q54, plans/text_plans.py).
 def q10_event_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).events
     return (

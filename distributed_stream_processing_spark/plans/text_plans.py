@@ -115,6 +115,35 @@ def q53_similarity_deletion_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_similarity_adaptive_scheme",
+    oracle=_brute_oracle(
+        "(SELECT * FROM tok WHERE doc_id % 10 = 0 AND len(text) > 10)",
+        "(SELECT * FROM tok WHERE doc_id % 10 <> 0)",
+        "TRUE",
+        7,
+        10,
+    ),
+    doc=(
+        "q17's join with the engine CHOOSING equality vs deletion "
+        "signatures per length group from the measured index signature "
+        "frequencies (choose_signature_schemes — the T5 V-selection "
+        "analogue, DimaJoin.scala:330-479 at group granularity). Same "
+        "oracle as q17/q53: whatever mix of schemes the cost model "
+        "picks, the output must be the exact join. Gate row freed by "
+        "retiring q10 (rollup covered by q34's identical oracle)."
+    ),
+)
+def q54_similarity_adaptive_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens"), "text"
+    )
+    stream = base.filter((F.col("id") % 10 == 0) & (F.length("text") > 10)).drop("text")
+    stored = base.filter(F.col("id") % 10 != 0).drop("text")
+    return dima_similarity_join(stream, stored, Fraction(7, 10), scheme="adaptive")
+
+
+@query(
     "q18_ngram_jaccard_join",
     oracle=f"""
     WITH seqd AS (

@@ -160,3 +160,45 @@ def test_empty_and_identical_docs(spark):
     )
     got = _pairs(similarity_join(df, None, T))
     assert got == {(1, 2, 3, 3)}
+
+
+def test_dima_adaptive_scheme_equals_brute_force(spark, corpus):
+    """scheme='adaptive' (T5: per-group frequency-driven choice) must
+    be exact regardless of which schemes the cost model picks."""
+    left = corpus.filter(F.col("id") % 3 == 0)
+    right = corpus.filter(F.col("id") % 3 != 0)
+    assert _pairs(
+        dima_similarity_join(left, right, T, scheme="adaptive")
+    ) == _pairs(brute_force_similarity_join(left, right, T))
+
+
+def test_adaptive_chooser_flips_under_skew(spark):
+    """The cost model must actually discriminate: a corpus whose
+    records share one hot token block (hot equality buckets -> cnt^2
+    collision blowup) should flip at least one group to deletion,
+    while tiny distinct records keep equality."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        multigroup,
+        seg_count_dima,
+    )
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        choose_signature_schemes,
+    )
+
+    t = Fraction(7, 10)
+    hot = [(i, " ".join(f"h{j}" for j in range(20))) for i in range(80)]
+    cold = [(1000 + i, f"u{i}a u{i}b u{i}c") for i in range(10)]
+    df = spark.createDataFrame(hot + cold, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    groups = multigroup(1, 25, t)
+    h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (_, hi) in enumerate(groups)}
+    h_del = {
+        g: max(1, (seg_count_dima(t, hi) + 1) // 2)
+        for g, (_, hi) in enumerate(groups)
+    }
+    decisions = choose_signature_schemes(df, groups, t, h_eq, h_del)
+    hot_g = next(g for g, (lo, hi) in enumerate(groups) if lo <= 20 <= hi)
+    cold_g = next(g for g, (lo, hi) in enumerate(groups) if lo <= 3 <= hi)
+    assert decisions[hot_g] is True  # 80 identical 20-token docs: collisions dominate
+    assert decisions[cold_g] is False  # distinct tiny docs: emission dominates

@@ -152,10 +152,13 @@ def test_s3m_pipeline_trajectory(spark, sf_correct):
 
 def test_streaming_rollup_matches_batch(spark, sf_smoke):
     from distributed_stream_processing_spark.plans import load_all
+    from distributed_stream_processing_spark.plans.relational import (
+        q10_event_minute_rollup,
+    )
 
     specs = load_all()
     stream_out = specs["q34_stream_minute_rollup"].fn(spark, sf_smoke)
-    batch_out = specs["q10_event_minute_rollup"].fn(spark, sf_smoke)
+    batch_out = q10_event_minute_rollup(spark, sf_smoke)
     assert stream_out.exceptAll(batch_out).count() == 0
     assert batch_out.exceptAll(stream_out).count() == 0
 
@@ -251,3 +254,57 @@ def test_rate_live_source_smoke(spark):
     sock = read_live_stream(spark, source="socket", port=19999)
     assert [f.name for f in sock.schema.fields] == ["event_id", "ts", "value"]
     assert sock.isStreaming
+
+
+def test_socket_source_end_to_end(spark):
+    """Drive read_live_stream('socket') against a real loopback TCP
+    feeder once (S1: the reference's socketTextStream feeds,
+    streaming.scala:139-156) — plan-checking alone left the socket
+    path untested territory for a user's first real feed."""
+    import socket
+    import threading
+    import time
+
+    from distributed_stream_processing_spark.sources.stream import (
+        read_live_stream,
+    )
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    try:
+        server.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback networking in this environment")
+    port = server.getsockname()[1]
+    server.listen(1)
+    done = threading.Event()
+
+    def feeder():
+        conn, _ = server.accept()
+        with conn:
+            for i in range(20):
+                conn.sendall(f"{i},{i * 1.5}\n".encode())
+            done.wait(timeout=60)  # keep the feed open while Spark reads
+
+    threading.Thread(target=feeder, daemon=True).start()
+    sdf = read_live_stream(spark, "socket", host="127.0.0.1", port=port)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("socket_smoke")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.table("socket_smoke").count() >= 20:
+                break
+            time.sleep(0.5)
+        rows = {r.event_id: r for r in spark.table("socket_smoke").collect()}
+    finally:
+        q.stop()
+        done.set()
+        server.close()
+    assert len(rows) >= 20
+    assert rows[3].value == 4.5  # csv line parsed into the events shape
+    assert rows[3].ts is not None  # arrival clock assigned
