@@ -155,24 +155,25 @@ def minhash_lsh_dedup(
 
     bcols = [bucket_col(i).alias(f"b{i}") for i in range(bands)]
     banded = (
-        sig.select("id", "sz", "rep", *bcols)
+        sig.select("id", *bcols)
         .select(
             "id",
-            "sz",
-            "rep",
             *[f"b{i}" for i in range(bands)],
             F.explode(
                 F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket")) for i in range(bands)])
             ).alias("bb"),
         )
-        .select("id", "sz", "rep", *[f"b{i}" for i in range(bands)], "bb.band", "bb.bucket")
+        .select("id", *[f"b{i}" for i in range(bands)], "bb.band", "bb.bucket")
     )
 
+    # band rows shuffle ids + band buckets only (8-byte longs); the
+    # verification payloads (rep/sz) join back onto the surviving
+    # candidate pairs afterwards — never onto the bands-x-records rows
     a = banded.selectExpr(
-        "id a_id", "sz a_sz", "rep a_rep", *[f"b{i} a_b{i}" for i in range(bands)], "band", "bucket"
+        "id a_id", *[f"b{i} a_b{i}" for i in range(bands)], "band", "bucket"
     )
     b = banded.selectExpr(
-        "id b_id", "sz b_sz", "rep b_rep", *[f"b{i} b_b{i}" for i in range(bands)], "band", "bucket"
+        "id b_id", *[f"b{i} b_b{i}" for i in range(bands)], "band", "bucket"
     )
     # first-match-band: keep this (band, bucket) match only if every
     # earlier band bucketed the pair apart — each pair then survives
@@ -184,11 +185,16 @@ def minhash_lsh_dedup(
     for k in range(1, bands):
         no_earlier = no_earlier & (F.col(f"a_b{k - 1}") != F.col(f"b_b{k - 1}"))
         first_match = first_match.when(F.col("band") == k, no_earlier)
-    cands = (
+    cand_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(first_match.otherwise(F.lit(False)))
+        .select("a_id", "b_id")
     )
+    payload = sig.select("id", "sz", "rep")
+    cands = cand_ids.join(
+        payload.selectExpr("id a_id", "sz a_sz", "rep a_rep"), "a_id"
+    ).join(payload.selectExpr("id b_id", "sz b_sz", "rep b_rep"), "b_id")
 
     if mapping is not None:
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
