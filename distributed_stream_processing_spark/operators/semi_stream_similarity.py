@@ -224,8 +224,20 @@ class SemiStreamSimilarityJoin:
         ).select(*_KEY)
         new_cache = self.cache.join(F.broadcast(stale), _KEY, "left_anti").unionByName(fetched)
         new_lru = new_lru.join(F.broadcast(stale), _KEY, "left_anti")
-        new_cache = new_cache.cache()
-        new_lru = new_lru.cache()
+        # localCheckpoint, not cache(): a cache keeps the FULL plan
+        # lineage, so each batch's state plan deepens by the whole
+        # prior chain. Checkpointing pins the state to its blocks and
+        # keeps every batch's plan depth constant — the X8
+        # lineage-truncation pattern applied to the state DFs. The
+        # coalesce bounds state partitions: each batch's union adds
+        # the fetch's partitions, so an unbounded stream would grow
+        # the state scan O(batches) wide (7 -> 14 -> 21 tasks over 3
+        # batches here) without it.
+        n_part = int(
+            self.stored.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
+        new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
         # one combined action: full scans materialize both state caches
         # and count the missed keys for the controller as a by-product
         tagged = (

@@ -202,3 +202,22 @@ def test_adaptive_chooser_flips_under_skew(spark):
     cold_g = next(g for g, (lo, hi) in enumerate(groups) if lo <= 3 <= hi)
     assert decisions[hot_g] is True  # 80 identical 20-token docs: collisions dominate
     assert decisions[cold_g] is False  # distinct tiny docs: emission dominates
+
+
+def test_semi_stream_similarity_transparent(spark, corpus):
+    """Union of cached-pipeline batch outputs == one-shot exact join
+    (the DSim-Join cache-transparency invariant), on a corpus small
+    enough to cross cache hit/miss/eviction states."""
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        run_semi_stream_similarity,
+    )
+
+    stream = corpus.filter(F.col("id") % 3 == 0)
+    stored = corpus.filter(F.col("id") % 3 != 0)
+    got = _pairs(
+        run_semi_stream_similarity(stream, stored, T, n_batches=3).select(
+            "a_id", "b_id", "inter", "uni"
+        )
+    )
+    want = _pairs(brute_force_similarity_join(stream, stored, T))
+    assert got == want
