@@ -15,8 +15,9 @@ ONE DataFrame program per batch:
   adaptive window, cache rebuild = (cache ∖ evicted) ∪ fetch
 
 Spark schedules the formerly-threaded stages from one DAG; the cache
-and LRU DataFrames are swapped per batch with localCheckpoint every
-``checkpoint_every`` batches to truncate lineage (the reference's X8).
+and LRU DataFrames are swapped per batch, localCheckpoint'ed (constant
+plan depth — the reference's X8) and coalesced (bounded partition
+width) on every swap.
 
 Semantic invariant (tested): output == plain stream ⋈ store for every
 cache state — the cache is transparent.
@@ -42,7 +43,6 @@ class SemiStreamJoin:
     key: str  # join key column name, shared by stream and store
     initial_cache: DataFrame | None = None
     controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
-    checkpoint_every: int = 8
     # frequency-based admission (DSim's filter(freq < 50),
     # DS_SimJoin_stream.scala:838): keys seen in >= this many batches
     # are NOT admitted to the cache (ultra-hot keys would bloat it and
@@ -78,7 +78,6 @@ class SemiStreamJoin:
 
         t0 = time.monotonic()
         missed_keys = miss.select(k).distinct()
-        n_miss = missed_keys.count()
         fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
         fetched.count()  # materialize the "remote fetch" once
         fetch_s = time.monotonic() - t0
@@ -116,17 +115,26 @@ class SemiStreamJoin:
         new_cache = cache.join(stale, k, "left_anti").unionByName(admitted)
         new_lru = new_lru.join(stale, k, "left_anti")
 
-        if batch_id % self.checkpoint_every == self.checkpoint_every - 1:
-            new_cache = new_cache.localCheckpoint(eager=True)
-            new_lru = new_lru.localCheckpoint(eager=True)
-            new_freq = new_freq.localCheckpoint(eager=True)
-        else:
-            new_cache = new_cache.cache()
-            new_lru = new_lru.cache()
-            new_freq = new_freq.cache()
-            new_cache.count()
-            new_lru.count()
-            new_freq.count()
+        # checkpoint + bound every batch (constant plan depth, bounded
+        # partition width — the union adds the fetch's partitions each
+        # batch otherwise), then ONE combined action materializing all
+        # three state DFs and counting the missed keys as a by-product:
+        # round 2 ran five actions per batch, this runs two.
+        n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
+        new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
+        new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
+        new_freq = new_freq.coalesce(n_part).localCheckpoint(eager=False)
+        tagged = (
+            missed_keys.select(F.lit("m").alias("t"))
+            .unionAll(new_cache.select(F.lit("c").alias("t")))
+            .unionAll(new_lru.select(F.lit("l").alias("t")))
+            .unionAll(new_freq.select(F.lit("f").alias("t")))
+        )
+        counts = {
+            r.t: r.n
+            for r in tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_miss = int(counts.get("m", 0))
         maintain_s = time.monotonic() - t1
 
         cache.unpersist()
