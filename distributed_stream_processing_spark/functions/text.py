@@ -78,6 +78,65 @@ def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
     )
 
 
+def winnow_fingerprint_rows(
+    df, id_col: str, text_col: str, k: int = 4, w: int = 5
+):
+    """Winnowing as (id, fp) ROWS: tokens exploded once, k-grams
+    assembled with lead() windows, window minima via a per-document
+    sliding frame.
+
+    Same output set as exploding ``winnow_fingerprints``, but each
+    k-gram is hashed exactly once inside whole-stage codegen. The
+    array-lambda form evaluates interpreted (higher-order functions
+    disable codegen) and re-evaluates the split/filter subexpression
+    for every window position — O(n^2) interpreted work that measured
+    ~30 ms per 50-token document (the round-3 q47 profile). Windows
+    partition by document id, so parallelism is per-doc — right for a
+    many-document corpus.
+    """
+    from pyspark.sql import Window as W
+
+    c = F.col(text_col)
+    seq = F.filter(F.split(c, " "), lambda x: x != "")
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(seq).alias("pos", "tok")
+    )
+    wo = W.partitionBy("id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", j).over(wo) for j in range(1, k)
+    ]
+    kg = (
+        tok.select(
+            "id",
+            "pos",
+            F.when(
+                F.lead("tok", k - 1).over(wo).isNotNull(),
+                md5_hash60(F.concat_ws(" ", *gram_cols)),
+            ).alias("h"),
+            (F.count(F.lit(1)).over(W.partitionBy("id")) - (k - 1)).alias(
+                "n_kg"
+            ),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    kg2 = kg.select(
+        "id",
+        "n_kg",
+        "h",
+        F.min("h").over(win).alias("mn"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    )
+    return (
+        kg2.filter((F.col("cnt") == w) | (F.col("n_kg") < w))
+        .select(
+            "id",
+            F.when(F.col("n_kg") < w, F.col("h")).otherwise(F.col("mn")).alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def md5_hash60(c: Column) -> Column:
     """Deterministic 60-bit positive hash = first 15 hex chars of md5.
 

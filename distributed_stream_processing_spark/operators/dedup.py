@@ -136,12 +136,16 @@ def minhash_lsh_dedup(
     )
     gdf = grouped.select("id", "tokens")
     mapping = token_bitmask_dict(gdf)
-    sig = gdf.select(
-        "id",
-        F.size("tokens").alias("sz"),
-        (_mask_col(mapping) if mapping is not None else F.col("tokens")).alias("rep"),
-        minhash_signature(F.col("tokens"), num_perm, seed).alias("mh"),
+    # NOTE: the signature stays an in-row array fold (interpreted, but
+    # O(num_perm) per token and SHUFFLE-FREE) — a row-form 64-column
+    # min-aggregate measured slower at sf0.01 and sf0.1 (extra explode
+    # + aggregate barrier + join-back outweigh the codegen win here),
+    # unlike simhash/winnowing whose lambda forms did superlinear
+    # interpreted work per token.
+    mh = gdf.select(
+        "id", minhash_signature(F.col("tokens"), num_perm, seed).alias("mh")
     )
+
     def bucket_col(bnd: int) -> F.Column:
         return F.xxhash64(
             F.concat_ws(
@@ -155,7 +159,7 @@ def minhash_lsh_dedup(
 
     bcols = [bucket_col(i).alias(f"b{i}") for i in range(bands)]
     banded = (
-        sig.select("id", *bcols)
+        mh.select("id", *bcols)
         .select(
             "id",
             *[f"b{i}" for i in range(bands)],
@@ -191,7 +195,11 @@ def minhash_lsh_dedup(
         .filter(first_match.otherwise(F.lit(False)))
         .select("a_id", "b_id")
     )
-    payload = sig.select("id", "sz", "rep")
+    payload = gdf.select(
+        "id",
+        F.size("tokens").alias("sz"),
+        (_mask_col(mapping) if mapping is not None else F.col("tokens")).alias("rep"),
+    )
     cands = cand_ids.join(
         payload.selectExpr("id a_id", "sz a_sz", "rep a_rep"), "a_id"
     ).join(payload.selectExpr("id b_id", "sz b_sz", "rep b_rep"), "b_id")
@@ -313,11 +321,62 @@ def simhash64(tokens_col):
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def simhash_halves_rows(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, sh_hi, sh_lo) rows — same signatures as ``simhash_halves``
+    but computed from exploded token rows with a 64-column sum
+    aggregate instead of a per-token 64-wide zip_with lambda. The
+    array-aggregate form runs interpreted (higher-order functions
+    disable whole-stage codegen); this form hashes each token once and
+    keeps the bit votes inside a codegen'd partial aggregation, so the
+    shuffle moves one 64-long vote vector per document. Documents with
+    no tokens get the all-zero signature, matching the column form.
+    """
+    from distributed_stream_processing_spark.functions.text import (
+        md5_hash32_pair,
+    )
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode("tokens").alias("tok"))
+    hi, lo = md5_hash32_pair(F.col("tok"))
+    votes = [
+        (F.shiftright(lo, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(32)
+    ] + [
+        (F.shiftright(hi, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{32 + i}")
+        for i in range(32)
+    ]
+    summed = (
+        tok.select("id", *votes)
+        .groupBy("id")
+        .agg(*[F.sum(f"v{i}").alias(f"v{i}") for i in range(64)])
+    )
+
+    def pack(offset: int) -> F.Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out.bitwiseOR(
+                F.when(
+                    F.col(f"v{offset + i}") > 0, F.lit(1 << i).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        return out
+
+    sigs = summed.select("id", pack(32).alias("sh_hi"), pack(0).alias("sh_lo"))
+    # re-attach token-less documents with the all-zero signature
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sigs, "id", "left")
+        .select(
+            "id",
+            F.coalesce("sh_hi", F.lit(0).cast("bigint")).alias("sh_hi"),
+            F.coalesce("sh_lo", F.lit(0).cast("bigint")).alias("sh_lo"),
+        )
+    )
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming (<= 3 keeps
     the 4x16-bit band pigeonhole exact: d<=3 -> >=1 equal chunk)."""
-    hi, lo = simhash_halves(F.col("tokens"))
-    sig = df.select("id", hi.alias("sh_hi"), lo.alias("sh_lo"))
+    sig = simhash_halves_rows(df)
     chunk_vals = [
         F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),

@@ -347,15 +347,17 @@ _DUCK_WINNOW_HASH = "CAST(concat('0x', substr(md5(array_to_string(seq[i : i + 3]
 )
 def q47_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_stream_processing_spark.functions.text import (
-        winnow_fingerprints,
+        winnow_fingerprint_rows,
     )
 
     docs = Catalog(spark, sf_dir).documents
-    # materialize once: the fingerprint expression is reused by the
-    # frequency filter and both join sides
-    fp = docs.select(
-        F.col("doc_id").cast("bigint").alias("id"),
-        F.explode(winnow_fingerprints("text")).alias("fp"),
+    # materialize once: the fingerprint rows are reused by the
+    # frequency filter and both join sides (row form = O(n) hashes per
+    # doc; the column form re-hashed per window position)
+    fp = winnow_fingerprint_rows(
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
+        "doc_id",
+        "text",
     ).localCheckpoint(eager=True)
     # stop-shingle removal: fingerprints in >5% of docs carry no
     # discriminative signal and would make the join quadratic

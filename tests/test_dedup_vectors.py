@@ -188,3 +188,55 @@ def test_winnowing_short_doc_fallback(spark):
     rows = {r.id: r.fp for r in df.select("id", winnow_fingerprints("text").alias("fp")).collect()}
     assert len(rows[1]) >= 1  # 5 tokens, k=4 -> 2 kgrams, fallback
     assert rows[2] == []  # shorter than k -> no kgrams at all
+
+
+def test_winnowing_rows_equal_column_form(spark):
+    """winnow_fingerprint_rows must produce exactly the exploded
+    winnow_fingerprints set (same algorithm, O(n) vs O(n^2) hashes)."""
+    from distributed_stream_processing_spark.functions.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short doc"),
+        (3, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (4, ""),
+        (5, "x y z w"),  # exactly k tokens -> single k-gram
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    col_form = {
+        (r.id, f)
+        for r in df.select("id", winnow_fingerprints("text").alias("fps")).collect()
+        for f in r.fps
+    }
+    row_form = {
+        (r.id, r.fp)
+        for r in winnow_fingerprint_rows(df, "id", "text").collect()
+    }
+    assert row_form == col_form
+
+
+def test_simhash_rows_equal_column_form(spark):
+    """simhash_halves_rows must reproduce the array-aggregate
+    signatures bit-for-bit (including the empty-token document)."""
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators.dedup import (
+        simhash_halves,
+        simhash_halves_rows,
+    )
+
+    rows = [(1, "a quick brown fox"), (2, "a quick brown fix"), (3, ""), (4, "solo")]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    hi, lo = simhash_halves(F.col("tokens"))
+    col_form = {
+        (r.id, r.hi, r.lo)
+        for r in df.select("id", hi.alias("hi"), lo.alias("lo")).collect()
+    }
+    row_form = {
+        (r.id, r.sh_hi, r.sh_lo) for r in simhash_halves_rows(df).collect()
+    }
+    assert row_form == col_form
