@@ -128,12 +128,13 @@ def minhash_lsh_dedup(
         token_bitmask_dict,
     )
 
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        collapse_group_by_tokens,
+    )
+
     t = Fraction(threshold).limit_denominator(1_000_000)
     rows_per_band = num_perm // bands
-    grouped = df.groupBy("tokens").agg(
-        F.min("id").alias("id"),
-        F.sort_array(F.collect_list("id")).alias("members"),
-    )
+    grouped = collapse_group_by_tokens(df)
     gdf = grouped.select("id", "tokens")
     mapping = token_bitmask_dict(gdf)
     # NOTE: the signature stays an in-row array fold (interpreted, but
@@ -218,50 +219,13 @@ def minhash_lsh_dedup(
         .select("a_id", "b_id", "inter", "uni")
     )
 
-    # expand representative pairs back to member pairs (the member
-    # table is one row per distinct token array — broadcast-sized)
-    memb = grouped.select(F.col("id").alias("gid"), "members")
-    ma = F.broadcast(memb.select(F.col("gid").alias("a_id"), F.col("members").alias("a_members")))
-    mb = F.broadcast(memb.select(F.col("gid").alias("b_id"), F.col("members").alias("b_members")))
-    cross = (
-        rep_pairs.join(ma, "a_id")
-        .join(mb, "b_id")
-        .select(F.explode("a_members").alias("x"), "b_members", "inter", "uni")
-        .select("x", F.explode("b_members").alias("y"), "inter", "uni")
-        .select(
-            F.least("x", "y").alias("a_id"),
-            F.greatest("x", "y").alias("b_id"),
-            "inter",
-            "uni",
-        )
+    # expand representative pairs back to member pairs (shared with
+    # the prefix self-join's duplicate collapse)
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        expand_collapsed_pairs,
     )
 
-    # intra-group pairs: identical arrays, so inter/uni are the same
-    # expressions both verify paths reduce to on an identical pair;
-    # the threshold still applies (J < 1 iff the array has duplicates)
-    d = F.size(F.array_distinct("tokens")).cast("bigint")
-    u = (2 * F.size("tokens") - d).cast("bigint")
-    intra = (
-        grouped.filter(F.size("members") > 1)
-        .filter(t.denominator * d >= t.numerator * u)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("members"), i + 2, F.size("members")),
-                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-                        ),
-                    )
-                )
-            ).alias("p"),
-            d.alias("inter"),
-            u.alias("uni"),
-        )
-        .select("p.a_id", "p.b_id", "inter", "uni")
-    )
-    return cross.unionByName(intra)
+    return expand_collapsed_pairs(grouped, rep_pairs, t)
 
 
 def simhash_halves(tokens_col) -> tuple[F.Column, F.Column]:

@@ -112,11 +112,81 @@ def _mask_col(mapping: dict[str, int]):
     )
 
 
+def expand_collapsed_pairs(
+    grouped: DataFrame, rep_pairs: DataFrame, t: Fraction
+) -> DataFrame:
+    """Expand representative pairs back to member pairs after an
+    exact-duplicate collapse (identical token arrays are
+    interchangeable for any set-similarity measure).
+
+    ``grouped``: (id = min member, tokens, members ARRAY<BIGINT>
+    sorted); ``rep_pairs``: (a_id, b_id, inter, uni) over
+    representatives. Cross-group pairs inherit (inter, uni); intra-
+    group pairs (identical arrays) are generated in-row from the
+    member list. The member table is one row per distinct array —
+    broadcast-sized relative to the corpus.
+    """
+    memb = grouped.select(F.col("id").alias("gid"), "members")
+    ma = F.broadcast(
+        memb.select(F.col("gid").alias("a_id"), F.col("members").alias("a_members"))
+    )
+    mb = F.broadcast(
+        memb.select(F.col("gid").alias("b_id"), F.col("members").alias("b_members"))
+    )
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(F.explode("a_members").alias("x"), "b_members", "inter", "uni")
+        .select("x", F.explode("b_members").alias("y"), "inter", "uni")
+        .select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+            "inter",
+            "uni",
+        )
+    )
+    # intra-group pairs: identical arrays, so inter/uni are the same
+    # expressions both verify paths reduce to on an identical pair;
+    # the threshold still applies (J < 1 iff the array has duplicates)
+    d = F.size(F.array_distinct("tokens")).cast("bigint")
+    u = (2 * F.size("tokens") - d).cast("bigint")
+    intra = (
+        grouped.filter(F.size("members") > 1)
+        .filter(t.denominator * d >= t.numerator * u)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            d.alias("inter"),
+            u.alias("uni"),
+        )
+        .select("p.a_id", "p.b_id", "inter", "uni")
+    )
+    return cross.unionByName(intra)
+
+
+def collapse_group_by_tokens(df: DataFrame) -> DataFrame:
+    """(id = min member, tokens, members) — one row per distinct array."""
+    return df.groupBy("tokens").agg(
+        F.min("id").alias("id"),
+        F.sort_array(F.collect_list("id")).alias("members"),
+    )
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame | None,
     threshold: Fraction | float,
     order: str = "lex",
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard join of token-set tables at ``threshold``.
 
@@ -126,11 +196,25 @@ def similarity_join(
     (a_id < b_id). Output: (a_id, b_id, inter BIGINT, uni BIGINT)
     with q*inter >= p*uni, threshold = p/q exactly.
 
-    Verification auto-switches to dictionary bitmasks for small
-    vocabularies (see token_bitmask_dict) — exact either way.
+    Self-joins collapse exact-duplicate arrays first (the prefix join
+    and verification run on one representative per distinct array;
+    member pairs are expanded after — identical output, candidate
+    work shrunk by the duplication factor squared on dup-heavy
+    corpora). Verification auto-switches to dictionary bitmasks for
+    small vocabularies (see token_bitmask_dict) — exact either way.
     """
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
+    if self_join and collapse_duplicates:
+        grouped = collapse_group_by_tokens(left)
+        rep_pairs = similarity_join(
+            grouped.select("id", "tokens"),
+            None,
+            t,
+            order,
+            collapse_duplicates=False,
+        )
+        return expand_collapsed_pairs(grouped, rep_pairs, t)
     right = left if self_join else right
 
     mapping = token_bitmask_dict(left) if self_join else token_bitmask_dict(left, right)
