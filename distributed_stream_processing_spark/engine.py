@@ -87,6 +87,22 @@ class Engine:
             controller=kw.pop("controller", AdaptiveCacheController()), **kw,
         )
 
+    def save_similarity_store(self, join, path: str) -> None:
+        """Persist a similarity pipeline's signature store (DSim's
+        durable remote signature collection parity)."""
+        from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+            save_similarity_store,
+        )
+
+        save_similarity_store(join, path)
+
+    def load_similarity_store(self, path: str, threshold, **kw):
+        from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+            load_similarity_store,
+        )
+
+        return load_similarity_store(self.spark, path, threshold, **kw)
+
     # ---- DSim-Join family ----
 
     def tokenize(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -234,7 +234,7 @@ class SemiStreamSimilarityJoin:
         # the state scan O(batches) wide (7 -> 14 -> 21 tasks over 3
         # batches here) without it.
         n_part = int(
-            self.stored.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
         new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
         new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
@@ -281,3 +281,57 @@ def run_semi_stream_similarity(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
+    """Persist the signature store, payload table, bitmask dictionary,
+    and length groups as parquet — the engine's analogue of the
+    reference keeping its signature collection in a durable remote
+    store (DS_SimJoin_stream.scala's Mongo signature collection), so a
+    restarted pipeline probes without re-indexing the corpus."""
+    spark = join.sig_store.sparkSession
+    join.sig_store.write.mode("overwrite").parquet(f"{path}/sigs")
+    join.rep_store.write.mode("overwrite").parquet(f"{path}/reps")
+    spark.createDataFrame(
+        list((join._mapping or {}).items()), "tok string, bit long"
+    ).write.mode("overwrite").parquet(f"{path}/mapping")
+    spark.createDataFrame(
+        [(g, lo, hi) for g, (lo, hi) in enumerate(join._groups)],
+        "g int, lo int, hi int",
+    ).write.mode("overwrite").parquet(f"{path}/groups")
+
+
+def load_similarity_store(
+    spark,
+    path: str,
+    threshold: Fraction | float,
+    controller: AdaptiveCacheController | None = None,
+) -> SemiStreamSimilarityJoin:
+    """Reconstruct a SemiStreamSimilarityJoin from save_similarity_store
+    output: same signature store, payloads, dictionary, and groups —
+    probe-ready with an empty cache, no corpus re-index."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        seg_count_dima,
+    )
+
+    j = SemiStreamSimilarityJoin.__new__(SemiStreamSimilarityJoin)
+    j.threshold = Fraction(threshold).limit_denominator(1_000_000)
+    j.controller = controller or AdaptiveCacheController()
+    grows = sorted(
+        (r.g, r.lo, r.hi) for r in spark.read.parquet(f"{path}/groups").collect()
+    )
+    j._groups = [(lo, hi) for _, lo, hi in grows]
+    j._hs = {
+        g: max(1, seg_count_dima(j.threshold, hi))
+        for g, (lo, hi) in enumerate(j._groups)
+    }
+    mrows = spark.read.parquet(f"{path}/mapping").collect()
+    j._mapping = {r.tok: r.bit for r in mrows} or None
+    j.rep_store = spark.read.parquet(f"{path}/reps").cache()
+    j.sig_store = spark.read.parquet(f"{path}/sigs").cache()
+    j.stored = None
+    j.cache = j.sig_store.limit(0).cache()
+    j.lru = spark.createDataFrame(
+        [], "g int, seg int, sig long, last_seen long"
+    ).cache()
+    return j

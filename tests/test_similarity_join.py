@@ -212,12 +212,42 @@ def test_semi_stream_similarity_transparent(spark, corpus):
         run_semi_stream_similarity,
     )
 
-    stream = corpus.filter(F.col("id") % 3 == 0)
-    stored = corpus.filter(F.col("id") % 3 != 0)
+    # id < 60 = originals, id >= 60 = planted mutations: qualifying
+    # pairs cross the split (an id%k split keeps them same-side — the
+    # corpus generator plants copies at id+60)
+    stream = corpus.filter(F.col("id") < 60)
+    stored = corpus.filter(F.col("id") >= 60)
     got = _pairs(
         run_semi_stream_similarity(stream, stored, T, n_batches=3).select(
             "a_id", "b_id", "inter", "uni"
         )
     )
     want = _pairs(brute_force_similarity_join(stream, stored, T))
-    assert got == want
+    assert got == want != set()
+
+
+def test_similarity_store_save_load_roundtrip(spark, corpus, tmp_path):
+    """A pipeline rebuilt from the persisted signature store must emit
+    exactly the batch outputs of the originally-built one (DSim's
+    durable signature collection parity)."""
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        SemiStreamSimilarityJoin,
+        load_similarity_store,
+        save_similarity_store,
+    )
+
+    stream = corpus.filter(F.col("id") < 60)
+    stored = corpus.filter(F.col("id") >= 60)
+    built = SemiStreamSimilarityJoin(stored=stored, threshold=T)
+    path = str(tmp_path / "simstore")
+    save_similarity_store(built, path)
+    loaded = load_similarity_store(spark, path, T)
+
+    def run(j):
+        outs = [
+            j.process_batch(stream.filter(F.pmod(F.col("id"), F.lit(2)) == b), b)
+            for b in range(2)
+        ]
+        return _pairs(outs[0].unionByName(outs[1]))
+
+    assert run(built) == run(loaded) != set()
