@@ -43,6 +43,86 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 _KEY = ["g", "seg", "sig"]
 
 
+def _emit_sigs(
+    df: DataFrame,
+    prefix: str,
+    own_group_only: bool,
+    groups: list,
+    hs: dict,
+    t: Fraction,
+) -> DataFrame:
+    """(id, sz, g, seg, sig) signature rows. Probe side emits for its
+    own group; index side for every length-compatible group."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        segment_signatures,
+    )
+
+    parts = []
+    for g, (lo, hi) in enumerate(groups):
+        if own_group_only:
+            cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+        else:
+            lo_len = -(-t.numerator * lo // t.denominator)
+            hi_len = hi * t.denominator // t.numerator
+            cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
+        parts.append(
+            df.filter(cond).select(
+                F.col("id").alias(f"{prefix}_id"),
+                F.size("tokens").alias(f"{prefix}_sz"),
+                F.lit(g).alias("g"),
+                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
+
+
+def build_similarity_store(
+    stored: DataFrame, threshold: Fraction | float
+) -> SimilarityStore:
+    """Index a stored corpus for the cached similarity pipeline: length
+    groups widened to the stream's length-filter reach, per-group
+    segment counts, the small-vocabulary bitmask dictionary, the
+    (b_id, b_sz, b_rep) payload table, and the signature store."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        multigroup,
+        seg_count_dima,
+    )
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        _mask_col,
+        token_bitmask_dict,
+    )
+
+    t = Fraction(threshold).limit_denominator(1_000_000)
+    sizes = stored.agg(
+        F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
+    ).first()
+    # widen groups so stream docs within the length filter of any
+    # stored doc fall inside a group
+    lmin = max(1, int(sizes.lo * t))
+    lmax = max(1, -(-sizes.hi * t.denominator // t.numerator))
+    groups = multigroup(lmin, lmax, t)
+    hs = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
+    # dictionary bitmask over the STORED vocabulary: stream-only
+    # tokens cannot intersect any stored doc, so masking them out
+    # keeps (inter, uni) exact as long as sizes count all tokens
+    mapping = token_bitmask_dict(stored)
+    # verification payloads live in ONE compact per-corpus table
+    # (b_id -> rep); signature rows carry (id, sz) only, so the
+    # cache rebuild and every probe shuffle move ids, not documents
+    rep = _mask_col(mapping) if mapping is not None else F.col("tokens")
+    rep_store = stored.select(
+        F.col("id").alias("b_id"),
+        F.size("tokens").alias("b_sz"),
+        rep.alias("b_rep"),
+    ).cache()
+    sig_store = _emit_sigs(stored, "b", False, groups, hs, t).cache()
+    sig_store.count()
+    return SimilarityStore(groups, hs, mapping, rep_store, sig_store)
+
+
 def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
     """Exact (inter, uni) verification over UNIQUE candidate pairs
     carrying (a_sz, a_rep, b_sz, b_rep)."""
@@ -61,95 +141,46 @@ def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
 
 
 @dataclass
+class SimilarityStore:
+    """The corpus-level, batch-independent artifacts of the pipeline:
+    length groups, per-group segment counts, bitmask dictionary, the
+    payload table, and the signature store. Build once per corpus
+    (the reference builds its signature collection once and keeps it
+    in the remote store) — any number of pipeline instances, each
+    with fresh cache/LRU state, can share one."""
+
+    groups: list
+    hs: dict
+    mapping: dict | None
+    rep_store: DataFrame
+    sig_store: DataFrame
+
+
+@dataclass
 class SemiStreamSimilarityJoin:
-    stored: DataFrame  # (id, tokens) — the remote document store
+    stored: DataFrame | None = None  # (id, tokens) — the remote document store
     threshold: Fraction | float = Fraction(4, 5)
     controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
-    sig_store: DataFrame | None = None  # (g, seg, sig, b_id, b_tokens)
+    artifacts: SimilarityStore | None = None  # prebuilt corpus store
+    sig_store: DataFrame | None = None
     cache: DataFrame | None = None
     lru: DataFrame | None = None
     _groups: list | None = None
     _hs: dict | None = None
 
     def __post_init__(self):
-        from distributed_stream_processing_spark.functions.signatures import (
-            multigroup,
-            seg_count_dima,
-        )
-
         self.threshold = Fraction(self.threshold).limit_denominator(1_000_000)
-        sizes = self.stored.agg(
-            F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
-        ).first()
-        # widen groups so stream docs within the length filter of any
-        # stored doc fall inside a group
-        t = self.threshold
-        lmin = max(1, int(sizes.lo * t))
-        lmax = max(1, -(-sizes.hi * t.denominator // t.numerator))
-        self._groups = multigroup(lmin, lmax, t)
-        self._hs = {
-            g: max(1, seg_count_dima(t, hi))
-            for g, (lo, hi) in enumerate(self._groups)
-        }
-        # dictionary bitmask over the STORED vocabulary: stream-only
-        # tokens cannot intersect any stored doc, so masking them out
-        # keeps (inter, uni) exact as long as sizes count all tokens
-        from distributed_stream_processing_spark.operators.similarity_join import (
-            _mask_col,
-            token_bitmask_dict,
-        )
-
-        self._mapping = token_bitmask_dict(self.stored)
-        # verification payloads live in ONE compact per-corpus table
-        # (b_id -> rep); signature rows carry (id, sz) only, so the
-        # cache rebuild and every probe shuffle move ids, not documents
-        rep = (
-            _mask_col(self._mapping)
-            if self._mapping is not None
-            else F.col("tokens")
-        )
-        self.rep_store = self.stored.select(
-            F.col("id").alias("b_id"),
-            F.size("tokens").alias("b_sz"),
-            rep.alias("b_rep"),
-        ).cache()
-        self.sig_store = self._index_sigs(self.stored, "b").cache()
-        self.sig_store.count()
-        spark = self.stored.sparkSession
+        a = self.artifacts or build_similarity_store(self.stored, self.threshold)
+        self._groups, self._hs, self._mapping = a.groups, a.hs, a.mapping
+        self.rep_store, self.sig_store = a.rep_store, a.sig_store
+        spark = self.sig_store.sparkSession
         self.cache = self.sig_store.limit(0).cache()
         self.lru = spark.createDataFrame([], "g int, seg int, sig long, last_seen long").cache()
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
-        from distributed_stream_processing_spark.functions.signatures import (
-            segment_signatures,
+        return _emit_sigs(
+            df, prefix, own_group_only, self._groups, self._hs, self.threshold
         )
-
-        t = self.threshold
-        parts = []
-        for g, (lo, hi) in enumerate(self._groups):
-            if own_group_only:
-                cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
-            else:
-                lo_len = -(-t.numerator * lo // t.denominator)
-                hi_len = hi * t.denominator // t.numerator
-                cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-            parts.append(
-                df.filter(cond).select(
-                    F.col("id").alias(f"{prefix}_id"),
-                    F.size("tokens").alias(f"{prefix}_sz"),
-                    F.lit(g).alias("g"),
-                    F.explode(
-                        segment_signatures(F.col("tokens"), self._hs[g])
-                    ).alias("s"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
-
-    def _index_sigs(self, df: DataFrame, prefix: str) -> DataFrame:
-        return self._sigs(df, prefix, own_group_only=False)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """One micro-batch of query docs (id, tokens) -> verified
@@ -265,13 +296,17 @@ def run_semi_stream_similarity(
     threshold: Fraction | float,
     n_batches: int = 3,
     controller: AdaptiveCacheController | None = None,
+    artifacts: SimilarityStore | None = None,
 ) -> DataFrame:
     """Replay (id, tokens) stream docs through the signature-cached
-    similarity join; union of batch outputs == one-shot join."""
+    similarity join; union of batch outputs == one-shot join. Pass
+    ``artifacts`` (build_similarity_store) to probe a pre-indexed
+    corpus — fresh cache/LRU state either way."""
     j = SemiStreamSimilarityJoin(
         stored=stored,
         threshold=threshold,
         controller=controller or AdaptiveCacheController(),
+        artifacts=artifacts,
     )
     outs = []
     for b in range(n_batches):
@@ -314,24 +349,24 @@ def load_similarity_store(
         seg_count_dima,
     )
 
-    j = SemiStreamSimilarityJoin.__new__(SemiStreamSimilarityJoin)
-    j.threshold = Fraction(threshold).limit_denominator(1_000_000)
-    j.controller = controller or AdaptiveCacheController()
+    t = Fraction(threshold).limit_denominator(1_000_000)
     grows = sorted(
         (r.g, r.lo, r.hi) for r in spark.read.parquet(f"{path}/groups").collect()
     )
-    j._groups = [(lo, hi) for _, lo, hi in grows]
-    j._hs = {
-        g: max(1, seg_count_dima(j.threshold, hi))
-        for g, (lo, hi) in enumerate(j._groups)
+    groups = [(lo, hi) for _, lo, hi in grows]
+    hs = {
+        g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)
     }
     mrows = spark.read.parquet(f"{path}/mapping").collect()
-    j._mapping = {r.tok: r.bit for r in mrows} or None
-    j.rep_store = spark.read.parquet(f"{path}/reps").cache()
-    j.sig_store = spark.read.parquet(f"{path}/sigs").cache()
-    j.stored = None
-    j.cache = j.sig_store.limit(0).cache()
-    j.lru = spark.createDataFrame(
-        [], "g int, seg int, sig long, last_seen long"
-    ).cache()
-    return j
+    artifacts = SimilarityStore(
+        groups=groups,
+        hs=hs,
+        mapping={r.tok: r.bit for r in mrows} or None,
+        rep_store=spark.read.parquet(f"{path}/reps").cache(),
+        sig_store=spark.read.parquet(f"{path}/sigs").cache(),
+    )
+    return SemiStreamSimilarityJoin(
+        threshold=t,
+        controller=controller or AdaptiveCacheController(),
+        artifacts=artifacts,
+    )
