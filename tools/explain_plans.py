@@ -24,10 +24,15 @@ INSPECT = [
     "q08_nation_volume",
     "q09_topk_orders_per_customer",
     "q16_similarity_self_join",
+    "q17_similarity_stream_stored",
+    "q21_dedup_minhash_lsh",
     "q26_ann_topk",
+    "q27_embedding_near_pairs",
     "q29_subseq_match_ed",
     "q36_asof_join",
     "q41_sliding_window_rollup",
+    "q47_winnowing_candidates",
+    "q54_similarity_adaptive_scheme",
 ]
 
 
@@ -65,7 +70,13 @@ def main() -> None:
     print(
         "\nNotes: q26's nested-loop is the intended broadcast cross-score "
         "(queries × corpus); every dimension join is broadcast; lineitem "
-        "scans are column-pruned (5 of 11 columns in q02, 3 in q07)."
+        "scans are column-pruned (5 of 11 columns in q02, 3 in q07). "
+        "Similarity/dedup candidate joins shuffle (id, size) rows only; "
+        "the token-payload verify joins show up as broadcast HJs (the "
+        "per-corpus payload table broadcasts under the 64 MB threshold "
+        "at test scale; at 100 TB it becomes a shuffled hash join on the "
+        "deduped pair ids, never on signature rows). No sort-merge join "
+        "appears in any registered plan."
     )
     sys.stdout.flush()
 
