@@ -252,17 +252,34 @@ def lsh_near_pairs(
     def bucketed(side: str) -> DataFrame:
         return vectors.select(
             F.col("vec_id").cast("bigint").alias(f"{side}_id"),
-            F.col("embedding").alias(f"{side}_vec"),
             F.posexplode(band_buckets(F.col("embedding"))).alias(
                 "band", "bucket"
             ),
         )
 
+    # band rows shuffle (id, band, bucket) only; the embeddings join
+    # back onto the deduped candidate pairs for the exact verify —
+    # carrying the vector on every band row would multiply the
+    # candidate shuffle by n_bands (ids-not-payloads, as in the
+    # similarity joins)
     a, b = bucketed("a"), bucketed("b")
-    return (
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+    )
+    va = vectors.select(
+        F.col("vec_id").cast("bigint").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+    )
+    vb = vectors.select(
+        F.col("vec_id").cast("bigint").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    return (
+        pair_ids.join(va, "a_id")
+        .join(vb, "b_id")
         .withColumn("cos4", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4))
         .filter(F.col("cos4") >= min_cos4)
         .select("a_id", "b_id", "cos4")
