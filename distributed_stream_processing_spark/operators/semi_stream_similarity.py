@@ -52,31 +52,44 @@ def _emit_sigs(
     t: Fraction,
 ) -> DataFrame:
     """(id, sz, g, seg, sig) signature rows. Probe side emits for its
-    own group; index side for every length-compatible group."""
+    own group; index side for every length-compatible group.
+
+    ONE scan of ``df``: each record explodes over its compatible group
+    ids and a CASE on g picks that group's segment count (a per-group
+    filter+union would re-scan the corpus once per group per side —
+    6x read amplification at 100 TB for nothing; CASE branches
+    evaluate lazily per row)."""
     from distributed_stream_processing_spark.functions.signatures import (
         segment_signatures,
     )
 
-    parts = []
+    sz = F.size("tokens")
+    memberships = []
     for g, (lo, hi) in enumerate(groups):
         if own_group_only:
-            cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+            cond = (sz >= lo) & (sz <= hi)
         else:
             lo_len = -(-t.numerator * lo // t.denominator)
             hi_len = hi * t.denominator // t.numerator
-            cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-        parts.append(
-            df.filter(cond).select(
-                F.col("id").alias(f"{prefix}_id"),
-                F.size("tokens").alias(f"{prefix}_sz"),
-                F.lit(g).alias("g"),
-                F.explode(segment_signatures(F.col("tokens"), hs[g])).alias("s"),
-            )
+            cond = (sz >= lo_len) & (sz <= hi_len)
+        memberships.append(F.when(cond, F.lit(g)))
+    garr = F.array_compact(F.array(*memberships))
+    base = df.select(
+        F.col("id").alias(f"{prefix}_id"),
+        sz.alias(f"{prefix}_sz"),
+        F.col("tokens"),
+        F.explode(garr).alias("g"),
+    )
+    sig_case = F.when(
+        F.col("g") == 0, segment_signatures(F.col("tokens"), hs[0])
+    )
+    for g in range(1, len(groups)):
+        sig_case = sig_case.when(
+            F.col("g") == g, segment_signatures(F.col("tokens"), hs[g])
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
+    return base.select(
+        f"{prefix}_id", f"{prefix}_sz", "g", F.explode(sig_case).alias("s")
+    ).select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
 
 
 def build_similarity_store(

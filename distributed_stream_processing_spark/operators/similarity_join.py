@@ -446,25 +446,39 @@ def dima_similarity_join(
         return F.concat(segs, dels)
 
     def sigs(df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
-        parts = []
+        # ONE scan: explode over compatible group ids, CASE on g picks
+        # the group's signature layout (per-group filter+union would
+        # re-scan the corpus once per group per side — see _emit_sigs
+        # in semi_stream_similarity for the same shape)
+        sz = F.size("tokens")
+        memberships = []
         for g, (lo, hi) in enumerate(groups):
             if own_group_only:
-                cond = (F.size("tokens") >= lo) & (F.size("tokens") <= hi)
+                cond = (sz >= lo) & (sz <= hi)
             else:
                 lo_len = -(-t.numerator * lo // t.denominator)  # ceil(t*lo)
                 hi_len = hi * t.denominator // t.numerator  # floor(hi/t)
-                cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-            sub = df.filter(cond).select(
-                F.col("id").alias(f"{prefix}_id"),
-                F.size("tokens").alias(f"{prefix}_sz"),
-                F.lit(g).alias("g"),
-                F.explode(sig_col(hs[g], group_deletion[g])).alias("s"),
+                cond = (sz >= lo_len) & (sz <= hi_len)
+            memberships.append(F.when(cond, F.lit(g)))
+        base = df.select(
+            F.col("id").alias(f"{prefix}_id"),
+            sz.alias(f"{prefix}_sz"),
+            F.col("tokens"),
+            F.explode(F.array_compact(F.array(*memberships))).alias("g"),
+        )
+        sig_case = F.when(
+            F.col("g") == 0, sig_col(hs[0], group_deletion[0])
+        )
+        for g in range(1, len(groups)):
+            sig_case = sig_case.when(
+                F.col("g") == g, sig_col(hs[g], group_deletion[g])
             )
-            parts.append(sub)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(
+        return base.select(
+            f"{prefix}_id",
+            f"{prefix}_sz",
+            "g",
+            F.explode(sig_case).alias("s"),
+        ).select(
             f"{prefix}_id",
             f"{prefix}_sz",
             "g",
