@@ -173,21 +173,82 @@ def q30_kv_index_w25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DTW_RHO, EPS_DTW = 5, 300.0
+
+
+def _dtw_oracle(rho: int = DTW_RHO, eps: float = EPS_DTW) -> str:
+    """Banded-DTW oracle as a DuckDB recursive CTE.
+
+    The Sakoe-Chiba DP recurses over the x index; the in-row
+    left-to-right dependency (cur[j-1]) unrolls across the band's
+    2*rho+1 offsets via lateral column aliases c0..c{2rho}. Offset o
+    in row i maps to q index j = i - rho + o; prev-row cells land at
+    offsets o (j-1) and o+1 (j). Evaluates the IDENTICAL recurrence
+    (d + min of three, same operand order) as the engine's
+    _dtw_banded, so accepted distances are bit-exact after round(6).
+    """
+    w = 2 * rho + 1
+    m = QLEN
+    terms = []
+    for o in range(w):
+        j = f"(i + 1 - {rho} + {o})"
+        pj = f"r{o + 1}" if o + 1 < w else "'inf'::DOUBLE"
+        a = f"least({pj}, r{o})"
+        d = f"((s.value - qv[{j}]) * (s.value - qv[{j}]))"
+        best = f"least({a}, c{o - 1})" if o > 0 else a
+        terms.append(
+            f"CASE WHEN {j} BETWEEN 1 AND {m} THEN {d} + {best} "
+            f"ELSE 'inf'::DOUBLE END AS c{o}"
+        )
+    terms_sql = ",\n    ".join(terms)
+    init_cols = ", ".join(
+        ("0.0::DOUBLE" if o == rho else "'inf'::DOUBLE") + f" AS r{o}"
+        for o in range(w)
+    )
+    cols = ", ".join(["start", "i"] + [f"r{o}" for o in range(w)])
+    return f"""
+    WITH RECURSIVE s AS MATERIALIZED (SELECT event_id AS pos, value FROM events),
+    qs AS MATERIALIZED (
+      SELECT list(value ORDER BY pos) AS qv FROM s
+      WHERE pos BETWEEN {QSTART} AND {QSTART + QLEN - 1}
+    ),
+    starts AS MATERIALIZED (
+      SELECT pos AS start FROM s WHERE pos + {QLEN} <= (SELECT count(*) FROM s)
+    ),
+    dp AS (
+      SELECT start, 0 AS i, {init_cols} FROM starts
+      UNION ALL
+      SELECT * FROM (
+        SELECT dp.start AS start, i + 1 AS i,
+        {terms_sql}
+        FROM dp JOIN s ON s.pos = dp.start + dp.i, qs
+        WHERE i < {m}
+      ) t ({cols})
+    )
+    SELECT CAST(start AS BIGINT) AS start, round(sqrt(r{rho}), 6) AS dist
+    FROM dp WHERE i = {m} AND r{rho} <= {eps} * {eps}
+    """
+
+
 @query(
     "q31_subseq_match_dtw",
-    oracle=None,  # DTW is not SQL-expressible; pytest checks vs numpy brute force
+    oracle=_dtw_oracle(),
     doc=(
         "KV-match RSM/DTW (Sakoe-Chiba band rho=5): envelope-widened "
         "mean-range probes against the kv index (QueryEngineDtw "
         "phase 1), then LB_Keogh cascade + early-abandon DTW on the "
-        "candidates only (cogrouped chunks)."
+        "candidates only (cogrouped chunks). HARD oracle since round "
+        "3: the banded DP runs as a DuckDB recursive CTE with the "
+        "band unrolled into lateral column aliases — same recurrence, "
+        "same operand order, bit-exact accepted distances (was "
+        "rows-only in rounds 1-2)."
     ),
 )
 def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = series_df(spark, sf_dir)
     qv, n = _query_values(spark, sf_dir)
     return subsequence_match_dtw(
-        s, qv, epsilon=300.0, rho=5, index=shared_index(spark, sf_dir),
+        s, qv, epsilon=EPS_DTW, rho=DTW_RHO, index=shared_index(spark, sf_dir),
         n_positions=n, widths=(25, 50, 100), available_widths={100},
     )
 

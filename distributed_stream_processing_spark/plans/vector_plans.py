@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_stream_processing_spark.catalog import Catalog
-from distributed_stream_processing_spark.functions.vectors import duck_cosine
+from distributed_stream_processing_spark.functions.vectors import duck_cosine, duck_dot
 from distributed_stream_processing_spark.operators.similarity_search import (
     brute_force_topk,
     lsh_near_pairs,
@@ -94,12 +94,66 @@ def q27_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(base.unionByName(twin), 0.95)
 
 
+def _lsh_oracle(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk's multiprobe=1 path. The hyperplanes
+    are seeded plan-time constants, so the bucketing is deterministic:
+    embed them as double literals (repr round-trips exactly) and
+    evaluate the identical left-to-right dot fold — sign bits, probe
+    buckets, candidates, and cos4 all reproduce bit-exactly, making
+    the 'approximate' ANN result an exactly-checkable function of its
+    seed."""
+    from distributed_stream_processing_spark.operators.similarity_search import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(w) for w in p) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {duck_dot('embedding', plane_lit(p))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_buckets = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+             ({bucket_terms}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest([{probe_buckets}]) AS pbucket
+      FROM b WHERE vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT p.q_id, c.vec_id,
+             round({duck_cosine("p.q_vec", "c.embedding")}, 4) AS cos4
+      FROM probes p JOIN b c ON c.bucket = p.pbucket AND c.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos4, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos4 DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= {k}
+    """
+
+
 @query(
     "q28_ann_lsh",
-    oracle=None,  # approximate by construction; pytest checks recall
+    oracle=_lsh_oracle(),
     doc=(
-        "Hyperplane-LSH bucketed ANN top-5 (single probe) — the 100 TB "
-        "path: score only same-bucket candidates."
+        "Hyperplane-LSH bucketed ANN top-5 (multiprobe m=1) — the "
+        "100 TB path: score only candidates within hamming<=1 of the "
+        "query's bucket. HARD oracle since round 3: the seeded "
+        "hyperplanes are plan-time constants, so bucket bits and "
+        "scores are deterministic and the DuckDB twin reproduces them "
+        "bit-exactly (was rows-only in rounds 1-2; recall-vs-exact "
+        "remains pytest-checked)."
     ),
 )
 def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
