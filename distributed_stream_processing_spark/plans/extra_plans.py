@@ -12,6 +12,7 @@ from distributed_stream_processing_spark.sources.multimodal import (
     decode_media,
     frame_sample,
     media_table,
+    resize_media,
 )
 
 
@@ -193,24 +194,41 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(concat('0x', substr(sha256(text), 19, 2)) AS BIGINT) AS b9
       FROM documents
     )
+    , wh AS (
+      SELECT doc_id, media_type,
+             CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS width,
+             CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS height,
+             CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS n_frames,
+             CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS duration_ms
+      FROM m
+    )
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            media_type,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS BIGINT) AS width,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS BIGINT) AS height,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS BIGINT) AS n_frames,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS BIGINT) AS duration_ms
-    FROM m
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN media_type LIKE 'image/%'
+                THEN greatest(1, CAST(floor(width * least(1.0, 64 / greatest(width, height))) AS INT))
+                END AS BIGINT) AS new_width,
+           CAST(CASE WHEN media_type LIKE 'image/%'
+                THEN greatest(1, CAST(floor(height * least(1.0, 64 / greatest(width, height))) AS INT))
+                END AS BIGINT) AS new_height
+    FROM wh
     """,
     doc=(
-        "Multimodal decode metadata, oracle-backed: the deterministic "
-        "stub derives metadata from sha256(payload) bytes, which DuckDB "
-        "reproduces exactly — gate-checks the mapInPandas decode "
-        "plumbing end-to-end (features stay in rows-only q37)."
+        "Multimodal decode metadata + aspect-preserving resize "
+        "geometry (max side 64), oracle-backed: the deterministic "
+        "stub derives metadata from sha256(payload) bytes and the "
+        "resize plan is pure column arithmetic, both reproduced "
+        "exactly by DuckDB — gate-checks the mapInPandas decode "
+        "plumbing and resize_media end-to-end (features stay in "
+        "rows-only q37; audio rows carry NULL resize columns)."
     ),
 )
 def q50_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(media_table(spark, sf_dir))
-    return decoded.select(
+    meta = decoded.select(
         F.col("media_id").cast("bigint").alias("media_id"),
         "media_type",
         F.col("width").cast("bigint").alias("width"),
@@ -218,3 +236,9 @@ def q50_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
     )
+    rs = resize_media(decoded, max_dim=64).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("new_width").cast("bigint").alias("new_width"),
+        F.col("new_height").cast("bigint").alias("new_height"),
+    )
+    return meta.join(rs, "media_id", "left")

@@ -106,6 +106,30 @@ def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
+def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Aspect-preserving resize plan for image media: integer target
+    dimensions such that max(new_w, new_h) == max_dim (never
+    upscaled). The geometry is pure column arithmetic (JVM-side,
+    SQL-reproducible — folded into q50's gate); the pixel resampling
+    itself belongs in the decode UDF slot with PIL, which this
+    container lacks (same stub contract as decode_media)."""
+    longest = F.greatest("width", "height")
+    scale = F.least(F.lit(1.0), F.lit(max_dim) / longest)
+    return decoded.filter(F.col("media_type").startswith("image/")).select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        # floor, minimum 1: a 1xN strip keeps at least one pixel
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias(
+            "new_width"
+        ),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias(
+            "new_height"
+        ),
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:
     """Sample every n-th frame of multi-frame media (video/audio):
     explode frame indexes JVM-side — no Python in the explode path."""
