@@ -442,6 +442,122 @@ def probe_index_ranges(
     )
 
 
+def probe_index_ranges_sweep(
+    index: DataFrame,
+    probes: list[tuple[int, int, float, float]],
+    n_positions: int,
+    query_len: int,
+    grid: float = _GRID,
+    available_widths: set[int] | None = None,
+) -> DataFrame:
+    """Interval-algebra twin of probe_index_ranges: identical output,
+    but candidate intersection runs at INTERVAL granularity instead of
+    exploding every covered position.
+
+    Each probe's matching index rows are disjoint start-ranges (a
+    width's runs partition the position space, and clamping preserves
+    disjointness), so the K-way intersection is a sweep-line: +1/-1
+    boundary events per range, a distributed prefix sum over
+    range-partitioned boundaries (partition totals collected — P rows
+    — and re-broadcast as offsets), and coverage==K segments become
+    the candidate ranges. Work scales with the number of index
+    intervals, not series positions — the shape that holds when the
+    series is 100 TB and the explode twin's position stream would be
+    the bottleneck. Only the final intersected ranges (output-sized)
+    are exploded to starts.
+    """
+    max_start = n_positions - query_len
+    if available_widths is not None:
+        available = set(available_widths)
+    else:
+        available = {r.w for r in index.select("w").distinct().collect()}
+    needed = {w for w, _, _, _ in probes}
+    if not needed <= available:
+        raise ValueError(
+            f"index lacks widths {sorted(needed - available)} required by the "
+            f"segmentation (has {sorted(available)})"
+        )
+    k = len(probes)
+    ev = None
+    for w, offset, lo, hi in probes:
+        rows = index.filter(
+            (F.col("w") == w)
+            & (F.col("mr") >= lo - grid)
+            & (F.col("mr") <= hi + grid)
+        )
+        ranges = rows.select(
+            F.greatest(F.lit(0), F.col("pos_start") - F.lit(offset)).alias("s"),
+            F.least(
+                F.lit(max_start), F.col("pos_end") - F.lit(offset)
+            ).alias("e"),
+        ).filter(F.col("e") >= F.col("s"))
+        pe = ranges.select(F.col("s").alias("pos"), F.lit(1).alias("d")).unionAll(
+            ranges.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("d"))
+        )
+        ev = pe if ev is None else ev.unionAll(pe)
+    spark = index.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = (
+        ev.groupBy("pos")
+        .agg(F.sum("d").alias("d"))
+        .filter(F.col("d") != 0)  # net-zero boundaries change nothing
+        .repartitionByRange(n_parts, "pos")
+        .sortWithinPartitions("pos")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    stats = bounds.groupBy("pid").agg(
+        F.sum("d").alias("tot"), F.min("pos").alias("lo")
+    ).collect()
+    stats.sort(key=lambda r: r.pid)
+    prefix: dict[int, int] = {}
+    running = 0
+    for r in stats:
+        prefix[r.pid] = running
+        running += int(r.tot)
+    next_lo: dict[int, int] = {}
+    nxt = None
+    for r in reversed(stats):
+        if nxt is not None:
+            next_lo[r.pid] = nxt
+        nxt = int(r.lo)
+
+    def gen(batches):
+        cum = None
+        open_start = None
+        pid = None
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cum is None:
+                pid = int(pdf["pid"].iloc[0])
+                cum = prefix.get(pid, 0)
+            out_s, out_e = [], []
+            for pos, d in zip(pdf["pos"].to_numpy(), pdf["d"].to_numpy()):
+                if open_start is not None:
+                    out_s.append(open_start)
+                    out_e.append(int(pos) - 1)
+                    open_start = None
+                cum += int(d)
+                if cum == k:
+                    open_start = int(pos)
+            if out_s:
+                yield pd.DataFrame({"cs": out_s, "ce": out_e})
+        if open_start is not None:
+            # coverage still K at partition end: the next non-empty
+            # partition's first boundary closes it (one exists —
+            # global coverage returns to 0 after the last -1 event)
+            end = next_lo.get(pid)
+            if end is not None and end - 1 >= open_start:
+                yield pd.DataFrame({"cs": [open_start], "ce": [end - 1]})
+
+    covered = bounds.mapInPandas(gen, schema="cs long, ce long")
+    return covered.select(
+        F.explode(F.sequence("cs", "ce")).alias("start")
+    ).filter((F.col("start") >= 0) & (F.col("start") <= max_start))
+
+
 def probe_index(
     index: DataFrame,
     segments: list[Segment],
@@ -450,8 +566,13 @@ def probe_index(
     query_len: int,
     grid: float = _GRID,
     available_widths: set[int] | None = None,
+    method: str = "explode",
 ) -> DataFrame:
-    """ED probe: |segment mean diff| <= eps/sqrt(w) (Cauchy-Schwarz)."""
+    """ED probe: |segment mean diff| <= eps/sqrt(w) (Cauchy-Schwarz).
+
+    ``method``: "explode" (position-stream intersection — simple, fine
+    while positions fit the shuffle) or "sweep" (interval sweep-line —
+    work scales with index intervals, the extreme-scale shape)."""
     probes = [
         (
             s.width,
@@ -461,9 +582,8 @@ def probe_index(
         )
         for s in segments
     ]
-    return probe_index_ranges(
-        index, probes, n_positions, query_len, grid, available_widths
-    )
+    fn = probe_index_ranges_sweep if method == "sweep" else probe_index_ranges
+    return fn(index, probes, n_positions, query_len, grid, available_widths)
 
 
 def dtw_envelope_probes(
@@ -566,6 +686,7 @@ def subsequence_match_ed(
     index_grid: float = _GRID,
     segmenter: str = "greedy",
     available_widths: set[int] | None = None,
+    probe_method: str = "explode",
 ) -> DataFrame:
     """RSM with ED: all window starts within ``epsilon`` of ``query``.
 
@@ -609,6 +730,7 @@ def subsequence_match_ed(
         len(query),
         grid=index_grid,
         available_widths=known_widths,
+        method=probe_method,
     )
     return verify_ed(series, cands, query, epsilon)
 
@@ -714,6 +836,7 @@ def subsequence_match_dtw(
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     index_grid: float = _GRID,
     available_widths: set[int] | None = None,
+    probe_method: str = "explode",
 ) -> DataFrame:
     """RSM with banded DTW: LB_Keogh cascade + early abandon, numpy
     over chunked windows (the reference's DtwUtils.java:50-338 cascade
@@ -761,7 +884,12 @@ def subsequence_match_dtw(
     if index is not None:
         if n_positions is None:
             n_positions = series.count()
-        cands = probe_index_ranges(
+        probe_fn = (
+            probe_index_ranges_sweep
+            if probe_method == "sweep"
+            else probe_index_ranges
+        )
+        cands = probe_fn(
             index,
             dtw_envelope_probes(list(q), rho, epsilon, widths),
             n_positions,

@@ -126,6 +126,7 @@ def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=shared_index(spark, sf_dir),
         n_positions=n,
         available_widths={100},
+        probe_method="sweep",
     )
 
 
@@ -250,6 +251,7 @@ def q31_subseq_match_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_match_dtw(
         s, qv, epsilon=EPS_DTW, rho=DTW_RHO, index=shared_index(spark, sf_dir),
         n_positions=n, widths=(25, 50, 100), available_widths={100},
+        probe_method="sweep",
     )
 
 

@@ -377,3 +377,44 @@ def test_index_save_load_probe_roundtrip(spark, series, tmp_path):
     built, loaded = run(idx), run(idx2)
     assert built == loaded
     assert {s for s, _ in built} >= {500, 2000}
+
+
+def test_sweep_probe_equals_explode_probe(spark, series):
+    """The interval sweep-line probe must admit exactly the explode
+    probe's candidate starts (and both matchers the same output)."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        plan_segments,
+        probe_index,
+    )
+
+    df, arr = series
+    idx = build_kv_index(df, widths=(25, 50), value_scale=100)
+    for qstart, eps in ((500, 1.0), (700, 8.0), (0, 3.0)):
+        q = arr[qstart : qstart + M].tolist()
+        segs = plan_segments(q, widths=(25, 50))
+        kw = dict(
+            epsilon=eps, n_positions=N, query_len=M,
+            available_widths={25, 50},
+        )
+        explode = sorted(
+            r.start for r in probe_index(idx, segs, **kw, method="explode").collect()
+        )
+        sweep = sorted(
+            r.start for r in probe_index(idx, segs, **kw, method="sweep").collect()
+        )
+        assert sweep == explode and explode
+    # full matcher parity through the sweep path
+    q = arr[500 : 500 + M].tolist()
+    got = sorted(
+        (r.start, round(r.dist, 6))
+        for r in subsequence_match_ed(
+            df, q, 1.0, widths=(25, 50), value_scale=100, probe_method="sweep"
+        ).collect()
+    )
+    want = sorted(
+        (r.start, round(r.dist, 6))
+        for r in subsequence_match_ed(
+            df, q, 1.0, widths=(25, 50), value_scale=100
+        ).collect()
+    )
+    assert got == want
