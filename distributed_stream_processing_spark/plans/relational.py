@@ -187,33 +187,14 @@ def q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q06_hit_union_miss",
-    oracle="""
-    WITH hit AS (
-      SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
-             CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
-             CAST(l.l_partkey AS BIGINT) AS l_partkey,
-             p.p_retailprice, 'hit' AS src
-      FROM lineitem l JOIN part p
-        ON l.l_partkey = p.p_partkey AND p.p_size < 15
-    ), miss AS (
-      SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
-             CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
-             CAST(l.l_partkey AS BIGINT) AS l_partkey,
-             p.p_retailprice, 'miss' AS src
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE NOT EXISTS (SELECT 1 FROM part c
-                        WHERE c.p_partkey = l.l_partkey AND c.p_size < 15)
-    )
-    SELECT * FROM hit UNION ALL SELECT * FROM miss
-    """,
-    doc=(
-        "DS-Join per-batch output assembly: hit-join ∪ (miss × store fetch) "
-        "(streaming.scala:606-613). Equals the plain join — the cache split "
-        "is semantically transparent (the key invariant of the paper)."
-    ),
-)
+# q06 retired from the 50-row gate budget (round 3): its hit ∪ miss
+# assembly (J5/O4) is the per-batch core of q33's full cached-pipeline
+# gate (same transparency oracle over the same tables, ×4 batches) and
+# of q48's similarity twin, and its hit/miss halves keep their own
+# rows (q03 semi, q04 anti). The freed row gates the stateful
+# streaming operator (q55, plans/stream_plans.py — W4 was the last
+# pytest-only streaming component). The function remains for the
+# cache-transparency unit test.
 def q06_hit_union_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     li, part = cat.lineitem, cat.part

@@ -87,3 +87,56 @@ def q34_stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     return drain_stream(agg, f"minute_rollup_{tag}", "complete")
+
+
+@query(
+    "q55_stream_user_totals_stateful",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100 AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "W4 applyInPandasWithState END-TO-END (gate row freed by "
+        "retiring q06): events replayed as a 4-file stream drive "
+        "per-user keyed running state through a REAL stateful "
+        "streaming query (update mode, checkpointed); the LAST emitted "
+        "update per user must equal the batch aggregate. The state "
+        "accumulates exact scaled integers, so the totals are "
+        "bit-reproducible in DuckDB — no float summation-order slack."
+    ),
+)
+def q55_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.sources.stream import (
+        stage_stream_files,
+    )
+    from distributed_stream_processing_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "user_id", "value")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = stage_stream_files(ev, f"stateful_totals_{tag}", 4, "event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    updates = drain_stream(
+        running_user_stats(stream),
+        f"user_totals_{tag}",
+        "update",
+        checkpoint=f"/root/repo/.tmp/streams/ckpt_user_totals_{tag}",
+    )
+    # n_events grows strictly per emission, so max(struct) = final state
+    return (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("m.n_events").cast("bigint").alias("n_events"),
+            F.col("m.sum_value").alias("sum_value"),
+        )
+    )

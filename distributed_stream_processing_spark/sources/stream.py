@@ -101,16 +101,23 @@ def read_live_stream(
     raise ValueError(f"unknown live source {source!r}")
 
 
-def drain_stream(sdf: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+def drain_stream(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
-    return the final result as a batch DataFrame."""
+    return the final result as a batch DataFrame. Stateful operators
+    (applyInPandasWithState) require a ``checkpoint`` location."""
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    w = sdf.writeStream.outputMode(output_mode).format("memory").queryName(
+        query_name
     )
+    if checkpoint is not None:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:

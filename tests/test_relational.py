@@ -50,9 +50,11 @@ def test_hit_miss_partition(spark, specs, sf_smoke):
 
 def test_cache_transparency(spark, specs, sf_smoke):
     """DS-Join invariant: hit∪miss output == plain join regardless of cache."""
-    union = (
-        specs["q06_hit_union_miss"].fn(spark, sf_smoke).drop("src", "p_retailprice")
+    from distributed_stream_processing_spark.plans.relational import (
+        q06_hit_union_miss,
     )
+
+    union = q06_hit_union_miss(spark, sf_smoke).drop("src", "p_retailprice")
     plain = specs["q02_stream_enrich_join"].fn(spark, sf_smoke).select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
