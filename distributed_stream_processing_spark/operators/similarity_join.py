@@ -174,10 +174,22 @@ def expand_collapsed_pairs(
 
 
 def collapse_group_by_tokens(df: DataFrame) -> DataFrame:
-    """(id = min member, tokens, members) — one row per distinct array."""
-    return df.groupBy("tokens").agg(
-        F.min("id").alias("id"),
-        F.sort_array(F.collect_list("id")).alias("members"),
+    """(id = min member, tokens, members) — one row per distinct array.
+
+    localCheckpoint'ed: every consumer (signature/prefix emission for
+    both join sides, the payload verify join, member expansion) would
+    otherwise re-run the upstream scan + tokenization per branch —
+    q21's plan showed 7 parquet scans of the same corpus. One
+    materialization serves all branches; at a scale where even the
+    collapsed table shouldn't persist, drop the checkpoint and let the
+    branches recompute."""
+    return (
+        df.groupBy("tokens")
+        .agg(
+            F.min("id").alias("id"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 
