@@ -434,6 +434,11 @@ def probe_index_ranges(
             .filter((F.col("start") >= 0) & (F.col("start") <= max_start))
         )
         cands = starts if cands is None else cands.unionByName(starts)
+    if len(probes) == 1:
+        # single-segment queries need no intersection: one probe's
+        # index intervals are disjoint, so the exploded starts are
+        # already unique — skip the count shuffle entirely
+        return cands.select("start")
     return (
         cands.groupBy("start")
         .agg(F.countDistinct("seg").alias("n_seg"))
