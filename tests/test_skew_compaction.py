@@ -120,3 +120,129 @@ def test_similarity_join_equals_bruteforce_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_asof_join_equals_bruteforce_hypothesis(spark):
+    """Randomized keys/timestamps (+ null right columns): the
+    union-window as-of plan == per-row latest-at-or-before scan."""
+    import random
+
+    from distributed_stream_processing_spark.operators.asof_join import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(seed=st.integers(0, 10_000), nl=st.integers(1, 30), nr=st.integers(0, 30))
+    def run(seed, nl, nr):
+        rng = random.Random(seed)
+        left = [(i, rng.randint(0, 4), rng.randint(0, 50)) for i in range(nl)]
+        seen = set()
+        right = []
+        for j in range(nr):
+            key, ts = rng.randint(0, 4), rng.randint(0, 50)
+            if (key, ts) in seen:  # right must be unique per (key, ts)
+                continue
+            seen.add((key, ts))
+            val = rng.randint(0, 9) if rng.random() < 0.6 else None
+            right.append((key, ts, j, val))
+        ldf = spark.createDataFrame(left, "lid long, k long, lts long")
+        rdf = spark.createDataFrame(
+            right, "k long, rts long, rid long, rv long"
+        )
+        got = {
+            (r.lid, r.rid, r.rv)
+            for r in asof_join(
+                ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+                right_cols=["rid", "rv"],
+            ).collect()
+        }
+        want = set()
+        for lid, k, lts in left:
+            best = None
+            for rk, rts, rid, rv in right:
+                if rk == k and rts <= lts and (best is None or rts > best[0]):
+                    best = (rts, rid, rv)
+            want.add((lid, best[1] if best else None, best[2] if best else None))
+        assert got == want
+
+    run()
+
+
+def test_merge_intervals_equals_bruteforce_hypothesis(spark):
+    """Random interval sets: merge_intervals == maximal coverage runs
+    (for gap 0 and the adjacency gap 1)."""
+    import random
+
+    from distributed_stream_processing_spark.operators.interval import (
+        merge_intervals,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(seed=st.integers(0, 10_000), n=st.integers(1, 40), gap=st.sampled_from([0, 1]))
+    def run(seed, n, gap):
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(n):
+            s = rng.randint(0, 60)
+            rows.append((rng.randint(0, 2), s, s + rng.randint(0, 8)))
+        df = spark.createDataFrame(rows, "k long, start long, end long")
+        got = {
+            (r.k, r.start, r.end)
+            for r in merge_intervals(df, "k", merge_gap=gap).collect()
+        }
+        want = set()
+        for k in {r[0] for r in rows}:
+            ivs = sorted((s, e) for kk, s, e in rows if kk == k)
+            cs, ce = ivs[0]
+            for s, e in ivs[1:]:
+                if s <= ce + gap:
+                    ce = max(ce, e)
+                else:
+                    want.add((k, cs, ce))
+                    cs, ce = s, e
+            want.add((k, cs, ce))
+        assert got == want
+
+    run()
+
+
+def test_sweep_probe_equals_explode_hypothesis(spark):
+    """Random series/epsilons: the interval sweep-line probe admits
+    exactly the explode probe's starts (stresses partition-boundary
+    handling in the distributed prefix sum)."""
+    import random
+
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        build_kv_index,
+        plan_segments,
+        probe_index,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 10_000), eps=st.sampled_from([0.5, 2.0, 6.0]))
+    def run(seed, eps):
+        rng = random.Random(seed)
+        n, m = 600, 40
+        vals, x = [], 0.0
+        for _ in range(n):
+            x += rng.gauss(0, 1)
+            vals.append(round(x, 2))
+        df = spark.createDataFrame(
+            list(enumerate(vals)), "pos long, value double"
+        )
+        idx = build_kv_index(df, widths=(10, 20), value_scale=100)
+        q = vals[100 : 100 + m]
+        segs = plan_segments(q, widths=(10, 20))
+        kw = dict(
+            epsilon=eps, n_positions=n, query_len=m,
+            available_widths={10, 20},
+        )
+        explode = sorted(
+            r.start
+            for r in probe_index(idx, segs, **kw, method="explode").collect()
+        )
+        sweep = sorted(
+            r.start
+            for r in probe_index(idx, segs, **kw, method="sweep").collect()
+        )
+        assert sweep == explode
+
+    run()
