@@ -27,17 +27,33 @@ from pyspark.sql import functions as F
 
 
 def batch_best_match(
-    series: DataFrame, windows: dict[int, np.ndarray], chunk: int = 8192
-) -> dict[int, tuple[int, float]]:
+    series: DataFrame,
+    windows: dict[int, np.ndarray],
+    chunk: int = 8192,
+    value_scale: int | None = None,
+) -> dict[int, tuple[int, float, float]]:
     """Best (ED) match offset in ``series`` for every query window:
     one distributed pass; all windows scored per chunk; min_by merge.
 
-    Returns {window_id: (best_pos, best_dist)}.
+    With ``value_scale`` (fixed-decimal data, e.g. 100 for 2-decimal
+    values), squared distances are EXACT int64 sums of scaled values —
+    order-independent, so the argmin (ties broken by lowest position)
+    is bit-reproducible in any SQL engine; d2 stays < 2^53 so the
+    double-typed merge column is exact. Without it, float64 sums (the
+    generic path; argmin then carries the usual summation-order
+    caveat).
+
+    Returns {window_id: (best_pos, best_dist, best_d2)} where best_d2
+    is the squared distance in scaled units (= dist^2 without scaling).
     """
     if not windows:
         return {}
     m = len(next(iter(windows.values())))
     items = sorted((int(k), np.asarray(v, dtype=np.float64)) for k, v in windows.items())
+    if value_scale is not None:
+        items = [
+            (k, np.rint(v * value_scale).astype(np.int64)) for k, v in items
+        ]
 
     from distributed_stream_processing_spark.operators.subsequence_match import _chunked
 
@@ -50,6 +66,8 @@ def batch_best_match(
                 base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
                 if len(val) < m:
                     continue
+                if value_scale is not None:
+                    val = np.rint(val * value_scale).astype(np.int64)
                 X = np.lib.stride_tricks.sliding_window_view(val, m)
                 starts = pos[: len(val) - m + 1]
                 own = (
@@ -60,26 +78,30 @@ def batch_best_match(
                 if not own.any():
                     continue
                 Xo, so = X[own], starts[own]
-                wids, bpos, bdist = [], [], []
+                wids, bpos, bd2 = [], [], []
                 for wid, q in items:
                     d2 = ((Xo - q) ** 2).sum(axis=1)
                     i = int(np.argmin(d2))
                     wids.append(wid)
                     bpos.append(int(so[i]))
-                    bdist.append(float(np.sqrt(d2[i])))
-                yield pd.DataFrame({"window_id": wids, "pos": bpos, "dist": bdist})
+                    bd2.append(float(d2[i]))
+                yield pd.DataFrame({"window_id": wids, "pos": bpos, "d2": bd2})
 
     per_chunk = (
         _chunked(series, m, 0, chunk)
         .repartition("chunk_id")
-        .mapInPandas(gen, schema="window_id long, pos long, dist double")
+        .mapInPandas(gen, schema="window_id long, pos long, d2 double")
     )
     best = (
         per_chunk.groupBy("window_id")
-        .agg(F.min(F.struct("dist", "pos")).alias("b"))
-        .select("window_id", "b.pos", "b.dist")
+        .agg(F.min(F.struct("d2", "pos")).alias("b"))
+        .select("window_id", "b.pos", "b.d2")
     )
-    return {r.window_id: (r.pos, r.dist) for r in best.collect()}
+    scale = float(value_scale) if value_scale is not None else 1.0
+    return {
+        r.window_id: (r.pos, float(np.sqrt(r.d2)) / scale, r.d2)
+        for r in best.collect()
+    }
 
 
 @dataclass
@@ -140,28 +162,28 @@ def _fetch_ranges(
     }
 
 
-def run_s3m_pipeline(
+def _s3m_prep(
     series: DataFrame,
-    split_frac: float = 0.6,
-    window_size: int = 50,
-    slide: int = 100,
-    pred: int = 10,
-    q_size: int = 3,
-    n_windows: int = 12,
-    step_size: float = 0.05,
-    num_iterations: int = 10,
-) -> list[dict]:
-    """Replay the tail of ``series`` as a window stream against its
-    stored head; returns the per-window prediction trajectory
-    [{window_id, pos, match_pos, match_dist, prediction, label}].
+    split_frac: float,
+    window_size: int,
+    slide: int,
+    pred: int,
+    n_windows: int,
+    value_scale: int | None,
+):
+    """Shared stream-window setup: split point, window metadata, the
+    fetched window+label slices, and the distributed best matches.
 
-    Deltas (rate-of-change, kvscala/s3m.scala:93-96) are the modeled
-    signal. Labels arrive ``pred`` positions after the window ends;
-    training is delayed through a depth-``q_size`` queue exactly like
-    the reference (s3m.scala:77,100-124).
+    The split offset is computed in exact rational arithmetic
+    (floor(n * p/q)) so an SQL twin using integer division lands on
+    the same row — float n*0.6 rounds DOWN through IEEE for some n
+    (e.g. 10000*0.6 = 5999.999...) while SQL decimals don't.
     """
+    from fractions import Fraction
+
     n = series.agg(F.max("pos")).first()[0] + 1
-    split = int(n * split_frac)
+    fr = Fraction(split_frac).limit_denominator(1000)
+    split = n * fr.numerator // fr.denominator
     stored_df = series.filter(F.col("pos") < split)
 
     # stream-window + label slices: one broadcast range join, only
@@ -178,13 +200,93 @@ def run_s3m_pipeline(
         series, [(i, s, s + m + pred) for i, s in meta.items()]
     )
     windows = {i: slices[i][:m] for i in meta}
-    matches = batch_best_match(stored_df, windows)
+    matches = batch_best_match(stored_df, windows, value_scale=value_scale)
+    return n, split, meta, slices, matches
+
+
+def s3m_match_table(
+    series: DataFrame,
+    split_frac: float = 0.6,
+    window_size: int = 50,
+    slide: int = 100,
+    pred: int = 10,
+    n_windows: int = 12,
+    value_scale: int = 100,
+) -> DataFrame:
+    """The oracle-checkable core of the S3M pipeline (the kv-match
+    search, S3M/src/main/scala/kvscala/s3m.scala:89-118): per stream
+    window, the argmin-ED match position in the stored head plus the
+    delayed label the trainer will observe.
+
+    Exact scaled-int squared distances make the argmin (ties -> lowest
+    position) and round(sqrt(d2)/scale, 6) bit-reproducible in a SQL
+    twin; the SGD trajectory on top stays pytest-verified
+    (run_s3m_pipeline). Output: (window_id, pos, match_pos,
+    match_dist, label).
+    """
+    spark = series.sparkSession
+    m = window_size
+    _n, _split, meta, slices, matches = _s3m_prep(
+        series, split_frac, window_size, slide, pred, n_windows, value_scale
+    )
+    rows = []
+    for i in sorted(meta):
+        if i not in matches:
+            continue
+        sl = slices[i]
+        label = float(sl[m + pred - 1] - sl[m + pred - 2])
+        rows.append(
+            (int(i), int(meta[i]), int(matches[i][0]), float(matches[i][2]), label)
+        )
+    schema = "window_id long, pos long, match_pos long, d2 double, label_raw double"
+    if not rows:
+        return spark.createDataFrame([], schema).select(
+            "window_id",
+            "pos",
+            "match_pos",
+            F.lit(0.0).alias("match_dist"),
+            F.lit(0.0).alias("label"),
+        )
+    return spark.createDataFrame(rows, schema).select(
+        "window_id",
+        "pos",
+        "match_pos",
+        F.round(F.sqrt("d2") / value_scale, 6).alias("match_dist"),
+        F.round("label_raw", 6).alias("label"),
+    )
+
+
+def run_s3m_pipeline(
+    series: DataFrame,
+    split_frac: float = 0.6,
+    window_size: int = 50,
+    slide: int = 100,
+    pred: int = 10,
+    q_size: int = 3,
+    n_windows: int = 12,
+    step_size: float = 0.05,
+    num_iterations: int = 10,
+    value_scale: int | None = 100,
+) -> list[dict]:
+    """Replay the tail of ``series`` as a window stream against its
+    stored head; returns the per-window prediction trajectory
+    [{window_id, pos, match_pos, match_dist, prediction, label}].
+
+    Deltas (rate-of-change, kvscala/s3m.scala:93-96) are the modeled
+    signal. Labels arrive ``pred`` positions after the window ends;
+    training is delayed through a depth-``q_size`` queue exactly like
+    the reference (s3m.scala:77,100-124).
+    """
+    m = window_size
+    n, split, meta, slices, matches = _s3m_prep(
+        series, split_frac, window_size, slide, pred, n_windows, value_scale
+    )
     # future points of each matched stored sequence (J12 as-of fetch)
     futures = _fetch_ranges(
         series,
         [
             (i, matches[i][0] + m - 1, matches[i][0] + m + pred)
-            for i in sorted(windows)
+            for i in sorted(meta)
             if i in matches
         ],
     )
@@ -195,9 +297,7 @@ def run_s3m_pipeline(
     )
     queue: list[tuple[int, np.ndarray, float]] = []
     out: list[dict] = []
-    for i in sorted(windows):
-        start = meta[i]
-        mpos, mdist = matches.get(i, (0, float("inf")))
+    for i in sorted(meta):
         sl = slices[i]
         qs = np.diff(sl[:m])  # stream window deltas
         fut = futures.get(i, np.empty(0))
@@ -213,8 +313,8 @@ def run_s3m_pipeline(
                 {
                     "window_id": int(wid),
                     "pos": int(meta[wid]),
-                    "match_pos": int(matches.get(wid, (0, 0.0))[0]),
-                    "match_dist": round(float(matches.get(wid, (0, 0.0))[1]), 6),
+                    "match_pos": int(matches.get(wid, (0, 0.0, 0.0))[0]),
+                    "match_dist": round(float(matches.get(wid, (0, 0.0, 0.0))[1]), 6),
                     "prediction": float(p),
                     "label": float(yq),
                 }
