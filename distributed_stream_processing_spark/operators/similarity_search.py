@@ -132,6 +132,71 @@ def lsh_topk(
     )
 
 
+def seeded_centroids(
+    dim: int, n_centroids: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic unit-norm gaussian centroids — plan-time
+    constants, so IVF bucketing becomes an exactly-checkable function
+    of the seed (the same trick q28 plays with hyperplanes). The
+    Voronoi cells of random unit vectors partition the sphere
+    uniformly; a data-adaptive quantizer (train_centroids_lloyd) slots
+    into the identical probe structure when recall matters more than
+    cross-engine reproducibility."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_centroids):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v])
+    return out
+
+
+def train_centroids_lloyd(
+    sample, n_centroids: int, seed: int = 42, iters: int = 10
+) -> list[list[float]]:
+    """Deterministic numpy Lloyd iterations over a driver-collected
+    sample (a bounded deterministic slice of the corpus, e.g.
+    vec_id % s == 0 — never the full 100 TB). Init = seeded choice
+    without replacement; empty clusters keep their previous centroid;
+    fixed iteration count. Same seed + same sample -> bit-identical
+    centroids, so the result can still be embedded as plan literals."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    ctr = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(ctr)):
+            members = x[assign == j]
+            if len(members):
+                ctr[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in ctr]
+
+
+def _nearest_centroid_structs(vec, centroids: list[list[float]]):
+    """Array of (d2, bucket) structs vs every plan-time centroid —
+    array_min/array_sort over it gives argmin / top-n_probe with
+    bucket-index tie-break, entirely in codegen (no shuffle, no
+    window) on the corpus side."""
+    from distributed_stream_processing_spark.functions.vectors import d2_to_literal
+
+    return F.array(
+        *[
+            F.struct(
+                d2_to_literal(vec, ctr).alias("d2"),
+                F.lit(i).cast("int").alias("bucket"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -139,58 +204,48 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
 ) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (pyspark.ml), corpus bucketed
-    by nearest centroid, queries scored only against their ``n_probe``
-    nearest centroids' buckets. Same output contract as
-    brute_force_topk; recall < 1 (single-digit % of corpus scanned).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF ANN: coarse quantizer with plan-time constant centroids
+    (seeded unit-norm by default; pass ``centroids`` from
+    train_centroids_lloyd for a data-adaptive quantizer). Corpus rows
+    bucket to their nearest centroid via a codegen'd struct-array
+    argmin — no shuffle, no window, no ML-library training step —
+    and queries score only their ``n_probe`` nearest centroids'
+    buckets. Same output contract as brute_force_topk; recall < 1
+    (~n_probe/n_centroids of the corpus scanned). Deterministic end
+    to end, so the DuckDB oracle reproduces it bit-exactly.
 
-    train = corpus.select(
-        F.col("vec_id"), array_to_vector(F.col("embedding")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("prediction").alias("bucket"),
-    )
+    Reference parity: myNapp's partitioned ANN probe
+    (reference: DS_join_step4 partition-pruned fetch shape) —
+    re-expressed as broadcast-bucket equi-join.
+    """
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_centroids, seed)
+
     c = corpus.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").alias("c_vec"),
-    ).join(assigned, "vec_id")
-
-    # nearest n_probe centroids per query, ranked DF-side against the
-    # broadcast (tiny) centroid table — queries never leave the cluster
-    spark = queries.sparkSession
-    cent = spark.createDataFrame(
-        [
-            (i, [float(x) for x in ctr])
-            for i, ctr in enumerate(model.clusterCenters())
-        ],
-        "bucket int, ctr array<double>",
+        F.array_min(_nearest_centroid_structs(F.col("embedding"), centroids))[
+            "bucket"
+        ].alias("bucket"),
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("ctr"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pw = W.partitionBy("q_id").orderBy(F.col("cd2").asc(), F.col("bucket"))
-    q = (
-        queries.select(
-            F.col("vec_id").cast("bigint").alias("q_id"),
-            F.col("embedding").alias("q_vec"),
-        )
-        .join(F.broadcast(cent))
-        .withColumn("cd2", d2)
-        .withColumn("crk", F.row_number().over(pw))
-        .filter(F.col("crk") <= n_probe)
-        .select("q_id", "q_vec", "bucket")
+    # top-n_probe centroids per query: sort the (d2, bucket) struct
+    # array (lexicographic = d2 asc, bucket tie-break) and explode the
+    # head — queries stay on the broadcast side throughout
+    q = queries.select(
+        F.col("vec_id").cast("bigint").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    _nearest_centroid_structs(F.col("embedding"), centroids)
+                ),
+                1,
+                n_probe,
+            )["bucket"]
+        ).alias("bucket"),
     )
 
     w = W.partitionBy("q_id").orderBy(F.col("cos4").desc(), F.col("vec_id"))

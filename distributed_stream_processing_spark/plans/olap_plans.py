@@ -119,12 +119,78 @@ def q48_semi_stream_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ivf_topk's seeded-centroid path. The centroids
+    are plan-time constants (seeded unit-norm gaussians), so bucket
+    assignment, probe selection, candidates and cos4 all reproduce
+    bit-exactly — same scheme as q28's hyperplane literals. Squared-L2
+    folds run left-to-right in DOUBLE on both engines (duck_d2 twin of
+    d2_to_literal); ties break on centroid index on both sides."""
+    from distributed_stream_processing_spark.functions.vectors import (
+        duck_cosine,
+        duck_d2,
+    )
+    from distributed_stream_processing_spark.operators.similarity_search import (
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(dim, n_centroids, seed)
+    values = ", ".join(
+        f"({i}, [" + ", ".join(repr(w) for w in ctr) + "])"
+        for i, ctr in enumerate(cents)
+    )
+    return f"""
+    WITH cent(bucket, ctr) AS (VALUES {values}),
+    assigned AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id, e.embedding, c.bucket,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_d2("e.embedding", "c.ctr")} ASC, c.bucket) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_vec, bucket FROM (
+        SELECT CAST(e.vec_id AS BIGINT) AS q_id, e.embedding AS q_vec, c.bucket,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_d2("e.embedding", "c.ctr")} ASC, c.bucket) AS crk
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 50 = 0
+      ) WHERE crk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             round({duck_cosine("p.q_vec", "a.embedding")}, 4) AS cos4
+      FROM probes p JOIN assigned a USING (bucket)
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos4, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos4 DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= {k}
+    """
+
+
 @query(
     "q46_ann_ivf",
-    oracle=None,  # k-means quantizer is approximate; pytest checks recall
+    oracle=_ivf_oracle(),
     doc=(
-        "IVF ANN: pyspark.ml k-means coarse quantizer, corpus bucketed "
-        "by centroid, queries probe their 4 nearest centroids only."
+        "IVF ANN with a deterministic coarse quantizer: seeded "
+        "plan-time centroid literals (unit-norm gaussians), corpus "
+        "bucketed by codegen'd struct-array argmin, queries probe "
+        "their 4 nearest centroids only. HARD oracle since round 5 "
+        "(was rows-only while pyspark.ml.KMeans trained the "
+        "quantizer non-reproducibly); recall vs brute force and the "
+        "data-adaptive Lloyd trainer stay pytest-checked."
     ),
 )
 def q46_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
