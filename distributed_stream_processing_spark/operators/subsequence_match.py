@@ -804,8 +804,22 @@ def _verify_starts(
     )
 
 
-def _dtw_banded(x: np.ndarray, q: np.ndarray, rho: int, abandon: float) -> float:
-    """Sakoe-Chiba banded DTW with early abandon; returns sqrt cost."""
+def _dtw_banded(
+    x: np.ndarray,
+    q: np.ndarray,
+    rho: int,
+    abandon: float,
+    cb_suffix: np.ndarray | None = None,
+) -> float:
+    """Sakoe-Chiba banded DTW with early abandon; returns sqrt cost.
+
+    ``cb_suffix[i]`` (optional) is an admissible lower bound on the
+    cost the path must still pay after data row ``i`` (suffix sums of
+    per-position LB_Keogh contributions, indexed conservatively at
+    ``i + rho`` so it is valid for both query- and data-indexed
+    contributions) — the reference's cumulative-bound abandon
+    (DtwUtils.java:269-338's `cb[i + r + 1]`).
+    """
     m = len(q)
     prev = np.full(m + 1, np.inf)
     prev[0] = 0.0
@@ -815,19 +829,124 @@ def _dtw_banded(x: np.ndarray, q: np.ndarray, rho: int, abandon: float) -> float
         for j in range(lo, hi + 1):
             d = (x[i - 1] - q[j - 1]) ** 2
             cur[j] = d + min(prev[j], prev[j - 1], cur[j - 1])
-        if cur[lo : hi + 1].min() > abandon:
+        remain = cb_suffix[min(m, i + rho)] if cb_suffix is not None else 0.0
+        if cur[lo : hi + 1].min() + remain > abandon:
             return math.inf
         prev = cur
     return math.sqrt(prev[m])
 
 
-def _lb_keogh(x: np.ndarray, lo_env: np.ndarray, hi_env: np.ndarray) -> float:
+def _keogh_contrib(
+    x: np.ndarray, lo_env: np.ndarray, hi_env: np.ndarray
+) -> np.ndarray:
+    """Per-position squared LB_Keogh contributions of ``x`` against an
+    envelope (query-side when the envelope is the query's, data-side
+    when ``x`` is the query and the envelope is the window's)."""
     above = x > hi_env
     below = x < lo_env
     d = np.zeros_like(x)
     d[above] = x[above] - hi_env[above]
     d[below] = lo_env[below] - x[below]
-    return float(np.dot(d, d))
+    return d * d
+
+
+def _lb_keogh(x: np.ndarray, lo_env: np.ndarray, hi_env: np.ndarray) -> float:
+    return float(_keogh_contrib(x, lo_env, hi_env).sum())
+
+
+def _lb_kim(x: np.ndarray, q: np.ndarray, eps2: float) -> float:
+    """LB_Kim endpoint hierarchy (DtwUtils.java:149-188 re-derived,
+    non-normalized). Any warping path must pass through (0,0) and
+    (m-1,m-1), then through one cell of each successive disjoint
+    anti-diagonal set near each end — so each stage's min over its set
+    is an admissible additive bound for ANY band width (a band only
+    removes cells from each set, and min over a superset is <= min
+    over the subset). Stages stop as soon as the bound exceeds eps²;
+    the hierarchy needs m >= 6 for the sets to stay disjoint."""
+    m = len(q)
+    if m < 2:
+        return 0.0
+    lb = (x[0] - q[0]) ** 2 + (x[m - 1] - q[m - 1]) ** 2
+    if lb > eps2 or m < 6:
+        return lb
+    lb += min(
+        (x[1] - q[0]) ** 2, (x[0] - q[1]) ** 2, (x[1] - q[1]) ** 2
+    )
+    if lb > eps2:
+        return lb
+    lb += min(
+        (x[m - 2] - q[m - 1]) ** 2,
+        (x[m - 1] - q[m - 2]) ** 2,
+        (x[m - 2] - q[m - 2]) ** 2,
+    )
+    if lb > eps2:
+        return lb
+    lb += min(
+        (x[0] - q[2]) ** 2,
+        (x[1] - q[2]) ** 2,
+        (x[2] - q[2]) ** 2,
+        (x[2] - q[1]) ** 2,
+        (x[2] - q[0]) ** 2,
+    )
+    if lb > eps2:
+        return lb
+    lb += min(
+        (x[m - 1] - q[m - 3]) ** 2,
+        (x[m - 2] - q[m - 3]) ** 2,
+        (x[m - 3] - q[m - 3]) ** 2,
+        (x[m - 3] - q[m - 2]) ** 2,
+        (x[m - 3] - q[m - 1]) ** 2,
+    )
+    return lb
+
+
+def dtw_cascade_dist(
+    x: np.ndarray,
+    q: np.ndarray,
+    rho: int,
+    eps2: float,
+    lo_env: np.ndarray,
+    hi_env: np.ndarray,
+    w_lo_env: np.ndarray | None = None,
+    w_hi_env: np.ndarray | None = None,
+    counters: dict | None = None,
+) -> float:
+    """Full DTW lower-bound cascade for one candidate window — the
+    reference's DtwUtils.java:149-338 order: LB_Kim (O(1) endpoint
+    hierarchy) -> query-side LB_Keogh (x vs query envelope) ->
+    data-side LB_Keogh (q vs the window's envelope, precomputed per
+    chunk) -> banded DTW whose early abandon adds the suffix sums of
+    the tighter Keogh's per-position contributions. Returns sqrt DTW
+    cost, or inf when provably > eps. Every stage is admissible, so a
+    window within eps is NEVER pruned (hypothesis-tested); stages only
+    reorder how fast non-matches die."""
+    if _lb_kim(x, q, eps2) > eps2:
+        if counters is not None:
+            counters["kim_pruned"] = counters.get("kim_pruned", 0) + 1
+        return math.inf
+    cb_q = _keogh_contrib(x, lo_env, hi_env)
+    lb_q = float(cb_q.sum())
+    if lb_q > eps2:
+        if counters is not None:
+            counters["keogh_q_pruned"] = counters.get("keogh_q_pruned", 0) + 1
+        return math.inf
+    cb = cb_q
+    if w_lo_env is not None:
+        cb_d = _keogh_contrib(q, w_lo_env, w_hi_env)
+        lb_d = float(cb_d.sum())
+        if lb_d > eps2:
+            if counters is not None:
+                counters["keogh_d_pruned"] = counters.get("keogh_d_pruned", 0) + 1
+            return math.inf
+        if lb_d > lb_q:
+            cb = cb_d
+    # suffix sums of the tighter bound's contributions feed the DTW
+    # row-wise abandon: cost so far + what the tail must still pay
+    cb_suffix = np.zeros(len(q) + 1)
+    cb_suffix[:-1] = cb[::-1].cumsum()[::-1]
+    if counters is not None:
+        counters["dtw_evals"] = counters.get("dtw_evals", 0) + 1
+    return _dtw_banded(x, q, rho, eps2, cb_suffix)
 
 
 def subsequence_match_dtw(
@@ -867,6 +986,15 @@ def subsequence_match_dtw(
 
     def verify(pos: np.ndarray, val: np.ndarray, starts: np.ndarray) -> pd.DataFrame:
         outs, outd = [], []
+        if len(starts):
+            # data-side envelope once per chunk, shared by every window
+            # (DtwUtils.java:96-134 builds it as the stream arrives);
+            # computed over chunk indices, which only WIDENS a window's
+            # true envelope at its edges — admissible
+            ser = pd.Series(val)
+            w = 2 * rho + 1
+            u_env_c = ser.rolling(w, min_periods=1, center=True).max().to_numpy()
+            l_env_c = ser.rolling(w, min_periods=1, center=True).min().to_numpy()
         for st in starts:
             s = int(np.searchsorted(pos, st))
             if (
@@ -876,9 +1004,10 @@ def subsequence_match_dtw(
             ):
                 continue
             x = val[s : s + m]
-            if _lb_keogh(x, lo_env, hi_env) > eps2:
-                continue
-            d = _dtw_banded(x, q, rho, eps2)
+            d = dtw_cascade_dist(
+                x, q, rho, eps2, lo_env, hi_env,
+                l_env_c[s : s + m], u_env_c[s : s + m],
+            )
             if d * d <= eps2:
                 outs.append(int(st))
                 outd.append(round(d, 6))
