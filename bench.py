@@ -37,13 +37,56 @@ HEADLINE = [
 ]
 
 
+# 10x stress subset: the three shuffle/state-heavy headliners whose
+# constant factors a design audit can't predict (VERDICT r4 task 5)
+STRESS = [
+    "q21_dedup_minhash_lsh",
+    "q29_subseq_match_ed",
+    "q48_semi_stream_similarity",
+]
+
+
+def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
+    """Bench the STRESS queries at sf1 (10x the bench scale).
+
+    Data is generated deterministically on first use (gitignored
+    local parquet — TESTDATA.md caps driver data at sf0.1). One run
+    each (these are long; warm-up noise is small relative to the
+    signal), reported with the runtime ratio vs the sf0.1 min so a
+    super-linear blowup is visible at a glance (data ratio = 10x)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        return None
+    try:
+        from tools.gen_stress_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1()
+    except Exception as e:  # stress data is best-effort, never fatal
+        print(f"# sf1 stress skipped: {e}", file=sys.stderr)
+        return None
+    out: dict[str, float] = {}
+    for name in STRESS:
+        t0 = time.monotonic()
+        specs[name].fn(spark, sf1_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"# sf1 {name}: {out[name]}s", file=sys.stderr)
+    return {
+        "queries": out,
+        "data_ratio": 10.0,
+        "runtime_ratio_vs_sf0.1": {
+            n: round(out[n] / base[n], 2) for n in STRESS if base.get(n)
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     specs = load_all()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
@@ -54,10 +97,12 @@ def main() -> None:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         # min over runs: steady-state plan+execute time, excluding JIT/
-        # shuffle-service warmup noise (~20% run-to-run on local[32])
+        # shuffle-service warmup noise (~20% run-to-run on local[32];
+        # n>=3 per VERDICT r4 task 6 after r4's +9% jitter drift)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
 
+    stress = _run_stress(spark, specs, timings)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -67,6 +112,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs": runs,
+                **({"sf1_stress": stress} if stress else {}),
                 # which BASELINE.md row each headline maps to
                 "baseline_map": {
                     "q33_semi_stream_cached_join": "DS-Join stream x stored equi-join (2.2x-vs-prior claim; here: 600k rows through 4 cached micro-batches)",

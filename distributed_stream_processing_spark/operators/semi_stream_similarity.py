@@ -245,20 +245,21 @@ class SemiStreamSimilarityJoin:
         pairs = pair_ids.join(F.broadcast(a_reps), "a_id").join(
             self.rep_store, "b_id"
         )
-        # eager localCheckpoint (the X8 lineage-truncation pattern):
-        # the verified pairs are tiny, and the caller's final
-        # evaluation of the unioned batches must not recompute through
-        # this batch's (by then unpersisted) cache state. This one job
-        # also materializes probe's and fetched's caches (broadcast +
-        # semi-join inputs), so neither needs its own count barrier —
-        # round 2 ran 5 actions per batch; this runs 2.
+        # lazy localCheckpoint (the X8 lineage-truncation pattern): the
+        # caller's final evaluation of the unioned batches must not
+        # recompute through this batch's (by then unpersisted) cache
+        # state, so the output is pinned to checkpoint blocks — but
+        # the pinning job is the batch's ONE combined action below,
+        # not a separate eager barrier ahead of state maintenance
+        # (round 2 ran 5 actions per batch, rounds 3-4 ran 2 with the
+        # output serialized before the state swap; this runs 1, so at
+        # thousands of batches the output tail never stalls the
+        # pipeline).
         out = _verify(pairs, t, self._mapping is not None).localCheckpoint(
-            eager=True
+            eager=False
         )
-        fetch_s = time.monotonic() - t0
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
-        t1 = time.monotonic()
         new_lru = (
             self.lru.join(F.broadcast(probe_keys), _KEY, "left_anti")
             .unionByName(probe_keys.withColumn("last_seen", F.lit(batch_id)))
@@ -282,16 +283,29 @@ class SemiStreamSimilarityJoin:
         )
         new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
         new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
-        # one combined action: full scans materialize both state caches
-        # and count the missed keys for the controller as a by-product
+        # THE one action of the batch: a single job materializes the
+        # verified output checkpoint, both state checkpoints, and the
+        # controller's key counts together — output verify and state
+        # maintenance share the cluster instead of serializing
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
+            .unionAll(probe_keys.select(F.lit("p").alias("t")))
             .unionAll(new_cache.select(F.lit("c").alias("t")))
             .unionAll(new_lru.select(F.lit("l").alias("t")))
+            .unionAll(out.select(F.lit("o").alias("t")))
         )
         counts = {r.t: r.n for r in tagged.groupBy("t").agg(F.count("*").alias("n")).collect()}
         n_miss = int(counts.get("m", 0))
-        maintain_s = time.monotonic() - t1
+        n_keys = int(counts.get("p", 0))
+        total_s = time.monotonic() - t0
+        # one action leaves no per-phase wall-clock split; attribute by
+        # miss fraction — the signal the reference's rule-based window
+        # policy keys on anyway (DS_SimJoin_stream.scala:645-667):
+        # miss-heavy batches read as fetch-dominated (grow the
+        # window), hit-heavy as maintenance-dominated (shrink)
+        miss_frac = n_miss / n_keys if n_keys else 0.0
+        fetch_s = total_s * miss_frac
+        maintain_s = total_s - fetch_s
 
         self.cache.unpersist()
         self.lru.unpersist()

@@ -463,9 +463,9 @@ def probe_index_ranges_sweep(
     width's runs partition the position space, and clamping preserves
     disjointness), so the K-way intersection is a sweep-line: +1/-1
     boundary events per range, a distributed prefix sum over
-    range-partitioned boundaries (partition totals collected — P rows
-    — and re-broadcast as offsets), and coverage==K segments become
-    the candidate ranges. Work scales with the number of index
+    deterministic position-range buckets (per-bucket net deltas
+    collected — B rows — and re-broadcast as entry offsets), and
+    coverage==K segments become the candidate ranges. Work scales with the number of index
     intervals, not series positions — the shape that holds when the
     series is 100 TB and the explode twin's position stream would be
     the bottleneck. Only the final intersected ranges (output-sized)
@@ -483,81 +483,125 @@ def probe_index_ranges_sweep(
             f"segmentation (has {sorted(available)})"
         )
     k = len(probes)
-    ev = None
-    for w, offset, lo, hi in probes:
-        rows = index.filter(
-            (F.col("w") == w)
-            & (F.col("mr") >= lo - grid)
-            & (F.col("mr") <= hi + grid)
+    # ONE index scan for ALL probes: each row tests the probe-literal
+    # array and explodes its matches into clamped start-ranges (the
+    # union-of-k-filtered-scans shape paid k passes over the index —
+    # and the sweep needs the events twice, so 2 passes here vs 2k)
+    parr = F.array(
+        *[
+            F.struct(
+                F.lit(int(w)).cast("int").alias("pw"),
+                F.lit(int(offset)).cast("long").alias("off"),
+                # full-grid (not half) slack, as in the explode twin:
+                # mr is a floor rounding, the true mean lies in
+                # [mr, mr + grid)
+                F.lit(float(lo - grid)).alias("lo"),
+                F.lit(float(hi + grid)).alias("hi"),
+            )
+            for w, offset, lo, hi in probes
+        ]
+    )
+    ranges = (
+        index.select(
+            "pos_start",
+            "pos_end",
+            F.explode(
+                F.filter(
+                    parr,
+                    lambda p: (p.pw == F.col("w"))
+                    & (F.col("mr") >= p.lo)
+                    & (F.col("mr") <= p.hi),
+                )
+            ).alias("p"),
         )
-        ranges = rows.select(
-            F.greatest(F.lit(0), F.col("pos_start") - F.lit(offset)).alias("s"),
+        .select(
+            F.greatest(F.lit(0), F.col("pos_start") - F.col("p.off")).alias("s"),
             F.least(
-                F.lit(max_start), F.col("pos_end") - F.lit(offset)
+                F.lit(max_start), F.col("pos_end") - F.col("p.off")
             ).alias("e"),
-        ).filter(F.col("e") >= F.col("s"))
-        pe = ranges.select(F.col("s").alias("pos"), F.lit(1).alias("d")).unionAll(
-            ranges.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("d"))
         )
-        ev = pe if ev is None else ev.unionAll(pe)
+        .filter(F.col("e") >= F.col("s"))
+    )
+    if k == 1:
+        # single-segment queries need no intersection: one probe's
+        # clamped index intervals are disjoint, so their positions are
+        # the candidate set — no events, no stats, no sweep
+        return ranges.select(F.explode(F.sequence("s", "e")).alias("start"))
+    ev = ranges.select(F.col("s").alias("pos"), F.lit(1).alias("d")).unionAll(
+        ranges.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("d"))
+    )
     spark = index.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bounds = (
-        ev.groupBy("pos")
-        .agg(F.sum("d").alias("d"))
-        .filter(F.col("d") != 0)  # net-zero boundaries change nothing
-        .repartitionByRange(n_parts, "pos")
-        .sortWithinPartitions("pos")
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
+    # deterministic range buckets over the KNOWN position domain —
+    # unlike repartitionByRange there is no sampling pass, no cache,
+    # and no partition-id bookkeeping (rounds 2-4 paid a groupBy(pos)
+    # merge shuffle + a sampled range shuffle + a cached double scan;
+    # this is two small jobs over the raw events: B-row stats, then
+    # one bucket-grouped sweep)
+    span = max_start + 2  # event positions land in [0, max_start + 1]
+    bcol = (
+        F.least(
+            F.lit(n_parts - 1),
+            F.floor(F.col("pos") * n_parts / F.lit(span)),
+        )
+        .cast("int")
+        .alias("b")
     )
-    stats = bounds.groupBy("pid").agg(
+    evb = ev.select(bcol, "pos", "d")
+    # per-bucket (net delta, first boundary): map-side combined B-row
+    # aggregate; the driver turns it into entry coverage per bucket
+    # (prefix sums) and each bucket's successor boundary
+    stats = evb.groupBy("b").agg(
         F.sum("d").alias("tot"), F.min("pos").alias("lo")
     ).collect()
-    stats.sort(key=lambda r: r.pid)
+    stats.sort(key=lambda r: r.b)
     prefix: dict[int, int] = {}
     running = 0
     for r in stats:
-        prefix[r.pid] = running
+        prefix[r.b] = running
         running += int(r.tot)
     next_lo: dict[int, int] = {}
     nxt = None
     for r in reversed(stats):
         if nxt is not None:
-            next_lo[r.pid] = nxt
+            next_lo[r.b] = nxt
         nxt = int(r.lo)
 
-    def gen(batches):
-        cum = None
+    def sweep(key, pdf):
+        b = int(key[0])
+        cum = prefix.get(b, 0)
         open_start = None
-        pid = None
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if cum is None:
-                pid = int(pdf["pid"].iloc[0])
-                cum = prefix.get(pid, 0)
-            out_s, out_e = [], []
-            for pos, d in zip(pdf["pos"].to_numpy(), pdf["d"].to_numpy()):
-                if open_start is not None:
+        out_s, out_e = [], []
+        pdf = pdf.sort_values("pos")
+        # rows are raw +-1 events (same pos may repeat, including
+        # net-zero pairs); an open interval closes only when the sweep
+        # MOVES PAST its start — same-position re-events cancel and
+        # may immediately reopen, which at worst splits a covered
+        # range into adjacent fragments (identical after the explode
+        # to starts)
+        for pos, d in zip(pdf["pos"].to_numpy(), pdf["d"].to_numpy()):
+            pos = int(pos)
+            if open_start is not None:
+                if pos > open_start:
                     out_s.append(open_start)
-                    out_e.append(int(pos) - 1)
-                    open_start = None
-                cum += int(d)
-                if cum == k:
-                    open_start = int(pos)
-            if out_s:
-                yield pd.DataFrame({"cs": out_s, "ce": out_e})
+                    out_e.append(pos - 1)
+                open_start = None
+            cum += int(d)
+            if cum == k and open_start is None:
+                open_start = pos
         if open_start is not None:
-            # coverage still K at partition end: the next non-empty
-            # partition's first boundary closes it (one exists —
-            # global coverage returns to 0 after the last -1 event)
-            end = next_lo.get(pid)
+            # coverage still K at bucket end: the next non-empty
+            # bucket's first boundary closes it (one exists — global
+            # coverage returns to 0 after the last -1 event)
+            end = next_lo.get(b)
             if end is not None and end - 1 >= open_start:
-                yield pd.DataFrame({"cs": [open_start], "ce": [end - 1]})
+                out_s.append(open_start)
+                out_e.append(end - 1)
+        return pd.DataFrame({"cs": out_s, "ce": out_e}).astype(
+            {"cs": "int64", "ce": "int64"}
+        )
 
-    covered = bounds.mapInPandas(gen, schema="cs long, ce long")
+    covered = evb.groupBy("b").applyInPandas(sweep, schema="cs long, ce long")
     return covered.select(
         F.explode(F.sequence("cs", "ce")).alias("start")
     ).filter((F.col("start") >= 0) & (F.col("start") <= max_start))

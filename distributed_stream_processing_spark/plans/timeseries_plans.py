@@ -126,9 +126,13 @@ def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=shared_index(spark, sf_dir),
         n_positions=n,
         available_widths={100},
-        # explode probe: measured 2x faster than the sweep at bench
-        # scale (positions fit the shuffle comfortably); q31 gates the
-        # sweep path, the extreme-scale shape
+        # the interval-granularity probe (work scales with index
+        # intervals, not series positions — the 100 TB shape). Round 5
+        # closed its fixed costs: single index scan for all probes,
+        # k==1 shortcut, deterministic buckets instead of a sampled
+        # range shuffle; measured <= the explode twin at sf0.1 for
+        # both the k=1 (this query) and k=4 shapes
+        probe_method="sweep",
     )
 
 
