@@ -30,6 +30,13 @@ def _s3m_oracle() -> str:
     scaled squared diffs, so the per-window argmin (ORDER BY d2,
     start — ties to the lowest position, as np.argmin takes the first
     minimum) and round(sqrt(d2)/scale, 6) reproduce bit-exactly.
+
+    GATE-SCALE ONLY: the j CTE is a non-equi join materializing
+    ~split*M*n_windows rows (~3.6M at sf0.01) before the GROUP BY —
+    fine for the sf0.01 correctness gate it exists for, impractical
+    at large SFs (the ENGINE side stays chunked/distributed at any
+    scale; restrict j with a per-window pos range or precompute
+    rolling sums if this oracle ever needs to run bigger).
     """
     return f"""
     WITH s AS (SELECT event_id AS pos,

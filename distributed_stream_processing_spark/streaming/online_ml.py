@@ -51,9 +51,20 @@ def batch_best_match(
     m = len(next(iter(windows.values())))
     items = sorted((int(k), np.asarray(v, dtype=np.float64)) for k, v in windows.items())
     if value_scale is not None:
-        items = [
-            (k, np.rint(v * value_scale).astype(np.int64)) for k, v in items
-        ]
+        scaled = [(k, v * value_scale) for k, v in items]
+        # the exactness contract is data-dependent: fail LOUDLY when
+        # the data is not fixed-decimal at this scale instead of
+        # silently degrading to approximately-rounded integers
+        for k, sv in scaled:
+            if len(sv) and float(np.abs(sv - np.rint(sv)).max()) > 1e-6:
+                raise ValueError(
+                    f"value_scale={value_scale} but window {k} is not "
+                    "fixed-decimal at that scale"
+                )
+        items = [(k, np.rint(sv).astype(np.int64)) for k, sv in scaled]
+    _q_absmax = max(
+        (float(np.abs(q).max()) for _, q in items if len(q)), default=0.0
+    )
 
     from distributed_stream_processing_spark.operators.subsequence_match import _chunked
 
@@ -67,7 +78,22 @@ def batch_best_match(
                 if len(val) < m:
                     continue
                 if value_scale is not None:
-                    val = np.rint(val * value_scale).astype(np.int64)
+                    sv = val * value_scale
+                    if len(sv) and float(np.abs(sv - np.rint(sv)).max()) > 1e-6:
+                        raise ValueError(
+                            f"value_scale={value_scale} but series values "
+                            "are not fixed-decimal at that scale"
+                        )
+                    val = np.rint(sv).astype(np.int64)
+                    # int64-exactness guard: the double-typed merge
+                    # column is exact only while d2 < 2^53
+                    dmax = float(np.abs(val).max()) + _q_absmax
+                    if dmax * dmax * m >= 2.0**53:
+                        raise ValueError(
+                            "scaled |diff|^2 * m may exceed 2^53 — exact "
+                            "int64 distance contract would break; lower "
+                            "value_scale or shorten the window"
+                        )
                 X = np.lib.stride_tricks.sliding_window_view(val, m)
                 starts = pos[: len(val) - m + 1]
                 own = (
@@ -266,7 +292,7 @@ def run_s3m_pipeline(
     n_windows: int = 12,
     step_size: float = 0.05,
     num_iterations: int = 10,
-    value_scale: int | None = 100,
+    value_scale: int | None = None,
 ) -> list[dict]:
     """Replay the tail of ``series`` as a window stream against its
     stored head; returns the per-window prediction trajectory
@@ -276,6 +302,12 @@ def run_s3m_pipeline(
     signal. Labels arrive ``pred`` positions after the window ends;
     training is delayed through a depth-``q_size`` queue exactly like
     the reference (s3m.scala:77,100-124).
+
+    ``value_scale`` defaults to None (true float ED matching, any
+    series); pass 100 only for fixed-2-decimal data, where it makes
+    the match core bit-reproducible (the gated q35 path does this via
+    s3m_match_table) — batch_best_match rejects non-fixed-decimal
+    input loudly rather than quantizing it.
     """
     m = window_size
     n, split, meta, slices, matches = _s3m_prep(

@@ -112,3 +112,23 @@ def test_frame_sample_counts(spark, sf_smoke):
         (F.col("frame_no") % 4 != 0) | (F.col("frame_no") < 0)
     ).count()
     assert bad == 0
+
+
+def test_real_decoder_seam_guard(monkeypatch, spark, sf_smoke):
+    """The _HAVE_REAL_DECODERS branch must fail LOUDLY (decode is not
+    wired) rather than silently emitting stub features when a real
+    image library appears in the environment."""
+    from distributed_stream_processing_spark.sources import multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAVE_REAL_DECODERS", True)
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(media_table(spark, sf_smoke))
+
+
+def test_real_decoder_environment():
+    """Skipped in this container (no PIL): when PIL exists, the flag
+    must flip and the loud-failure contract above applies for real."""
+    pytest.importorskip("PIL")
+    from distributed_stream_processing_spark.sources import multimodal as mm
+
+    assert mm._HAVE_REAL_DECODERS is True
