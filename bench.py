@@ -47,35 +47,39 @@ STRESS = [
 
 
 def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
-    """Bench the STRESS queries at sf1 (10x the bench scale).
-
-    Data is generated deterministically on first use (gitignored
-    local parquet — TESTDATA.md caps driver data at sf0.1). One run
-    each (these are long; warm-up noise is small relative to the
-    signal), reported with the runtime ratio vs the sf0.1 min so a
-    super-linear blowup is visible at a glance (data ratio = 10x)."""
+    """10x scaling audit for the STRESS queries: same synthetic
+    distribution at 1x (the sf0.1 shape) and 10x rows, generated
+    deterministically on first use (gitignored local parquet —
+    TESTDATA.md caps driver data at sf0.1). The 10x/1x runtime ratio
+    on IDENTICAL distributions isolates engine scaling; the driver's
+    own documents fixture has quadratic qualifying-pair volume, so a
+    ratio against it would conflate output growth with engine
+    behavior. One timed run per point after a 1x warm-up."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         return None
     try:
-        from tools.gen_stress_sf1 import ensure_sf1
+        from tools.gen_stress_sf1 import ensure_stress
 
-        sf1_dir = ensure_sf1()
+        dirs = ensure_stress()
     except Exception as e:  # stress data is best-effort, never fatal
-        print(f"# sf1 stress skipped: {e}", file=sys.stderr)
+        print(f"# 10x stress skipped: {e}", file=sys.stderr)
         return None
-    out: dict[str, float] = {}
-    for name in STRESS:
-        t0 = time.monotonic()
-        specs[name].fn(spark, sf1_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        out[name] = round(time.monotonic() - t0, 3)
-        print(f"# sf1 {name}: {out[name]}s", file=sys.stderr)
+    out: dict[str, dict[str, float]] = {n: {} for n in STRESS}
+    for scale, d in dirs.items():
+        for name in STRESS:
+            t0 = time.monotonic()
+            specs[name].fn(spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            out[name][scale] = round(time.monotonic() - t0, 3)
+            print(f"# {scale} {name}: {out[name][scale]}s", file=sys.stderr)
     return {
         "queries": out,
         "data_ratio": 10.0,
-        "runtime_ratio_vs_sf0.1": {
-            n: round(out[n] / base[n], 2) for n in STRESS if base.get(n)
+        "runtime_ratio_10x_vs_1x": {
+            n: round(out[n]["stress10x"] / out[n]["stress1x"], 2)
+            for n in STRESS
+            if out[n].get("stress1x")
         },
     }
 

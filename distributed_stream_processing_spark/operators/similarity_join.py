@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -364,12 +365,115 @@ def choose_signature_schemes(
     return out
 
 
+def _vsl_greedy(c1: list[int], c2x: list[int], units: int) -> list[int]:
+    """Dima's per-record probe-unit distribution (DimaJoin.scala:
+    434-479): a min-heap greedily assigns exactly ``units`` probe
+    units over segments by marginal candidate cost — unit 1 of
+    segment i costs its equality-bucket frequency c1[i], unit 2 its
+    deletion-tolerance extra c2x[i]. v_i ∈ {0,1,2}. (The reference
+    adds reducer-load terms priced for its hand-rolled partitioner;
+    its weight(0)=0 zeroes the mode-1 term and AQE owns balance here,
+    so the engine prices candidate volume only.)"""
+    import heapq
+
+    heap = [(c, 0, i) for i, c in enumerate(c1)]
+    heapq.heapify(heap)
+    v = [0] * len(c1)
+    for _ in range(units):
+        _, _, i = heapq.heappop(heap)
+        v[i] += 1
+        if v[i] == 1:
+            heapq.heappush(heap, (c2x[i], 1, i))
+    return v
+
+
+def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame:
+    """Per-signature probe V-selection (T5 at the reference's true
+    granularity, DimaJoin.scala:330-479): for every probe record,
+    price each segment's probe level from the measured index-side
+    signature frequencies and keep only the chosen probe rows.
+
+    v_i = 1 probes segment i by equality (its segment signature vs
+    index segment signatures); v_i = 2 adds 1-diff tolerance (segment
+    signature vs index DELETION signatures + own deletion signatures
+    vs index segment signatures); v_i = 0 skips the segment. Exactly
+    H_g units are distributed (greedy min-heap on marginal candidate
+    counts, _vsl_greedy), and any qualifying pair in group g has
+    |x Δ y| <= H_g - 1 diffs, so if no chosen probe caught it then
+    diffs >= sum(v_i) = H_g — contradiction: the scheme stays exact
+    (pigeonhole, as the all-ones/equality scheme it generalizes).
+
+    The reference collects its signature frequency map to the driver
+    and broadcasts it; here the frequency table stays distributed —
+    an ids-only equi-join prices the probe rows, and the per-record
+    greedy runs in a grouped Arrow pass. Emitted rows name the index
+    kind they target (b_kind), so deletion x deletion never joins.
+    """
+    freq = b.groupBy("g", "seg", "sig").agg(
+        F.sum(F.when(F.col("b_kind") == 0, 1).otherwise(0)).alias("f0"),
+        F.sum(F.when(F.col("b_kind") == 1, 1).otherwise(0)).alias("f1"),
+    )
+    costed = (
+        a.join(freq, ["g", "seg", "sig"], "left")
+        .fillna({"f0": 0, "f1": 0})
+        .select("a_id", "a_sz", "g", "seg", "sig", "a_kind", "f0", "f1")
+    )
+
+    def pick(key, pdf):
+        # real annotations set below (the module's future-annotations
+        # mode would stringify inline hints past the UDF inspector)
+        a_id, a_sz, g = (int(k) for k in key)
+        h = hs[g]
+        seg_rows = pdf[pdf["a_kind"] == 0]
+        segsig: dict[int, int] = {}
+        c1: dict[int, int] = {}
+        c2x: dict[int, int] = {}
+        for r in seg_rows.itertuples():
+            segsig[int(r.seg)] = int(r.sig)
+            c1[int(r.seg)] = int(r.f0)  # equality-bucket candidates
+            c2x[int(r.seg)] = int(r.f1)  # + index deletions it would hit
+        dels: dict[int, list[int]] = {}
+        for r in pdf[pdf["a_kind"] == 1].itertuples():
+            s = int(r.seg)
+            dels.setdefault(s, []).append(int(r.sig))
+            c2x[s] = c2x.get(s, 0) + int(r.f0)  # own deletions vs index segs
+        segs = sorted(c1)  # all h segments (empty ones included)
+        v = _vsl_greedy([c1[s] for s in segs], [c2x[s] for s in segs], h)
+        rows = []
+        for s, vi in zip(segs, v):
+            if vi >= 1:
+                rows.append((a_id, a_sz, g, s, segsig[s], 0))
+            if vi == 2:
+                rows.append((a_id, a_sz, g, s, segsig[s], 1))
+                rows.extend(
+                    (a_id, a_sz, g, s, d, 0) for d in dels.get(s, ())
+                )
+        return pd.DataFrame(
+            rows, columns=["a_id", "a_sz", "g", "seg", "sig", "b_kind"]
+        ).astype(
+            {
+                "a_id": "int64",
+                "a_sz": "int32",
+                "g": "int32",
+                "seg": "int32",
+                "sig": "int64",
+                "b_kind": "int32",
+            }
+        )
+
+    pick.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return costed.groupBy("a_id", "a_sz", "g").applyInPandas(
+        pick, schema="a_id long, a_sz int, g int, seg int, sig long, b_kind int"
+    )
+
+
 def dima_similarity_join(
     left: DataFrame,
     right: DataFrame | None,
     threshold: Fraction | float,
     max_len: int | None = None,
     scheme: str = "equality",
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Exact Jaccard join via Dima-style segment signatures with
     length-grouped segment counts (reference parity path; scheme and
@@ -401,7 +505,15 @@ def dima_similarity_join(
     of O(tokens) deletion rows per record — the trade the reference's
     V-selection arbitrates per signature; ``scheme="adaptive"`` makes
     that choice per length group from the measured index signature
-    frequencies (choose_signature_schemes), the engine's T5 analogue.
+    frequencies (choose_signature_schemes), the engine's T5 analogue,
+    and ``scheme="vsl"`` makes it at the reference's true granularity:
+    per probe record per segment (v_i ∈ {0,1,2}, _vsl_probe_rows) —
+    skipping hot equality buckets entirely by paying 1-diff tolerance
+    on cheap segments, with the index carrying both signature kinds.
+
+    ``candidates_only=True`` returns the deduped candidate id pairs
+    before verification (the reference's candidate-count statistic;
+    used by the V-selection pruning tests).
     """
     from distributed_stream_processing_spark.functions.signatures import (
         deletion_signatures,
@@ -410,7 +522,7 @@ def dima_similarity_join(
         segment_signatures,
     )
 
-    if scheme not in ("equality", "deletion", "adaptive"):
+    if scheme not in ("equality", "deletion", "adaptive", "vsl"):
         raise ValueError(f"unknown scheme {scheme!r}")
     t = Fraction(threshold).limit_denominator(1_000_000)
     self_join = right is None
@@ -434,9 +546,16 @@ def dima_similarity_join(
     }
     if scheme == "adaptive":
         group_deletion = choose_signature_schemes(right, groups, t, h_eq, h_del)
+    elif scheme == "vsl":
+        # Dima's true layout: FULL segment count per group, both kinds
+        # on both sides; the probe side then prunes per signature
+        group_deletion = {g: True for g in range(len(groups))}
     else:
         group_deletion = {g: scheme == "deletion" for g in range(len(groups))}
-    hs = {g: h_del[g] if group_deletion[g] else h_eq[g] for g in group_deletion}
+    if scheme == "vsl":
+        hs = dict(h_eq)
+    else:
+        hs = {g: h_del[g] if group_deletion[g] else h_eq[g] for g in group_deletion}
     any_deletion = any(group_deletion.values())
 
     def sig_col(h: int, with_deletion: bool):
@@ -507,19 +626,37 @@ def dima_similarity_join(
     )
     if self_join:
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
-    if any_deletion:
-        # deletion x deletion collisions prove nothing (2 diffs)
-        pair_filter = pair_filter & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
 
-    # signature rows shuffle (id, sz) only; token arrays join back onto
-    # the deduped candidate pairs for verification (ids-not-payloads —
-    # the layout that survives a 100x corpus; see similarity_join)
-    pair_ids = (
-        a.join(b, ["g", "seg", "sig"])
-        .filter(pair_filter)
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    if scheme == "vsl":
+        probe = _vsl_probe_rows(a, b, hs)
+        # probe rows already name the index kind they target (deletion
+        # x deletion is never emitted), so the join is a plain 4-key
+        # equi-join
+        pair_ids = (
+            probe.join(b, ["g", "seg", "sig", "b_kind"])
+            .filter(pair_filter)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        if any_deletion:
+            # deletion x deletion collisions prove nothing (2 diffs)
+            pair_filter = pair_filter & (
+                (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
+            )
+
+        # signature rows shuffle (id, sz) only; token arrays join back
+        # onto the deduped candidate pairs for verification
+        # (ids-not-payloads — the layout that survives a 100x corpus;
+        # see similarity_join)
+        pair_ids = (
+            a.join(b, ["g", "seg", "sig"])
+            .filter(pair_filter)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    if candidates_only:
+        return pair_ids
     averify = left.select(F.col("id").alias("a_id"), F.col("tokens").alias("a_tokens"))
     bverify = right.select(F.col("id").alias("b_id"), F.col("tokens").alias("b_tokens"))
     cands = pair_ids.join(averify, "a_id").join(bverify, "b_id")

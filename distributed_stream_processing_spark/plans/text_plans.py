@@ -124,13 +124,18 @@ def q53_similarity_deletion_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ),
     doc=(
-        "q17's join with the engine CHOOSING equality vs deletion "
-        "signatures per length group from the measured index signature "
-        "frequencies (choose_signature_schemes — the T5 V-selection "
-        "analogue, DimaJoin.scala:330-479 at group granularity). Same "
-        "oracle as q17/q53: whatever mix of schemes the cost model "
-        "picks, the output must be the exact join. Gate row freed by "
-        "retiring q10 (rollup covered by q34's identical oracle)."
+        "q17's join through per-signature probe V-selection "
+        "(scheme='vsl' — the reference's TRUE T5 granularity, "
+        "DimaJoin.scala:330-479): each probe record prices every "
+        "segment's probe level {skip, equality, +deletion-tolerance} "
+        "from the measured index signature frequencies and spends "
+        "exactly H_g units, so hot equality buckets are skipped by "
+        "paying 1-diff tolerance on cheap segments. Same oracle as "
+        "q17/q53: whatever levels the cost model assigns, the output "
+        "must be the exact join. The coarser per-length-group chooser "
+        "(choose_signature_schemes, scheme='adaptive', gated here in "
+        "rounds 2-4) stays pytest-verified "
+        "(test_dima_adaptive_scheme_equals_brute_force)."
     ),
 )
 def q54_similarity_adaptive_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +145,7 @@ def q54_similarity_adaptive_scheme(spark: SparkSession, sf_dir: str) -> DataFram
     )
     stream = base.filter((F.col("id") % 10 == 0) & (F.length("text") > 10)).drop("text")
     stored = base.filter(F.col("id") % 10 != 0).drop("text")
-    return dima_similarity_join(stream, stored, Fraction(7, 10), scheme="adaptive")
+    return dima_similarity_join(stream, stored, Fraction(7, 10), scheme="vsl")
 
 
 @query(

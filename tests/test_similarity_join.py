@@ -251,3 +251,53 @@ def test_similarity_store_save_load_roundtrip(spark, corpus, tmp_path):
         return _pairs(outs[0].unionByName(outs[1]))
 
     assert run(built) == run(loaded) != set()
+
+
+def test_dima_vsl_scheme_equals_brute_force(spark, corpus):
+    """scheme='vsl' (per-record per-segment probe V-selection,
+    DimaJoin.scala:330-479 granularity) must stay exact whatever
+    probe levels the cost model assigns."""
+    assert _pairs(dima_similarity_join(corpus, None, T, scheme="vsl")) == _pairs(
+        brute_force_similarity_join(corpus, None, T)
+    )
+    left = corpus.filter(F.col("id") % 2 == 0)
+    right = corpus.filter(F.col("id") % 2 == 1)
+    assert _pairs(dima_similarity_join(left, right, T, scheme="vsl")) == _pairs(
+        brute_force_similarity_join(left, right, T)
+    )
+
+
+def test_dima_vsl_prunes_hot_buckets(spark):
+    """Skewed fixture: many index records share one hot segment
+    content. V-selection must probe around the hot equality bucket
+    (v=0 there, v=2 on cheap segments), producing strictly fewer
+    candidate pairs than the all-equality scheme — with identical
+    verified output."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    hot = " ".join(f"h{i}" for i in range(4))  # shared hot token block
+    rows = []
+    for i in range(150):
+        k = rng.randint(8, 14)
+        toks = rng.sample(vocab, k)
+        # every stored doc carries the hot block -> one segment's
+        # signature bucket goes quadratic under pure equality probing
+        rows.append((i, hot + " " + " ".join(toks)))
+    probe_rows = [(1000 + i, hot + " " + " ".join(rng.sample(vocab, 10)))
+                  for i in range(20)]
+    stored = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    probe = spark.createDataFrame(probe_rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    n_eq = dima_similarity_join(
+        probe, stored, T, scheme="equality", candidates_only=True
+    ).count()
+    n_vsl = dima_similarity_join(
+        probe, stored, T, scheme="vsl", candidates_only=True
+    ).count()
+    assert n_vsl < n_eq
+    assert _pairs(dima_similarity_join(probe, stored, T, scheme="vsl")) == _pairs(
+        brute_force_similarity_join(probe, stored, T)
+    )

@@ -1,14 +1,24 @@
-"""Deterministic sf1 stress tables (10x the bench scale).
+"""Deterministic stress tables for the 10x scaling audit.
 
 TESTDATA.md caps the driver-generated data at sf0.1; the scale audit
-needs one 10x point to catch constant-factor surprises the design
-review can't. This generator writes schema-compatible `documents`,
-`events`, and `embeddings` parquet (the three tables the stress bench
-reads — q21/q48 on documents, q29 on events) to
-``/root/repo/.stressdata/sf1`` with seed 42. Idempotent: skips tables
-that already exist. Pure numpy/pyarrow, ~seconds for 1M events.
+needs a clean 10x experiment to catch constant-factor surprises the
+design review can't. Two directories with the SAME distribution at
+1x and 10x rows (``.stressdata/stress1x`` / ``stress10x``), so the
+runtime ratio between them isolates ENGINE scaling:
 
-Usage: PYTHONPATH=/root/repo python3 tools/gen_stress_sf1.py [out_dir]
+* documents: large vocab (~2k words) -> background Jaccard is tiny,
+  with planted near-dups (2%, one-word swap) and exact dups — output
+  pair volume grows ~linearly with the corpus, the realistic dedup
+  regime. (The driver's sf0.1 documents draw from a ~34-word vocab,
+  where >20% of ALL pairs qualify at 0.8 — output is inherently
+  quadratic there, so a naive sf0.1-vs-10x ratio would read as a
+  superlinear engine even for a perfectly linear one.)
+* events: iid 2-decimal gamma values (q29's series contract).
+* embeddings: unit-norm gaussian vectors.
+
+Seeded per table+scale; idempotent (skips existing files). Pure
+numpy/pyarrow. Usage:
+PYTHONPATH=/root/repo python3 tools/gen_stress_sf1.py [base_dir]
 """
 
 from __future__ import annotations
@@ -21,103 +31,108 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF1_DIR = "/root/repo/.stressdata/sf1"
-N_DOCS = 50_000
-N_EVENTS = 1_000_000
-N_VECS = 20_000
+BASE_DIR = "/root/repo/.stressdata"
+SCALES = {"stress1x": 1, "stress10x": 10}
+N_DOCS, N_EVENTS, N_VECS = 5_000, 100_000, 2_000  # 1x = the sf0.1 shape
 
-VOCAB = (
+_BASE = (
     "batch part spark line column order small sort fast value scan hash "
     "slow group agg filter query big key window row table stream merge "
     "data join shuffle stage task broadcast skew limit index cache"
 ).split()
+VOCAB = np.array([f"{w}{i}" for w in _BASE for i in range(60)])
 LANGS = ["en", "zh", "de", "fr", "es"]
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def gen_documents(path: str, rng: np.random.RandomState) -> None:
-    lens = rng.randint(8, 101, size=N_DOCS)
-    texts = []
-    for n in lens:
-        texts.append(" ".join(np.array(VOCAB)[rng.randint(0, len(VOCAB), n)]))
-    # plant near-dups (~2%: one word swapped) and a few exact dups,
-    # mirroring the sf0.1 fixture's duplicate structure at 10x
-    for i in range(0, N_DOCS, 50):
-        src = int(rng.randint(0, N_DOCS))
+def gen_documents(path: str, rng: np.random.RandomState, n: int) -> None:
+    lens = rng.randint(8, 101, size=n)
+    texts = [
+        " ".join(VOCAB[rng.randint(0, len(VOCAB), k)]) for k in lens
+    ]
+    # ~2% near-dups (one word swapped -> Jaccard ~0.9+) and sparse
+    # exact dups; dup volume scales LINEARLY with the corpus
+    for i in range(0, n, 50):
+        src = int(rng.randint(0, n))
         toks = texts[src].split()
-        toks[int(rng.randint(0, len(toks)))] = VOCAB[int(rng.randint(0, len(VOCAB)))]
+        toks[int(rng.randint(0, len(toks)))] = str(
+            VOCAB[int(rng.randint(0, len(VOCAB)))]
+        )
         texts[i] = " ".join(toks)
-    for i in range(1, N_DOCS, 5000):
-        texts[i] = texts[(i + 17) % N_DOCS]
+    for i in range(1, n, 500):
+        texts[i] = texts[(i + 17) % n]
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(N_DOCS)]),
-            "source": pa.array([f"src{i % 20}" for i in range(N_DOCS)]),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n)]),
+            "source": pa.array([f"src{i % 20}" for i in range(n)]),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
     pq.write_table(tbl, path)
 
 
-def gen_events(path: str, rng: np.random.RandomState) -> None:
+def gen_events(path: str, rng: np.random.RandomState, n: int) -> None:
     base = np.datetime64("2024-01-01T00:00:00.000000")
-    gaps = rng.exponential(2.6e6, size=N_EVENTS).astype("int64")  # ~usec
+    gaps = rng.exponential(2.6e6, size=n).astype("int64")  # ~usec
     ts = base + np.cumsum(gaps).astype("timedelta64[us]")
-    value = np.round(np.abs(rng.gamma(2.0, 25.0, size=N_EVENTS)), 2)
+    value = np.round(np.abs(rng.gamma(2.0, 25.0, size=n)), 2)
     tbl = pa.table(
         {
-            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
             "ts": pa.array(ts, pa.timestamp("us")),
-            "user_id": pa.array(
-                rng.randint(0, 15_000, size=N_EVENTS), pa.int64()
-            ),
+            "user_id": pa.array(rng.randint(0, 15_000, size=n), pa.int64()),
             "event_type": pa.array(
-                [EVENT_TYPES[i] for i in rng.randint(0, 5, size=N_EVENTS)]
+                [EVENT_TYPES[i] for i in rng.randint(0, 5, size=n)]
             ),
             "value": pa.array(value, pa.float64()),
             "props": pa.array(
-                [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, size=N_EVENTS)]
+                [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, size=n)]
             ),
         }
     )
     pq.write_table(tbl, path)
 
 
-def gen_embeddings(path: str, rng: np.random.RandomState) -> None:
-    mat = rng.randn(N_VECS, 64)
+def gen_embeddings(path: str, rng: np.random.RandomState, n: int) -> None:
+    mat = rng.randn(n, 64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     tbl = pa.table(
         {
-            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "vec_id": pa.array(range(n), pa.int64()),
             "embedding": pa.array(
                 [row.astype(np.float32) for row in mat],
                 pa.list_(pa.float32()),
             ),
-            "label": pa.array(rng.randint(0, 16, size=N_VECS), pa.int32()),
+            "label": pa.array(rng.randint(0, 16, size=n), pa.int32()),
         }
     )
     pq.write_table(tbl, path)
 
 
-def ensure_sf1(out_dir: str = SF1_DIR) -> str:
-    os.makedirs(out_dir, exist_ok=True)
-    # per-table seeds: regeneration of any one table is deterministic
-    # even when the others already exist
-    for i, (name, fn) in enumerate(
-        (
-            ("documents", gen_documents),
-            ("events", gen_events),
-            ("embeddings", gen_embeddings),
-        )
-    ):
-        path = os.path.join(out_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            fn(path, np.random.RandomState(42 + i))
-    return out_dir
+def ensure_stress(base_dir: str = BASE_DIR) -> dict[str, str]:
+    """Generate (if missing) both scale points; returns {name: dir}."""
+    out = {}
+    for name, mult in SCALES.items():
+        d = os.path.join(base_dir, name)
+        os.makedirs(d, exist_ok=True)
+        # per-table+scale seeds: any one file regenerates identically
+        for i, (tbl, fn, n1x) in enumerate(
+            (
+                ("documents", gen_documents, N_DOCS),
+                ("events", gen_events, N_EVENTS),
+                ("embeddings", gen_embeddings, N_VECS),
+            )
+        ):
+            path = os.path.join(d, f"{tbl}.parquet")
+            if not os.path.exists(path):
+                fn(path, np.random.RandomState(42 + 10 * mult + i), n1x * mult)
+        out[name] = d
+    return out
 
 
 if __name__ == "__main__":
-    d = ensure_sf1(sys.argv[1] if len(sys.argv) > 1 else SF1_DIR)
-    print(d)
+    dirs = ensure_stress(sys.argv[1] if len(sys.argv) > 1 else BASE_DIR)
+    for name, d in dirs.items():
+        print(name, d)
