@@ -121,7 +121,7 @@ def main() -> None:
                 # which BASELINE.md row each headline maps to
                 "baseline_map": {
                     "q33_semi_stream_cached_join": "DS-Join stream x stored equi-join (2.2x-vs-prior claim; here: 600k rows through 4 cached micro-batches)",
-                    "q48_semi_stream_similarity": "DSim-Join cached similarity join (1.8x-vs-Dima claim, 2099ms/batch log; here: 1.5k query docs x 3.5k stored, 3 batches, exact)",
+                    "q48_semi_stream_similarity": "DSim-Join cached similarity join (1.8x-vs-Dima claim, 2099ms/batch log; here: 1.5k query docs x 3.5k stored, 3 batches, exact). OUTPUT-BOUND at sf0.1: each batch dedups ~1.2M candidate pairs and emits ~550k qualifying rows (the fixture's similarity density is extreme); reference batches carry ~10 query docs",
                     "q16_similarity_self_join": "Dima one-shot similarity join (index build 13785ms for 5k docs; here: full exact self-join of 5k docs)",
                     "q29_subseq_match_ed": "KV-match ED search (phase constants A=9.72ms/candidate; here: index build at 100k points + probe + exact verify)",
                 },

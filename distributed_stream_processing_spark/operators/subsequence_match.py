@@ -724,6 +724,57 @@ def verify_ed(
     )
 
 
+def verify_ed_ints(
+    series: DataFrame,
+    candidates: DataFrame,
+    query: list[float],
+    epsilon: float,
+    value_scale: int,
+    chunk: int = 8192,
+) -> DataFrame:
+    """Exact ED verify for FIXED-DECIMAL series: d2 is an int64 sum of
+    scaled squared diffs — order-independent, so it needs no ordered
+    fold and runs as a vectorized numpy pass over cogrouped chunks
+    (the same candidate-pruned shape as the DTW verify) instead of
+    verify_ed's exploded (start, qoff) join. At 10x bench scale the
+    explode shape shuffles ~100M rows through a fixed-width exchange
+    and went superlinear (the stress bench caught it); this pass
+    scales with candidate count at numpy constants. Output identical
+    contract: (start BIGINT, dist ROUND6) with dist = sqrt(d2)/scale,
+    bit-reproducible in DuckDB via the same integer cents sums.
+    """
+    m = len(query)
+    q = np.rint(np.asarray(query, dtype=np.float64) * value_scale).astype(np.int64)
+    eps2 = float(epsilon * value_scale) ** 2  # int64 d2 < 2^53 is exact
+
+    def row_fn(pos: np.ndarray, val: np.ndarray, starts: np.ndarray) -> pd.DataFrame:
+        empty = pd.DataFrame({"start": [], "dist": []}).astype(
+            {"start": "int64", "dist": "float64"}
+        )
+        if len(starts) == 0 or len(val) < m:
+            return empty
+        cents = np.rint(val * value_scale).astype(np.int64)
+        s_idx = np.searchsorted(pos, starts)
+        ok = s_idx + m <= len(pos)
+        si, st = s_idx[ok], starts[ok]
+        # window must be contiguous positions (chunk gaps excluded)
+        ok2 = (pos[si] == st) & (pos[np.minimum(si + m - 1, len(pos) - 1)] == st + m - 1)
+        si, st = si[ok2], st[ok2]
+        if len(si) == 0:
+            return empty
+        X = np.lib.stride_tricks.sliding_window_view(cents, m)[si]
+        d2 = ((X - q) ** 2).sum(axis=1)
+        keep = d2 <= eps2
+        dist = np.round(np.sqrt(d2[keep].astype(np.float64)) / value_scale, 6)
+        return pd.DataFrame({"start": st[keep], "dist": dist}).astype(
+            {"start": "int64", "dist": "float64"}
+        )
+
+    return _verify_starts(
+        series, candidates, m, chunk, row_fn, "start long, dist double"
+    )
+
+
 def subsequence_match_ed(
     series: DataFrame,
     query: list[float],
@@ -781,6 +832,11 @@ def subsequence_match_ed(
         available_widths=known_widths,
         method=probe_method,
     )
+    if value_scale is not None:
+        # fixed-decimal data: exact int64 verify over cogrouped chunks
+        # (order-independent sums need no fold join; scales with
+        # candidates at numpy constants — the 10x stress shape)
+        return verify_ed_ints(series, cands, query, epsilon, value_scale)
     return verify_ed(series, cands, query, epsilon)
 
 

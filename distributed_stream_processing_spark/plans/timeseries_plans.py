@@ -90,28 +90,34 @@ def shared_index(
 
 @query(
     "q29_subseq_match_ed",
+    # exact integer cents sums on BOTH sides (2-decimal data): d2 is
+    # order-independent int64, so the engine verifies with a chunked
+    # numpy pass (verify_ed_ints) and the oracle needs no ordered-list
+    # fold — sum() reproduces it bit-exactly
     oracle=f"""
-    WITH s AS (SELECT event_id AS pos, value FROM events),
-    q AS (SELECT pos - {QSTART} AS qoff, value AS qv FROM s
+    WITH s AS (SELECT event_id AS pos,
+                      CAST(round(value * 100) AS BIGINT) AS cx FROM events),
+    q AS (SELECT pos - {QSTART} AS qoff, cx AS cq FROM s
           WHERE pos BETWEEN {QSTART} AND {QSTART + QLEN - 1}),
     diffs AS (
-      SELECT s.pos - q.qoff AS start, q.qoff AS qoff,
-             (s.value - q.qv) * (s.value - q.qv) AS d2
+      SELECT s.pos - q.qoff AS start,
+             (s.cx - q.cq) * (s.cx - q.cq) AS d2
       FROM s JOIN q ON s.pos - q.qoff >= 0
     ),
     folded AS (
-      SELECT start,
-             list_aggregate(list(d2 ORDER BY qoff), 'sum') AS dist2,
-             count(*) AS c
+      SELECT start, sum(d2) AS dist2, count(*) AS c
       FROM diffs GROUP BY start
     )
-    SELECT CAST(start AS BIGINT) AS start, round(sqrt(dist2), 6) AS dist
-    FROM folded WHERE c = {QLEN} AND dist2 <= {EPS_ED} * {EPS_ED}
+    SELECT CAST(start AS BIGINT) AS start,
+           round(sqrt(CAST(dist2 AS DOUBLE)) / 100, 6) AS dist
+    FROM folded WHERE c = {QLEN} AND dist2 <= {int(EPS_ED * 100) ** 2}
     """,
     doc=(
         "KV-match RSM/ED: all windows within eps of the query via "
         "index probe (mean-range, Cauchy-Schwarz-complete) + exact "
-        "deterministic-fold verification. Exact result."
+        "integer-cents verification (order-independent int64 sums; "
+        "chunked numpy verify since r5 — the 10x stress bench caught "
+        "the exploded fold join going superlinear). Exact result."
     ),
 )
 def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
