@@ -372,3 +372,76 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs + canonical
+    representative selection — the "keep one copy" step of a dedup
+    pipeline (the reference's pipelines emit pairs and leave grouping
+    to the consumer; at 100 TB the grouping itself must be
+    distributed).
+
+    ``ids``: one column ``id`` (every document, singletons included).
+    ``pairs``: edges ``(a_id, b_id)`` from any near-dup detector
+    (exact fingerprints, MinHash, SimHash, n-gram Jaccard, embedding
+    cosine). Returns ``(id, cluster_id, keep)`` where ``cluster_id``
+    is the minimum id reachable through the pair graph (deterministic
+    canonical label) and ``keep`` marks the representative.
+
+    Iterative min-label propagation: each round every node takes the
+    min label in its closed neighborhood (a shuffle-aggregated
+    groupBy, no driver-side graph); rounds are lineage-truncated with
+    localCheckpoint so plan depth stays constant, and convergence is
+    checked with a one-number changed-count per round. Label-chasing
+    through already-relabeled neighbors makes long chains collapse in
+    O(log diameter)-ish practice; ``max_rounds`` bounds the worst
+    case loudly rather than looping forever.
+    """
+    edges = (
+        pairs.select(F.col("a_id").cast("bigint").alias("u"), F.col("b_id").cast("bigint").alias("v"))
+        .unionAll(
+            pairs.select(F.col("b_id").cast("bigint").alias("u"), F.col("a_id").cast("bigint").alias("v"))
+        )
+        .distinct()
+    )
+    labels = ids.select(F.col("id").cast("bigint").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    n_part = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        # neighbor labels (label-chasing: v's CURRENT label, so a
+        # label planted anywhere in a component spreads through every
+        # relabeled node, not one hop per round)
+        nbr = edges.join(
+            labels.select(F.col("id").alias("v"), F.col("label").alias("nl")), "v"
+        ).select(F.col("u").alias("id"), F.col("nl").alias("cand"))
+        new_labels = (
+            labels.select("id", F.col("label").alias("cand"))
+            .unionAll(nbr)
+            .groupBy("id")
+            .agg(F.min("cand").alias("new_label"))
+        )
+        merged = labels.join(new_labels, "id").select(
+            "id",
+            F.col("new_label").alias("label"),
+            (F.col("new_label") != F.col("label")).alias("changed"),
+        )
+        merged = merged.coalesce(n_part).localCheckpoint(eager=False)
+        changed = merged.filter(F.col("changed")).limit(1).count()
+        labels = merged.select("id", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds"
+        )
+    return labels.select(
+        "id",
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

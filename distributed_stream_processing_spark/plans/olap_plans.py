@@ -197,3 +197,64 @@ def q46_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(queries, emb, k=5)
+
+
+def _duck_cluster_oracle() -> str:
+    """DuckDB twin of duplicate_clusters over the q21 minhash pair
+    set: the same (bit-exact) pair CTE chain, then connected
+    components as a recursive reachability closure — cluster_id =
+    min reachable doc_id, keep = representative flag. Gate-scale
+    only: the closure materializes sum(component^2) rows, fine at
+    sf0.01; the ENGINE side is iterative label propagation with
+    constant plan depth at any scale."""
+    from fractions import Fraction as _Fr
+
+    from distributed_stream_processing_spark.plans.dedup_plans import (
+        _duck_minhash_oracle,
+    )
+
+    inner = _duck_minhash_oracle(_Fr(4, 5), num_perm=64, bands=16, seed=42)
+    body = inner.strip()
+    assert body.startswith("WITH ")
+    ctes = body[len("WITH "):]
+    idx = ctes.rindex("SELECT CAST(a_id AS BIGINT)")
+    chain, final = ctes[:idx].rstrip(), ctes[idx:]
+    return f"""
+    WITH RECURSIVE {chain},
+    p AS ({final}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM p
+              UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+    reach(id, r) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT id, min(r) AS cluster_id, (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """
+
+
+@query(
+    "q56_dedup_clusters",
+    oracle=_duck_cluster_oracle(),
+    doc=(
+        "Duplicate CLUSTERING — the keep-one-copy step of a training "
+        "dedup pipeline: connected components over the q21 minhash "
+        "near-dup pairs via distributed min-label propagation "
+        "(lineage-truncated rounds, one-number convergence check), "
+        "canonical representative = min doc_id per component. Oracle "
+        "= identical pair CTEs + recursive reachability closure. "
+        "Transitive chains (a~b~c with a!~c) are pytest-covered; the "
+        "gate covers the dense real graph."
+    ),
+)
+def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_dedup,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    pairs = minhash_lsh_dedup(toks, Fraction(4, 5))
+    return duplicate_clusters(docs.select(F.col("doc_id").alias("id")), pairs)

@@ -240,3 +240,35 @@ def test_simhash_rows_equal_column_form(spark):
         (r.id, r.sh_hi, r.sh_lo) for r in simhash_halves_rows(df).collect()
     }
     assert row_form == col_form
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """Chains must collapse into one cluster even when the endpoints
+    are NOT a near-dup pair themselves (a~b, b~c, a!~c), and
+    singletons keep themselves."""
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (2, 4)], "a_id long, b_id long"
+    )
+    got = {r.id: (r.cluster_id, r.keep) for r in duplicate_clusters(ids, pairs).collect()}
+    assert got == {
+        0: (0, True),
+        1: (1, True), 3: (1, False), 5: (1, False), 7: (1, False),
+        2: (2, True), 4: (2, False),
+        6: (6, True),
+    }
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    ids = spark.createDataFrame([(3,), (9,)], "id long")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    got = {(r.id, r.cluster_id, r.keep) for r in duplicate_clusters(ids, pairs).collect()}
+    assert got == {(3, 3, True), (9, 9, True)}
