@@ -16,21 +16,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from distributed_stream_processing_spark.functions.vectors import cosine
+from distributed_stream_processing_spark.functions.vectors import (  # noqa: F401
+    cosine,  # re-exported: embedding_near_pairs & external callers
+    dot,
+    norm2,
+)
+
+# Per-pair cosine via per-ROW precomputed norms: higher-order folds
+# (aggregate/zip_with) evaluate interpreted, so folding each side's
+# norm once per row instead of once per pair cuts the pair cost to a
+# single dot fold. Bit-identical to the inline cosine — the norm is
+# the same left-to-right fold, just computed earlier in the plan.
+# (A function, not a module constant: Column construction requires an
+# active SparkContext, which must not be an import-time dependency.)
+def _cos_normed():
+    return F.col("_dot") / (F.col("q_norm") * F.col("c_norm"))
 
 
 def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     q = queries.select(
-        F.col("vec_id").cast("bigint").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").cast("bigint").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm2(F.col("embedding")).alias("q_norm"),
     )
     c = corpus.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").alias("c_vec"),
+        norm2(F.col("embedding")).alias("c_norm"),
     )
     return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("cos4", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("_dot", dot(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos4", F.round(_cos_normed(), 4))
     )
 
 
@@ -42,6 +61,14 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataF
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos4", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def _with_cos4(df: DataFrame) -> DataFrame:
+    """cos4 from (q_vec, c_vec, q_norm, c_norm) columns — one dot fold
+    per pair, norms precomputed per row (see _cos_normed)."""
+    return df.withColumn("_dot", dot(F.col("q_vec"), F.col("c_vec"))).withColumn(
+        "cos4", F.round(_cos_normed(), 4)
     )
 
 
@@ -105,6 +132,7 @@ def lsh_topk(
     q = queries.select(
         F.col("vec_id").cast("bigint").alias("q_id"),
         F.col("embedding").alias("q_vec"),
+        norm2(F.col("embedding")).alias("q_norm"),
         F.explode(
             F.array(
                 *[
@@ -117,15 +145,17 @@ def lsh_topk(
     c = corpus.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").alias("c_vec"),
+        norm2(F.col("embedding")).alias("c_norm"),
         _bucket(F.col("embedding"), planes).alias("bucket"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos4").desc(), F.col("vec_id"))
     return (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .dropDuplicates(["q_id", "vec_id"])
-        .withColumn("cos4", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        _with_cos4(
+            F.broadcast(q)
+            .join(c, "bucket")
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .dropDuplicates(["q_id", "vec_id"])
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos4", F.col("rk").cast("bigint").alias("rk"))
@@ -227,6 +257,7 @@ def ivf_topk(
     c = corpus.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").alias("c_vec"),
+        norm2(F.col("embedding")).alias("c_norm"),
         F.array_min(_nearest_centroid_structs(F.col("embedding"), centroids))[
             "bucket"
         ].alias("bucket"),
@@ -237,6 +268,7 @@ def ivf_topk(
     q = queries.select(
         F.col("vec_id").cast("bigint").alias("q_id"),
         F.col("embedding").alias("q_vec"),
+        norm2(F.col("embedding")).alias("q_norm"),
         F.explode(
             F.slice(
                 F.array_sort(
@@ -250,10 +282,11 @@ def ivf_topk(
 
     w = W.partitionBy("q_id").orderBy(F.col("cos4").desc(), F.col("vec_id"))
     return (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("cos4", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        _with_cos4(
+            F.broadcast(q)
+            .join(c, "bucket")
+            .filter(F.col("q_id") != F.col("vec_id"))
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos4", F.col("rk").cast("bigint").alias("rk"))
@@ -327,15 +360,21 @@ def lsh_near_pairs(
     va = vectors.select(
         F.col("vec_id").cast("bigint").alias("a_id"),
         F.col("embedding").alias("a_vec"),
+        norm2(F.col("embedding")).alias("a_norm"),
     )
     vb = vectors.select(
         F.col("vec_id").cast("bigint").alias("b_id"),
         F.col("embedding").alias("b_vec"),
+        norm2(F.col("embedding")).alias("b_norm"),
     )
     return (
         pair_ids.join(va, "a_id")
         .join(vb, "b_id")
-        .withColumn("cos4", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4))
+        .withColumn("_dot", dot(F.col("a_vec"), F.col("b_vec")))
+        .withColumn(
+            "cos4",
+            F.round(F.col("_dot") / (F.col("a_norm") * F.col("b_norm")), 4),
+        )
         .filter(F.col("cos4") >= min_cos4)
         .select("a_id", "b_id", "cos4")
     )
