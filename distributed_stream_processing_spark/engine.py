@@ -39,6 +39,7 @@ from distributed_stream_processing_spark.operators.similarity_join import (
 )
 from distributed_stream_processing_spark.operators.similarity_search import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from distributed_stream_processing_spark.operators.subsequence_match import (
@@ -189,11 +190,44 @@ class Engine:
             return similarity_join(tok, None, threshold)
         raise ValueError(f"unknown dedup method {method!r}")
 
+    def dedup_clusters(
+        self,
+        docs: DataFrame,
+        method: str = "minhash",
+        threshold: float | Fraction = Fraction(4, 5),
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Keep-one-copy grouping: near-dup pairs from ``method`` ->
+        connected components -> (id, cluster_id, keep)."""
+        from distributed_stream_processing_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        pairs = self.dedup(docs, method, threshold, id_col, text_col)
+        if method == "exact":
+            # exact groups are already clusters; emit the same contract
+            fp = pairs  # (fp, keep_id, n_copies)
+            ids = docs.select(F.col(id_col).cast("bigint").alias("id"))
+            from distributed_stream_processing_spark.operators.dedup import (
+                fingerprint_md5,
+            )
+
+            lab = docs.select(
+                F.col(id_col).cast("bigint").alias("id"),
+                fingerprint_md5(text_col).alias("fp"),
+            ).join(fp.select("fp", F.col("keep_id").alias("cluster_id")), "fp")
+            return lab.select(
+                "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
+            )
+        ids = docs.select(F.col(id_col).cast("bigint").alias("id"))
+        return duplicate_clusters(ids, pairs)
+
     def ann_search(
         self, queries: DataFrame, corpus: DataFrame, k: int = 10,
         method: str = "brute",
     ) -> DataFrame:
-        fn = {"brute": brute_force_topk, "lsh": lsh_topk}[method]
+        fn = {"brute": brute_force_topk, "lsh": lsh_topk, "ivf": ivf_topk}[method]
         return fn(queries, corpus, k)
 
     def asof_join(self, left, right, key, left_ts, right_ts, right_cols):

@@ -78,3 +78,23 @@ def test_save_load_roundtrip(eng, spark, sf_smoke, tmp_path):
     eng.save(docs, c, fmt="csv")
     back_csv = eng.load(c, fmt="csv")
     assert back_csv.count() == docs.count()
+
+
+def test_engine_dedup_clusters_exact_and_minhash(spark, sf_smoke):
+    from distributed_stream_processing_spark.catalog import Catalog
+    from distributed_stream_processing_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = Catalog(spark, sf_smoke).documents
+    for method in ("exact", "minhash"):
+        out = eng.dedup_clusters(docs, method=method)
+        rows = out.collect()
+        assert set(out.columns) == {"id", "cluster_id", "keep"}
+        assert len(rows) == docs.count()  # every doc labeled
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            # representative is the min id and the only keep=True
+            assert min(m.id for m in members) == cid
+            assert sum(1 for m in members if m.keep) == 1
