@@ -129,17 +129,20 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
+    # bucket folded ONCE per query row, then the probe masks XOR the
+    # resulting column — inlining the (n_planes x dim)-literal bucket
+    # expression per mask multiplied the plan tree by the probe count
     q = queries.select(
         F.col("vec_id").cast("bigint").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         norm2(F.col("embedding")).alias("q_norm"),
+        _bucket(F.col("embedding"), planes).alias("_b0"),
+    ).select(
+        "q_id",
+        "q_vec",
+        "q_norm",
         F.explode(
-            F.array(
-                *[
-                    _bucket(F.col("embedding"), planes).bitwiseXOR(F.lit(m))
-                    for m in probe_masks
-                ]
-            )
+            F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in probe_masks])
         ).alias("bucket"),
     )
     c = corpus.select(
