@@ -50,16 +50,22 @@ def _emit_sigs(
     groups: list,
     hs: dict,
     t: Fraction,
+    deletion: dict | None = None,
 ) -> DataFrame:
-    """(id, sz, g, seg, sig) signature rows. Probe side emits for its
-    own group; index side for every length-compatible group.
+    """(id, sz, g, seg, sig, kind) signature rows. Probe side emits
+    for its own group; index side for every length-compatible group.
+    ``deletion[g]`` switches group g to the low-H deletion layout
+    (segments kind=0 PLUS per-segment single-token-deletion
+    signatures kind=1, same completeness trade as
+    dima_similarity_join's scheme="deletion").
 
     ONE scan of ``df``: each record explodes over its compatible group
-    ids and a CASE on g picks that group's segment count (a per-group
-    filter+union would re-scan the corpus once per group per side —
-    6x read amplification at 100 TB for nothing; CASE branches
-    evaluate lazily per row)."""
+    ids and a CASE on g picks that group's signature layout (a
+    per-group filter+union would re-scan the corpus once per group
+    per side — 6x read amplification at 100 TB for nothing; CASE
+    branches evaluate lazily per row)."""
     from distributed_stream_processing_spark.functions.signatures import (
+        deletion_signatures,
         segment_signatures,
     )
 
@@ -80,16 +86,37 @@ def _emit_sigs(
         F.col("tokens"),
         F.explode(garr).alias("g"),
     )
-    sig_case = F.when(
-        F.col("g") == 0, segment_signatures(F.col("tokens"), hs[0])
-    )
-    for g in range(1, len(groups)):
-        sig_case = sig_case.when(
-            F.col("g") == g, segment_signatures(F.col("tokens"), hs[g])
+
+    def layout(g: int):
+        segs = F.transform(
+            segment_signatures(F.col("tokens"), hs[g]),
+            lambda s: F.struct(
+                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
+            ),
         )
+        if not (deletion and deletion.get(g)):
+            return segs
+        dels = F.transform(
+            deletion_signatures(F.col("tokens"), hs[g]),
+            lambda s: F.struct(
+                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(1).alias("kind")
+            ),
+        )
+        return F.concat(segs, dels)
+
+    sig_case = F.when(F.col("g") == 0, layout(0))
+    for g in range(1, len(groups)):
+        sig_case = sig_case.when(F.col("g") == g, layout(g))
     return base.select(
         f"{prefix}_id", f"{prefix}_sz", "g", F.explode(sig_case).alias("s")
-    ).select(f"{prefix}_id", f"{prefix}_sz", "g", "s.seg", "s.sig")
+    ).select(
+        f"{prefix}_id",
+        f"{prefix}_sz",
+        "g",
+        "s.seg",
+        "s.sig",
+        F.col("s.kind").alias(f"{prefix}_kind"),
+    )
 
 
 def build_similarity_store(
@@ -105,6 +132,7 @@ def build_similarity_store(
     )
     from distributed_stream_processing_spark.operators.similarity_join import (
         _mask_col,
+        choose_signature_schemes,
         token_bitmask_dict,
     )
 
@@ -117,7 +145,24 @@ def build_similarity_store(
     lmin = max(1, int(sizes.lo * t))
     lmax = max(1, -(-sizes.hi * t.denominator // t.numerator))
     groups = multigroup(lmin, lmax, t)
-    hs = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
+    # per-group scheme from measured index frequencies (the T5 cost
+    # model) with the ELIMINATION criterion: the batch-replayed
+    # pipeline re-pays probe-side deletion emission every batch, so a
+    # group flips to the low-H deletion layout only when that layout
+    # removes >=90% of the collision mass (accidental single-token
+    # collisions — the sparse-corpus regime, measured 14x fewer
+    # deduped candidates) and stays on equality when collisions are
+    # true near-pairs that verify either way (the dense regime, where
+    # equality measured ~15% faster end-to-end)
+    h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
+    h_del = {
+        g: max(1, (seg_count_dima(t, hi) + 1) // 2)
+        for g, (lo, hi) in enumerate(groups)
+    }
+    deletion = choose_signature_schemes(
+        stored, groups, t, h_eq, h_del, eliminate_ratio=0.1
+    )
+    hs = {g: h_del[g] if deletion[g] else h_eq[g] for g in deletion}
     # dictionary bitmask over the STORED vocabulary: stream-only
     # tokens cannot intersect any stored doc, so masking them out
     # keeps (inter, uni) exact as long as sizes count all tokens
@@ -131,9 +176,9 @@ def build_similarity_store(
         F.size("tokens").alias("b_sz"),
         rep.alias("b_rep"),
     ).cache()
-    sig_store = _emit_sigs(stored, "b", False, groups, hs, t).cache()
+    sig_store = _emit_sigs(stored, "b", False, groups, hs, t, deletion).cache()
     sig_store.count()
-    return SimilarityStore(groups, hs, mapping, rep_store, sig_store)
+    return SimilarityStore(groups, hs, mapping, rep_store, sig_store, deletion)
 
 
 def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
@@ -167,6 +212,7 @@ class SimilarityStore:
     mapping: dict | None
     rep_store: DataFrame
     sig_store: DataFrame
+    deletion: dict | None = None  # per-group low-H deletion layout flags
 
 
 @dataclass
@@ -185,6 +231,7 @@ class SemiStreamSimilarityJoin:
         self.threshold = Fraction(self.threshold).limit_denominator(1_000_000)
         a = self.artifacts or build_similarity_store(self.stored, self.threshold)
         self._groups, self._hs, self._mapping = a.groups, a.hs, a.mapping
+        self._deletion = a.deletion or {}
         self.rep_store, self.sig_store = a.rep_store, a.sig_store
         spark = self.sig_store.sparkSession
         self.cache = self.sig_store.limit(0).cache()
@@ -192,7 +239,8 @@ class SemiStreamSimilarityJoin:
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
-            df, prefix, own_group_only, self._groups, self._hs, self.threshold
+            df, prefix, own_group_only, self._groups, self._hs, self.threshold,
+            self._deletion,
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
@@ -218,6 +266,11 @@ class SemiStreamSimilarityJoin:
             (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
             & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
         )
+        if any(self._deletion.values()):
+            # deletion x deletion collisions prove nothing (2 diffs)
+            pair_filter = pair_filter & (
+                (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
+            )
         # candidate pairs are ids-only; the verification payloads join
         # back from the per-corpus rep_store (stored side) and the
         # tiny per-batch rep table (probe side) AFTER pair dedup —
@@ -358,8 +411,11 @@ def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
         list((join._mapping or {}).items()), "tok string, bit long"
     ).write.mode("overwrite").parquet(f"{path}/mapping")
     spark.createDataFrame(
-        [(g, lo, hi) for g, (lo, hi) in enumerate(join._groups)],
-        "g int, lo int, hi int",
+        [
+            (g, lo, hi, bool((join._deletion or {}).get(g, False)))
+            for g, (lo, hi) in enumerate(join._groups)
+        ],
+        "g int, lo int, hi int, deletion boolean",
     ).write.mode("overwrite").parquet(f"{path}/groups")
 
 
@@ -378,11 +434,21 @@ def load_similarity_store(
 
     t = Fraction(threshold).limit_denominator(1_000_000)
     grows = sorted(
-        (r.g, r.lo, r.hi) for r in spark.read.parquet(f"{path}/groups").collect()
+        (r.g, r.lo, r.hi, bool(getattr(r, "deletion", False)))
+        for r in spark.read.parquet(f"{path}/groups").collect()
     )
-    groups = [(lo, hi) for _, lo, hi in grows]
+    groups = [(lo, hi) for _, lo, hi, _ in grows]
+    deletion = {g: dele for g, (_, _, dele) in enumerate(
+        (lo, hi, dele) for _, lo, hi, dele in grows
+    )}
     hs = {
-        g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)
+        g: max(
+            1,
+            (seg_count_dima(t, hi) + 1) // 2
+            if deletion[g]
+            else seg_count_dima(t, hi),
+        )
+        for g, (lo, hi) in enumerate(groups)
     }
     mrows = spark.read.parquet(f"{path}/mapping").collect()
     artifacts = SimilarityStore(
@@ -391,6 +457,7 @@ def load_similarity_store(
         mapping={r.tok: r.bit for r in mrows} or None,
         rep_store=spark.read.parquet(f"{path}/reps").cache(),
         sig_store=spark.read.parquet(f"{path}/sigs").cache(),
+        deletion=deletion,
     )
     return SemiStreamSimilarityJoin(
         threshold=t,

@@ -300,6 +300,7 @@ def choose_signature_schemes(
     threshold: Fraction,
     h_eq: dict[int, int],
     h_del: dict[int, int],
+    eliminate_ratio: float | None = None,
 ) -> dict[int, bool]:
     """Frequency-adaptive scheme choice per length group (T5): the
     engine's analogue of Dima's per-signature V-selection
@@ -317,6 +318,19 @@ def choose_signature_schemes(
     choosing deletion for a group iff cost_del < cost_eq — i.e. when
     hot equality buckets make collision volume dominate emission.
     Returns {group: use_deletion}.
+
+    ``eliminate_ratio`` (optional) additionally requires
+    c2_del <= ratio * c2_eq: deletion must ELIMINATE the collision
+    mass, not merely compress it. Collisions that persist under the
+    halved-H layout are true near-pairs that get verified either way
+    (the layouts only re-shape their instance multiplicity), while
+    accidental single-token-segment collisions vanish. Measured on
+    the bench fixtures: a dense similar-doc corpus keeps
+    c2_del/c2_eq ~ 0.3 and runs FASTER on equality (deletion's
+    per-batch probe re-emission outweighs the instance savings),
+    while a sparse random corpus drops to ~0.03 and deletion cuts
+    deduped candidates 14x. The batch-replayed semi-stream pipeline
+    passes 0.1; the one-shot join keeps the pure cost comparison.
     """
     t = threshold
     parts = []
@@ -361,7 +375,10 @@ def choose_signature_schemes(
         avg_tok = (sz_sum / rows_del) if rows_del else 0.0
         cost_eq = rows_eq + c2_eq
         cost_del = rows_del + n_rec * avg_tok + c2_del
-        out[g] = cost_del < cost_eq
+        use_del = cost_del < cost_eq
+        if use_del and eliminate_ratio is not None:
+            use_del = c2_del <= eliminate_ratio * c2_eq
+        out[g] = use_del
     return out
 
 
