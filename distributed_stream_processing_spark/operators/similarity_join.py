@@ -332,28 +332,51 @@ def choose_signature_schemes(
     deduped candidates 14x. The batch-replayed semi-stream pipeline
     passes 0.1; the one-shot join keeps the pure cost comparison.
     """
+    from distributed_stream_processing_spark.functions.signatures import (
+        segment_signatures,
+    )
+
     t = threshold
-    parts = []
+    # ONE scan of the index side for ALL (group, mode) combinations:
+    # records explode over their compatible (g, mode) pairs and a
+    # CASE picks that combination's segment count (the per-group
+    # filter+union shape re-scanned the corpus 2 x n_groups times —
+    # the same read amplification _emit_sigs avoids)
+    sz = F.size("tokens")
+    memberships = []
     for g, (lo, hi) in enumerate(groups):
         lo_len = -(-t.numerator * lo // t.denominator)
         hi_len = hi * t.denominator // t.numerator
-        cond = (F.size("tokens") >= lo_len) & (F.size("tokens") <= hi_len)
-        for mode, h in ((0, h_eq[g]), (1, h_del[g])):
-            from distributed_stream_processing_spark.functions.signatures import (
-                segment_signatures,
-            )
-
-            parts.append(
-                index_side.filter(cond).select(
-                    F.lit(g).alias("g"),
-                    F.lit(mode).alias("mode"),
-                    F.explode(segment_signatures(F.col("tokens"), h)).alias("s"),
-                    F.size("tokens").alias("sz"),
+        cond = (sz >= lo_len) & (sz <= hi_len)
+        for mode in (0, 1):
+            memberships.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(g).cast("int").alias("g"),
+                        F.lit(mode).cast("int").alias("mode"),
+                    ),
                 )
             )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    base = index_side.select(
+        sz.alias("sz"),
+        F.col("tokens"),
+        F.explode(F.array_compact(F.array(*memberships))).alias("gm"),
+    )
+    sig_case = None
+    for g in range(len(groups)):
+        for mode, h in ((0, h_eq[g]), (1, h_del[g])):
+            cond = (F.col("gm.g") == g) & (F.col("gm.mode") == mode)
+            arr = segment_signatures(F.col("tokens"), h)
+            sig_case = (
+                F.when(cond, arr) if sig_case is None else sig_case.when(cond, arr)
+            )
+    u = base.select(
+        F.col("gm.g").alias("g"),
+        F.col("gm.mode").alias("mode"),
+        F.explode(sig_case).alias("s"),
+        "sz",
+    )
     freq = u.groupBy("g", "mode", "s.seg", "s.sig").agg(
         F.count(F.lit(1)).alias("c"), F.sum("sz").alias("sz_sum")
     )
