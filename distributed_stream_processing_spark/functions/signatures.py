@@ -86,25 +86,41 @@ def segment_signatures(tokens: Column, h: int) -> Column:
 def deletion_signatures(tokens: Column, h: int) -> Column:
     """ARRAY<STRUCT<seg INT, sig BIGINT>>: per segment, the hash of the
     segment content with each single token removed (createDeletion,
-    BuildSig.scala:187-200)."""
+    BuildSig.scala:187-200).
+
+    Each segment's sorted content array is materialized ONCE, then
+    every deletion is an O(s) array splice over it — the naive form
+    re-filtered the whole record (one membership hash per token) per
+    deletion, O(s * |record|) hashing per deletion row. Signature
+    values are identical because token arrays are DISTINCT sets
+    (functions.text.tokens): dropping by position equals dropping by
+    value, and concat_ws over the sorted array minus one position is
+    exactly the sorted filtered content. The per-element index lambda
+    makes empty segments contribute nothing (a 1..size sequence would
+    emit a descending [1, 0] for them).
+    """
+    seg_arrs = F.transform(
+        F.sequence(F.lit(0), F.lit(h - 1)),
+        lambda seg: F.struct(
+            seg.cast("int").alias("seg"),
+            F.array_sort(
+                F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg)
+            ).alias("arr"),
+        ),
+    )
     return F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.lit(h - 1)),
-            lambda seg: F.transform(
-                F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg),
-                lambda drop: F.struct(
-                    seg.cast("int").alias("seg"),
+            seg_arrs,
+            lambda s: F.transform(
+                s.arr,
+                lambda _tok, i: F.struct(
+                    s.seg.alias("seg"),
                     F.xxhash64(
                         F.concat_ws(
                             " ",
-                            F.array_sort(
-                                F.filter(
-                                    tokens,
-                                    lambda x: (
-                                        F.pmod(F.xxhash64(x), F.lit(h)) == seg
-                                    )
-                                    & (x != drop),
-                                )
+                            F.concat(
+                                F.slice(s.arr, F.lit(1), i),
+                                F.slice(s.arr, i + 2, F.size(s.arr)),
                             ),
                         )
                     ).alias("sig"),
