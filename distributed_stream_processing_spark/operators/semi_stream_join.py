@@ -79,13 +79,10 @@ class SemiStreamJoin:
         t0 = time.monotonic()
         missed_keys = miss.select(k).distinct()
         fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
-        fetched.count()  # materialize the "remote fetch" once
-        fetch_s = time.monotonic() - t0
 
         out = hit.unionByName(miss.join(fetched, k, "inner"))
 
         # ---- state maintenance (X4-X6) ----
-        t1 = time.monotonic()
         batch_keys = batch.select(k).distinct()
         new_lru = (
             lru.join(batch_keys, k, "left_anti")
@@ -117,15 +114,19 @@ class SemiStreamJoin:
 
         # checkpoint + bound every batch (constant plan depth, bounded
         # partition width — the union adds the fetch's partitions each
-        # batch otherwise), then ONE combined action materializing all
-        # three state DFs and counting the missed keys as a by-product:
-        # round 2 ran five actions per batch, this runs two.
+        # batch otherwise), then ONE combined action: a single job
+        # materializes the fetch cache, all three state checkpoints,
+        # and the controller's key counts (round 2 ran five actions
+        # per batch, rounds 3-4 ran two with the fetch serialized
+        # ahead of maintenance; this runs one).
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
         new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
         new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
         new_freq = new_freq.coalesce(n_part).localCheckpoint(eager=False)
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
+            .unionAll(batch_keys.select(F.lit("k").alias("t")))
+            .unionAll(fetched.select(F.lit("x").alias("t")))
             .unionAll(new_cache.select(F.lit("c").alias("t")))
             .unionAll(new_lru.select(F.lit("l").alias("t")))
             .unionAll(new_freq.select(F.lit("f").alias("t")))
@@ -135,7 +136,15 @@ class SemiStreamJoin:
             for r in tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         n_miss = int(counts.get("m", 0))
-        maintain_s = time.monotonic() - t1
+        n_keys = int(counts.get("k", 0))
+        total_s = time.monotonic() - t0
+        # one action leaves no per-phase split; attribute by miss
+        # fraction, the signal the reference's window policy keys on
+        # (streaming.scala:462-540) — same scheme as the similarity
+        # twin (semi_stream_similarity.process_batch)
+        miss_frac = n_miss / n_keys if n_keys else 0.0
+        fetch_s = total_s * miss_frac
+        maintain_s = total_s - fetch_s
 
         cache.unpersist()
         lru.unpersist()
