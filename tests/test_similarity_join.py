@@ -301,3 +301,49 @@ def test_dima_vsl_prunes_hot_buckets(spark):
     assert _pairs(dima_similarity_join(probe, stored, T, scheme="vsl")) == _pairs(
         brute_force_similarity_join(probe, stored, T)
     )
+
+
+def test_emit_sigs_deletion_layout_complete(spark):
+    """Signature-level completeness of the semi-stream store's
+    deletion layout: every brute-force qualifying pair must share at
+    least one candidate instance under (seg-seg, seg-del, del-seg)
+    matching — for ALL groups forced to the low-H layout."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        multigroup,
+        seg_count_dima,
+    )
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        _KEY,
+        _emit_sigs,
+    )
+
+    t = Fraction(7, 10)
+    rows = _random_corpus(40, seed=23)
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", tokens("text").alias("tokens")
+    )
+    # originals vs planted mutations: qualifying pairs cross the split
+    left = df.filter(F.col("id") < 40)
+    right = df.filter(F.col("id") >= 40)
+    sizes = df.agg(F.max(F.size("tokens")).alias("hi")).first()
+    groups = multigroup(1, int(sizes.hi / t) + 1, t)
+    h_del = {
+        g: max(1, (seg_count_dima(t, hi) + 1) // 2)
+        for g, (lo, hi) in enumerate(groups)
+    }
+    deletion = {g: True for g in h_del}
+    a = _emit_sigs(left, "a", True, groups, h_del, t, deletion)
+    b = _emit_sigs(right, "b", False, groups, h_del, t, deletion)
+    cand = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, _KEY)
+        .filter((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
+        .select("a_id", "b_id")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r.a_id, r.b_id)
+        for r in brute_force_similarity_join(left, right, t).collect()
+    }
+    assert want <= cand and want
