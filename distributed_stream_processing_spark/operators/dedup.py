@@ -378,6 +378,7 @@ def duplicate_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     max_rounds: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs + canonical
     representative selection — the "keep one copy" step of a dedup
@@ -392,14 +393,19 @@ def duplicate_clusters(
     is the minimum id reachable through the pair graph (deterministic
     canonical label) and ``keep`` marks the representative.
 
-    Iterative min-label propagation: each round every node takes the
-    min label in its closed neighborhood (a shuffle-aggregated
-    groupBy, no driver-side graph); rounds are lineage-truncated with
-    localCheckpoint so plan depth stays constant, and convergence is
-    checked with a one-number changed-count per round. Label-chasing
-    through already-relabeled neighbors makes long chains collapse in
-    O(log diameter)-ish practice; ``max_rounds`` bounds the worst
-    case loudly rather than looping forever.
+    Iterative min-label propagation WITH POINTER JUMPING: each round
+    every node takes the min label in its closed neighborhood (the
+    hook step — a shuffle-aggregated groupBy, no driver-side graph),
+    then shortcuts label <- label(label) (the jump step — labels are
+    node ids, so one self-join halves every label chain). Hook alone
+    advances one hop per round (O(component diameter) rounds — fatal
+    for the 25+-doc templated chains a 100 TB corpus is full of);
+    hook+jump converges in O(log diameter) rounds, so ``max_rounds``
+    = 25 covers components of diameter ~2^25. Rounds are
+    lineage-truncated with localCheckpoint so plan depth stays
+    constant, and convergence is checked with a one-number
+    changed-count per round. ``stats`` (optional dict) receives
+    ``{"rounds": n}`` for scale audits.
     """
     edges = (
         pairs.select(F.col("a_id").cast("bigint").alias("u"), F.col("b_id").cast("bigint").alias("v"))
@@ -413,20 +419,37 @@ def duplicate_clusters(
     )
     n_part = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.localCheckpoint(eager=False)
+    rounds = 0
     for _ in range(max_rounds):
-        # neighbor labels (label-chasing: v's CURRENT label, so a
-        # label planted anywhere in a component spreads through every
-        # relabeled node, not one hop per round)
+        rounds += 1
+        # hook: min label over the closed neighborhood
         nbr = edges.join(
             labels.select(F.col("id").alias("v"), F.col("label").alias("nl")), "v"
         ).select(F.col("u").alias("id"), F.col("nl").alias("cand"))
-        new_labels = (
+        hooked = (
             labels.select("id", F.col("label").alias("cand"))
             .unionAll(nbr)
             .groupBy("id")
-            .agg(F.min("cand").alias("new_label"))
+            .agg(F.min("cand").alias("label"))
         )
-        merged = labels.join(new_labels, "id").select(
+        # jump: label <- label-of-label. Every label is a node id (it
+        # starts as the node's own id and each hook takes a min over
+        # other nodes' labels), so the self-join always matches; the
+        # left+coalesce is belt-and-braces for edges referencing ids
+        # absent from ``ids``.
+        jumped = (
+            hooked.join(
+                hooked.select(
+                    F.col("id").alias("pid"), F.col("label").alias("plabel")
+                ),
+                hooked.label == F.col("pid"),
+                "left",
+            )
+            .select(
+                "id", F.coalesce("plabel", "label").alias("new_label")
+            )
+        )
+        merged = labels.join(jumped, "id").select(
             "id",
             F.col("new_label").alias("label"),
             (F.col("new_label") != F.col("label")).alias("changed"),
@@ -440,6 +463,8 @@ def duplicate_clusters(
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         "id",
         F.col("label").alias("cluster_id"),

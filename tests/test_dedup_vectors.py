@@ -263,6 +263,32 @@ def test_duplicate_clusters_transitive_chain(spark):
     }
 
 
+def test_duplicate_clusters_long_chain_log_rounds(spark):
+    """A 200-node path (diameter 199) must converge well inside the
+    default round budget: hook alone needs ~199 rounds, hook+pointer
+    -jump needs O(log d) — the templated/serial-corpus regime the
+    100 TB deployment hits (ADVICE r5: a 25+-doc chain used to raise
+    RuntimeError at max_rounds=25)."""
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    stats: dict = {}
+    got = {
+        r.id: (r.cluster_id, r.keep)
+        for r in duplicate_clusters(ids, pairs, stats=stats).collect()
+    }
+    assert got == {i: (0, i == 0) for i in range(n)}
+    # log2(199) ~ 7.6; allow slack for hook/jump interleaving but
+    # stay far below the O(diameter) regime
+    assert stats["rounds"] <= 14, stats
+
+
 def test_duplicate_clusters_empty_pairs(spark):
     from distributed_stream_processing_spark.operators.dedup import (
         duplicate_clusters,
