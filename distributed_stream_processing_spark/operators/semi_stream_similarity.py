@@ -43,27 +43,24 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 _KEY = ["g", "seg", "sig"]
 
 
-def _emit_sigs(
-    df: DataFrame,
-    prefix: str,
+def _sig_exprs(
     own_group_only: bool,
     groups: list,
     hs: dict,
     t: Fraction,
     deletion: dict | None = None,
-) -> DataFrame:
-    """(id, sz, g, seg, sig, kind) signature rows. Probe side emits
-    for its own group; index side for every length-compatible group.
-    ``deletion[g]`` switches group g to the low-H deletion layout
-    (segments kind=0 PLUS per-segment single-token-deletion
-    signatures kind=1, same completeness trade as
-    dima_similarity_join's scheme="deletion").
+):
+    """Build the two Column expressions of the signature emitter — the
+    group-membership array and the per-group signature-layout CASE —
+    over a fixed input column ``tokens``.
 
-    ONE scan of ``df``: each record explodes over its compatible group
-    ids and a CASE on g picks that group's signature layout (a
-    per-group filter+union would re-scan the corpus once per group
-    per side — 6x read amplification at 100 TB for nothing; CASE
-    branches evaluate lazily per row)."""
+    Constructing these is pure driver/py4j work and is EXPENSIVE
+    (~0.6-1.7s: hundreds of py4j round trips for the nested lambda
+    trees), so the streaming pipeline builds them ONCE at init and
+    reuses the immutable Column objects on every micro-batch
+    (resolution is by name at analysis time, so reuse across
+    same-schema DataFrames is sound). Building them per batch was
+    ~0.7s/batch of driver latency — a third of the r5 batch time."""
     from distributed_stream_processing_spark.functions.signatures import (
         deletion_signatures,
         segment_signatures,
@@ -80,12 +77,6 @@ def _emit_sigs(
             cond = (sz >= lo_len) & (sz <= hi_len)
         memberships.append(F.when(cond, F.lit(g)))
     garr = F.array_compact(F.array(*memberships))
-    base = df.select(
-        F.col("id").alias(f"{prefix}_id"),
-        sz.alias(f"{prefix}_sz"),
-        F.col("tokens"),
-        F.explode(garr).alias("g"),
-    )
 
     def layout(g: int):
         segs = F.transform(
@@ -107,6 +98,39 @@ def _emit_sigs(
     sig_case = F.when(F.col("g") == 0, layout(0))
     for g in range(1, len(groups)):
         sig_case = sig_case.when(F.col("g") == g, layout(g))
+    return garr, sig_case
+
+
+def _emit_sigs(
+    df: DataFrame,
+    prefix: str,
+    own_group_only: bool,
+    groups: list,
+    hs: dict,
+    t: Fraction,
+    deletion: dict | None = None,
+    exprs=None,
+) -> DataFrame:
+    """(id, sz, g, seg, sig, kind) signature rows. Probe side emits
+    for its own group; index side for every length-compatible group.
+    ``deletion[g]`` switches group g to the low-H deletion layout
+    (segments kind=0 PLUS per-segment single-token-deletion
+    signatures kind=1, same completeness trade as
+    dima_similarity_join's scheme="deletion").
+
+    ONE scan of ``df``: each record explodes over its compatible group
+    ids and a CASE on g picks that group's signature layout (a
+    per-group filter+union would re-scan the corpus once per group
+    per side — 6x read amplification at 100 TB for nothing; CASE
+    branches evaluate lazily per row). Pass ``exprs`` (from
+    ``_sig_exprs``) to skip the costly per-call expression build."""
+    garr, sig_case = exprs or _sig_exprs(own_group_only, groups, hs, t, deletion)
+    base = df.select(
+        F.col("id").alias(f"{prefix}_id"),
+        F.size("tokens").alias(f"{prefix}_sz"),
+        F.col("tokens"),
+        F.explode(garr).alias("g"),
+    )
     return base.select(
         f"{prefix}_id", f"{prefix}_sz", "g", F.explode(sig_case).alias("s")
     ).select(
@@ -176,7 +200,21 @@ def build_similarity_store(
         F.size("tokens").alias("b_sz"),
         rep.alias("b_rep"),
     ).cache()
-    sig_store = _emit_sigs(stored, "b", False, groups, hs, t, deletion).cache()
+    # The probe join BROADCASTS the per-batch probe side and streams
+    # the signature store, so the store's own partitioning sets the
+    # parallelism of candidate generation + map-side pair dedup — the
+    # pipeline's hottest stage (~50 collision rows per store row on
+    # dense corpora). A store built from a small parquet scan arrives
+    # as ONE partition and runs that stage single-threaded (the r5
+    # bench regression: ~1.3s/batch lost at sf0.1); round-robin
+    # repartition at build time (paid once per corpus) restores full
+    # fan-out without adding any per-batch shuffle.
+    n_part = int(stored.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig_store = (
+        _emit_sigs(stored, "b", False, groups, hs, t, deletion)
+        .repartition(n_part)
+        .cache()
+    )
     sig_store.count()
     return SimilarityStore(groups, hs, mapping, rep_store, sig_store, deletion)
 
@@ -236,11 +274,39 @@ class SemiStreamSimilarityJoin:
         spark = self.sig_store.sparkSession
         self.cache = self.sig_store.limit(0).cache()
         self.lru = spark.createDataFrame([], "g int, seg int, sig long, last_seen long").cache()
+        # probe-side signature expressions built ONCE and reused per
+        # batch (see _sig_exprs: ~0.7s of py4j construction per call)
+        self._probe_exprs = _sig_exprs(
+            True, self._groups, self._hs, self.threshold, self._deletion
+        )
+        # same for the (vocab-sized) bitmask rep expression and the
+        # length/kind pair filter — immutable Columns, batch-invariant
+        from distributed_stream_processing_spark.operators.similarity_join import (
+            _mask_col,
+        )
+
+        self._rep_expr = (
+            _mask_col(self._mapping)
+            if self._mapping is not None
+            else F.col("tokens")
+        )
+        t = self.threshold
+        pair_filter = (
+            (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+            & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
+        )
+        if any(self._deletion.values()):
+            # deletion x deletion collisions prove nothing (2 diffs)
+            pair_filter = pair_filter & (
+                (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
+            )
+        self._pair_filter = pair_filter
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
             df, prefix, own_group_only, self._groups, self._hs, self.threshold,
             self._deletion,
+            exprs=self._probe_exprs if own_group_only else None,
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
@@ -262,36 +328,18 @@ class SemiStreamSimilarityJoin:
 
         hit = self.cache.join(F.broadcast(probe), _KEY)
         miss = fetched.join(F.broadcast(probe), _KEY)
-        pair_filter = (
-            (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
-            & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
-        )
-        if any(self._deletion.values()):
-            # deletion x deletion collisions prove nothing (2 diffs)
-            pair_filter = pair_filter & (
-                (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
-            )
         # candidate pairs are ids-only; the verification payloads join
         # back from the per-corpus rep_store (stored side) and the
         # tiny per-batch rep table (probe side) AFTER pair dedup —
         # signature rows and the cache never carry document payloads
-        from distributed_stream_processing_spark.operators.similarity_join import (
-            _mask_col,
-        )
-
-        rep = (
-            _mask_col(self._mapping)
-            if self._mapping is not None
-            else F.col("tokens")
-        )
         a_reps = batch.select(
             F.col("id").alias("a_id"),
             F.size("tokens").alias("a_sz"),
-            rep.alias("a_rep"),
+            self._rep_expr.alias("a_rep"),
         )
         pair_ids = (
             hit.unionByName(miss)
-            .filter(pair_filter)
+            .filter(self._pair_filter)
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
         )
@@ -451,12 +499,15 @@ def load_similarity_store(
         for g, (lo, hi) in enumerate(groups)
     }
     mrows = spark.read.parquet(f"{path}/mapping").collect()
+    # same parallelism guarantee as build_similarity_store: a small
+    # saved store must not reload as one partition
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     artifacts = SimilarityStore(
         groups=groups,
         hs=hs,
         mapping={r.tok: r.bit for r in mrows} or None,
         rep_store=spark.read.parquet(f"{path}/reps").cache(),
-        sig_store=spark.read.parquet(f"{path}/sigs").cache(),
+        sig_store=spark.read.parquet(f"{path}/sigs").repartition(n_part).cache(),
         deletion=deletion,
     )
     return SemiStreamSimilarityJoin(
