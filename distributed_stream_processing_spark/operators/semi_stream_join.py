@@ -35,6 +35,9 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
     AdaptiveCacheController,
     BatchTimings,
 )
+from distributed_stream_processing_spark.streaming.plan_timing import (
+    PlanTimeAttributor,
+)
 
 
 @dataclass
@@ -66,6 +69,7 @@ class SemiStreamJoin:
             F.col(self.key), F.lit(0).alias("n_batches_seen")
         ).limit(0).cache()
         self._spark = spark
+        self._attributor = PlanTimeAttributor()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """Join one micro-batch against store-through-cache; maintain
@@ -131,20 +135,32 @@ class SemiStreamJoin:
             .unionAll(new_lru.select(F.lit("l").alias("t")))
             .unionAll(new_freq.select(F.lit("f").alias("t")))
         )
-        counts = {
-            r.t: r.n
-            for r in tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts_df = tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("k", 0))
         total_s = time.monotonic() - t0
-        # one action leaves no per-phase split; attribute by miss
-        # fraction, the signal the reference's window policy keys on
-        # (streaming.scala:462-540) — same scheme as the similarity
-        # twin (semi_stream_similarity.process_batch)
-        miss_frac = n_miss / n_keys if n_keys else 0.0
-        fetch_s = total_s * miss_frac
-        maintain_s = total_s - fetch_s
+        # MEASURED per-phase split recovered from the combined action's
+        # SQL metrics (DS-Join's controller compares measured phase
+        # times, streaming.scala:486-520): branch k owns the batch key
+        # scan (join context), m + x the miss detect + store fetch,
+        # c/l/f the state rebuild; x is walked before c so the shared
+        # cached fetch is attributed to the fetch phase
+        phases = self._attributor.attribute(
+            counts_df,
+            phases=["fetch", "join", "fetch", "maintain", "maintain", "maintain"],
+            walk_order=[1, 2, 0, 3, 4, 5],
+        )
+        if phases is not None:
+            fetch_s, maintain_s = phases["fetch"], phases["maintain"]
+            join_s, measured = phases["join"], True
+        else:
+            # fallback: miss-fraction attribution (DSim's rule-based
+            # policy, ds_join/DS_SimJoin_stream.scala:645-667)
+            miss_frac = n_miss / n_keys if n_keys else 0.0
+            fetch_s = total_s * miss_frac
+            maintain_s = total_s - fetch_s
+            join_s, measured = 0.0, False
 
         cache.unpersist()
         lru.unpersist()
@@ -156,6 +172,8 @@ class SemiStreamJoin:
                 n_miss=n_miss,
                 store_fetch_s=fetch_s,
                 cache_maintain_s=maintain_s,
+                join_s=join_s,
+                measured=measured,
             )
         )
         return out

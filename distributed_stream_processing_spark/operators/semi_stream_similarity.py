@@ -39,6 +39,9 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
     AdaptiveCacheController,
     BatchTimings,
 )
+from distributed_stream_processing_spark.streaming.plan_timing import (
+    PlanTimeAttributor,
+)
 
 _KEY = ["g", "seg", "sig"]
 
@@ -301,6 +304,7 @@ class SemiStreamSimilarityJoin:
                 (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
             )
         self._pair_filter = pair_filter
+        self._attributor = PlanTimeAttributor()
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
@@ -394,26 +398,44 @@ class SemiStreamSimilarityJoin:
             .unionAll(new_cache.select(F.lit("c").alias("t")))
             .unionAll(new_lru.select(F.lit("l").alias("t")))
             .unionAll(out.select(F.lit("o").alias("t")))
+            .unionAll(fetched.select(F.lit("x").alias("t")))
         )
-        counts = {r.t: r.n for r in tagged.groupBy("t").agg(F.count("*").alias("n")).collect()}
+        counts_df = tagged.groupBy("t").agg(F.count("*").alias("n"))
+        counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("p", 0))
         total_s = time.monotonic() - t0
-        # one action leaves no per-phase wall-clock split; attribute by
-        # miss fraction — the signal the reference's rule-based window
-        # policy keys on anyway (DS_SimJoin_stream.scala:645-667):
-        # miss-heavy batches read as fetch-dominated (grow the
-        # window), hit-heavy as maintenance-dominated (shrink)
-        miss_frac = n_miss / n_keys if n_keys else 0.0
-        fetch_s = total_s * miss_frac
-        maintain_s = total_s - fetch_s
+        # MEASURED per-phase split from the combined action's SQL
+        # metrics: p owns the probe signature emission (join context),
+        # x + m the store fetch + miss detect, c/l the state rebuild,
+        # o the hit/miss join + verification; x is walked before c/o
+        # so the shared cached fetch lands in the fetch phase
+        phases = self._attributor.attribute(
+            counts_df,
+            phases=["fetch", "join", "maintain", "maintain", "join", "fetch"],
+            walk_order=[1, 5, 0, 2, 3, 4],
+        )
+        if phases is not None:
+            fetch_s, maintain_s = phases["fetch"], phases["maintain"]
+            join_s, measured = phases["join"], True
+        else:
+            # fallback: miss-fraction attribution — the signal the
+            # reference's rule-based window policy keys on
+            # (DS_SimJoin_stream.scala:645-667)
+            miss_frac = n_miss / n_keys if n_keys else 0.0
+            fetch_s = total_s * miss_frac
+            maintain_s = total_s - fetch_s
+            join_s, measured = 0.0, False
 
         self.cache.unpersist()
         self.lru.unpersist()
         probe.unpersist()
         self.cache, self.lru = new_cache, new_lru
         self.controller.observe(
-            BatchTimings(batch_id, n_miss, fetch_s, maintain_s)
+            BatchTimings(
+                batch_id, n_miss, fetch_s, maintain_s,
+                join_s=join_s, measured=measured,
+            )
         )
         return out
 

@@ -24,6 +24,11 @@ class BatchTimings:
     store_fetch_s: float  # time joining/fetching missed keys from the store
     cache_maintain_s: float  # time rebuilding cache + LRU state
     join_s: float = 0.0  # hit-join time (context only)
+    # True when the phase split was MEASURED from the combined action's
+    # SQL metrics (plan_timing.PlanTimeAttributor) rather than
+    # estimated from the miss fraction; measured values are aggregate
+    # task times, which is fine — the policy only compares magnitudes
+    measured: bool = False
 
 
 @dataclass

@@ -1,0 +1,145 @@
+"""Measured per-phase timing attribution for single-action batches.
+
+The semi-stream pipelines (DS-Join / DSim-Join parity) run ONE
+combined Spark action per micro-batch: a count over a tagged union
+whose branches are the batch's phases (miss detect, store fetch,
+cache/LRU rebuild, verified output). That is the right execution
+shape — phases share the cluster instead of serializing — but it
+leaves no per-phase wall-clock split for the adaptive caching-window
+controller, which must compare store-fetch cost vs cache-maintenance
+cost (DS-Join/DS_join_step4/src/main/scala/streaming.scala:486-520
+times the phases directly because it RUNS them separately).
+
+This module recovers a MEASURED split from Spark's own SQL metrics
+instead of estimating by miss fraction: after the action, walk the
+executed plan, locate the tagged UnionExec, and sum each branch
+subtree's time-typed metrics (WholeStageCodegen pipelineTime,
+HashAggregate aggTime, shuffle write time, broadcast build/collect
+time, scan time). Two wrinkles make this more than a tree fold:
+
+* Shared subtrees. Cached relations (the per-batch fetch, the probe
+  signatures) and reused exchanges appear under several branches but
+  execute once. Metrics are deduped by accumulator id, and branches
+  are walked in a caller-given priority order so shared work lands in
+  the phase that semantically owns it (the store-fetch branch is
+  walked before the cache-rebuild and output branches that reuse it).
+* Persistent caches. A corpus-level cached relation (the signature
+  store) keeps its accumulators across batches, so raw values would
+  re-attribute the one-time build cost every batch. Each metric is
+  differenced against its previous observed value; steady-state
+  deltas of persistent caches are zero.
+
+The sums are aggregate task times (CPU-ish), not wall clock — the
+controller only compares relative magnitudes, which is exactly what
+the reference's feedback rule does. Any py4j/plan-shape surprise
+makes ``attribute`` return None and the caller falls back to the
+miss-fraction estimate (the DSim rule-based policy,
+ds_join/DS_SimJoin_stream.scala:645-667).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_NS_TYPES = {"nsTiming"}
+_MS_TYPES = {"timing"}
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _children(node) -> list:
+    """Physical-plan children, descending through AQE / reuse / cache
+    wrappers so the walk sees the nodes that actually executed."""
+    name = _cls(node)
+    if name == "AdaptiveSparkPlanExec":
+        return [node.executedPlan()]
+    if name.endswith("QueryStageExec"):
+        return [node.plan()]
+    out = []
+    ch = node.children()
+    for i in range(ch.length()):
+        out.append(ch.apply(i))
+    if name == "ReusedExchangeExec":
+        out.append(node.child())
+    elif name == "InMemoryTableScanExec":
+        out.append(node.relation().cachedPlan())
+    return out
+
+
+def _time_metrics(node) -> list[tuple[int, float]]:
+    """(accumulator_id, seconds) for each time-typed metric on node."""
+    res = []
+    m = node.metrics()
+    it = m.keys().iterator()
+    while it.hasNext():
+        sm = m.apply(it.next())
+        mt = sm.metricType()
+        if mt in _MS_TYPES:
+            res.append((sm.id(), sm.value() / 1e3))
+        elif mt in _NS_TYPES:
+            res.append((sm.id(), sm.value() / 1e9))
+    return res
+
+
+def _find_union(root, n_branches: int):
+    """BFS for the outermost UnionExec with exactly n_branches kids
+    (nested unionByName pairs inside a branch have 2)."""
+    queue = [root]
+    while queue:
+        node = queue.pop(0)
+        kids = _children(node)
+        if _cls(node) == "UnionExec" and len(kids) == n_branches:
+            return kids
+        queue.extend(kids)
+    return None
+
+
+class PlanTimeAttributor:
+    """Attributes a tagged-union action's time metrics to named phases.
+
+    ``attribute(df, phases, walk_order)``: ``phases[i]`` names the
+    phase of union branch i (construction order); ``walk_order`` gives
+    the dedup priority (first walker owns shared subtrees). Returns
+    {phase: seconds} or None. Keep one instance per pipeline — it
+    carries the cross-batch accumulator baseline.
+    """
+
+    def __init__(self):
+        self._last: dict[int, float] = {}
+
+    def attribute(
+        self,
+        df: DataFrame,
+        phases: list[str],
+        walk_order: list[int] | None = None,
+    ) -> dict[str, float] | None:
+        try:
+            root = df._jdf.queryExecution().executedPlan()
+            branches = _find_union(root, len(phases))
+            if branches is None:
+                return None
+            seen: set[int] = set()
+            current: dict[int, float] = {}
+            totals = {p: 0.0 for p in phases}
+            for idx in walk_order or range(len(phases)):
+                stack = [branches[idx]]
+                acc = 0.0
+                while stack:
+                    node = stack.pop()
+                    for mid, secs in _time_metrics(node):
+                        current[mid] = secs
+                        if mid in seen:
+                            continue
+                        seen.add(mid)
+                        acc += secs - self._last.get(mid, 0.0)
+                    stack.extend(_children(node))
+                totals[phases[idx]] += max(acc, 0.0)
+            # persistent caches keep their accumulators across batches;
+            # replacing the baseline wholesale forgets per-batch ids
+            # (they never recur) and keeps the persistent ones current
+            self._last = current
+            return totals
+        except Exception:
+            return None

@@ -1,0 +1,64 @@
+"""Measured controller phase timings (X7 parity upgrade).
+
+DS-Join's caching-window controller compares MEASURED store-fetch
+time vs cache-maintenance time (streaming.scala:486-520). Round 5's
+one-action-per-batch collapse left only a miss-fraction estimate;
+these tests pin the restored measured split: the PlanTimeAttributor
+recovers real per-phase SQL-metric times from the single combined
+job, and the split tracks a synthetic hit-heavy vs miss-heavy batch
+pair while the controller trace semantics stay unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_stream_processing_spark.operators.semi_stream_join import (
+    SemiStreamJoin,
+)
+
+
+def _timings(spark, n_store=60_000, n_batch=20_000):
+    store = spark.range(n_store).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("payload"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    j = SemiStreamJoin(store=store, key="k")
+    batch = spark.range(n_batch).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    # batch 0: cache empty -> every key misses (fetch-heavy)
+    j.process_batch(batch, 0)
+    # batch 1: same keys, now cached -> zero misses (hit-heavy)
+    j.process_batch(batch, 1)
+    miss_heavy, hit_heavy = j.controller.history[0], j.controller.history[1]
+    return miss_heavy, hit_heavy
+
+
+def test_measured_split_tracks_hit_vs_miss_regime(spark):
+    miss_heavy, hit_heavy = _timings(spark)
+    # the split must be MEASURED (SQL metrics), not the miss-fraction
+    # fallback — the fallback would make this whole test circular
+    assert miss_heavy.measured and hit_heavy.measured
+    assert miss_heavy.n_miss > 0 and hit_heavy.n_miss == 0
+    # real phase work exists on both sides
+    assert miss_heavy.store_fetch_s > 0
+    assert miss_heavy.cache_maintain_s > 0
+    # fetch work must shrink when the cache absorbs the batch: the
+    # miss-heavy batch builds + admits the fetched rows, the hit-heavy
+    # one fetches nothing
+    assert miss_heavy.store_fetch_s > hit_heavy.store_fetch_s
+    # and the fetch SHARE must drop too (not just absolute time)
+    share = lambda t: t.store_fetch_s / (  # noqa: E731
+        t.store_fetch_s + t.cache_maintain_s
+    )
+    assert share(miss_heavy) > share(hit_heavy)
+
+
+def test_measured_split_feeds_window_policy(spark):
+    """The controller grows the window on a hit-only batch (n_miss=0
+    short-circuit) exactly as with estimated timings — the measured
+    upgrade changes the numbers, not the policy semantics."""
+    miss_heavy, hit_heavy = _timings(spark)
+    assert hit_heavy.n_miss == 0  # grow path exercised with measured=True
