@@ -446,8 +446,11 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
     The reference collects its signature frequency map to the driver
     and broadcasts it; here the frequency table stays distributed —
     an ids-only equi-join prices the probe rows, and the per-record
-    greedy runs in a grouped Arrow pass. Emitted rows name the index
-    kind they target (b_kind), so deletion x deletion never joins.
+    greedy runs PARTITION-WISE in one Arrow pass per partition
+    (mapInPandas over a_id-clustered rows with a carry buffer for
+    records split across Arrow batches; one Arrow group per record
+    was pure fixed cost). Emitted rows name the index kind they
+    target (b_kind), so deletion x deletion never joins.
     """
     freq = b.groupBy("g", "seg", "sig").agg(
         F.sum(F.when(F.col("b_kind") == 0, 1).otherwise(0)).alias("f0"),
@@ -458,11 +461,17 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
         .fillna({"f0": 0, "f1": 0})
         .select("a_id", "a_sz", "g", "seg", "sig", "a_kind", "f0", "f1")
     )
+    out_cols = ["a_id", "a_sz", "g", "seg", "sig", "b_kind"]
+    out_dtypes = {
+        "a_id": "int64",
+        "a_sz": "int32",
+        "g": "int32",
+        "seg": "int32",
+        "sig": "int64",
+        "b_kind": "int32",
+    }
 
-    def pick(key, pdf):
-        # real annotations set below (the module's future-annotations
-        # mode would stringify inline hints past the UDF inspector)
-        a_id, a_sz, g = (int(k) for k in key)
+    def _pick_one(a_id: int, a_sz: int, g: int, pdf) -> list[tuple]:
         h = hs[g]
         seg_rows = pdf[pdf["a_kind"] == 0]
         segsig: dict[int, int] = {}
@@ -485,25 +494,45 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
                 rows.append((a_id, a_sz, g, s, segsig[s], 0))
             if vi == 2:
                 rows.append((a_id, a_sz, g, s, segsig[s], 1))
-                rows.extend(
-                    (a_id, a_sz, g, s, d, 0) for d in dels.get(s, ())
-                )
-        return pd.DataFrame(
-            rows, columns=["a_id", "a_sz", "g", "seg", "sig", "b_kind"]
-        ).astype(
-            {
-                "a_id": "int64",
-                "a_sz": "int32",
-                "g": "int32",
-                "seg": "int32",
-                "sig": "int64",
-                "b_kind": "int32",
-            }
-        )
+                rows.extend((a_id, a_sz, g, s, d, 0) for d in dels.get(s, ()))
+        return rows
 
-    pick.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
-    return costed.groupBy("a_id", "a_sz", "g").applyInPandas(
-        pick, schema="a_id long, a_sz int, g int, seg int, sig long, b_kind int"
+    def pick_stream(batches):
+        def flush(pdf):
+            rows: list[tuple] = []
+            for (a_id, a_sz, g), grp in pdf.groupby(
+                ["a_id", "a_sz", "g"], sort=False
+            ):
+                rows.extend(_pick_one(int(a_id), int(a_sz), int(g), grp))
+            return pd.DataFrame(rows, columns=out_cols).astype(out_dtypes)
+
+        # rows are clustered by a_id within the partition; a record's
+        # rows can still straddle an Arrow batch boundary, so the last
+        # a_id run of each batch is carried into the next
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last = pdf["a_id"].iloc[-1]
+            tail = pdf["a_id"] == last
+            carry = pdf[tail]
+            done = pdf[~tail]
+            if len(done):
+                yield flush(done)
+        if carry is not None and len(carry):
+            yield flush(carry)
+
+    n_part = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        costed.repartition(n_part, "a_id")
+        .sortWithinPartitions("a_id")
+        .mapInPandas(
+            pick_stream,
+            schema="a_id long, a_sz int, g int, seg int, sig long, b_kind int",
+        )
     )
 
 
