@@ -46,6 +46,59 @@ STRESS = [
 ]
 
 
+def _pipeline_candidates(spark, d: str, force_equality: bool):
+    """Deduped candidate-pair count of the q48 pipeline's probe path
+    on a stress directory's documents split, under the pipeline's own
+    chosen signature schemes or forced all-equality — the measured
+    evidence for the adaptive/deletion layout's candidate cut on the
+    sparse-vocab stress corpus (VERDICT r5 task 4)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.functions.signatures import (
+        seg_count_dima,
+    )
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_similarity as sss,
+    )
+
+    t = Fraction(3, 4)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
+    stream, stored = base.filter(F.col("id") % 10 < 3), base.filter(
+        F.col("id") % 10 >= 3
+    )
+    store = sss.build_similarity_store(stored, t)
+    if force_equality:
+        hs = {
+            g: max(1, seg_count_dima(t, hi))
+            for g, (lo, hi) in enumerate(store.groups)
+        }
+        deletion = {g: False for g in hs}
+        index = sss._emit_sigs(stored, "b", False, store.groups, hs, t, deletion)
+    else:
+        hs, deletion, index = store.hs, store.deletion, store.sig_store
+    probe = sss._emit_sigs(stream, "a", True, store.groups, hs, t, deletion)
+    pf = (
+        (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+        & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
+    )
+    if any(deletion.values()):
+        pf = pf & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
+    n = (
+        index.join(F.broadcast(probe), sss._KEY)
+        .filter(pf)
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+        .count()
+    )
+    return n, deletion
+
+
 def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
     """10x scaling audit for the STRESS queries: same synthetic
     distribution at 1x (the sf0.1 shape) and 10x rows, generated
@@ -73,6 +126,28 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
             ).save()
             out[name][scale] = round(time.monotonic() - t0, 3)
             print(f"# {scale} {name}: {out[name][scale]}s", file=sys.stderr)
+    # signature-scheme audit on the sparse-vocab stress corpus: the
+    # stress documents (2k-word vocab, 8-100-token docs) flip the
+    # pipeline's scheme chooser to the deletion layout for the long
+    # groups; record the flags and the measured candidate cut vs
+    # forced all-equality so the adaptive/deletion machinery is
+    # benched at scale with evidence, not assumed
+    scheme_audit = None
+    try:
+        n_chosen, deletion = _pipeline_candidates(
+            spark, dirs["stress1x"], force_equality=False
+        )
+        n_eq, _ = _pipeline_candidates(
+            spark, dirs["stress1x"], force_equality=True
+        )
+        scheme_audit = {
+            "deletion_flags_1x": {str(g): bool(v) for g, v in deletion.items()},
+            "candidate_pairs_1x": {"chosen_scheme": n_chosen, "all_equality": n_eq},
+            "equality_over_chosen_ratio": round(n_eq / max(1, n_chosen), 2),
+        }
+        print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
+    except Exception as e:
+        print(f"# scheme audit skipped: {e}", file=sys.stderr)
     return {
         "queries": out,
         "data_ratio": 10.0,
@@ -89,6 +164,7 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
         # collide across unrelated docs), so a q48 runtime ratio of
         # ~10 is ~10x BETTER than candidate-linear scaling
         "q48_candidate_pairs_1x_10x": [359707, 37431750],
+        **({"scheme_audit": scheme_audit} if scheme_audit else {}),
     }
 
 
@@ -100,19 +176,26 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        best = None
+        times = []
         for _ in range(runs):
             t0 = time.monotonic()
             df = specs[name].fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.monotonic() - t0)
         # min over runs: steady-state plan+execute time, excluding JIT/
         # shuffle-service warmup noise (~20% run-to-run on local[32];
-        # n>=3 per VERDICT r4 task 6 after r4's +9% jitter drift)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+        # n>=3 per VERDICT r4 task 6 after r4's +9% jitter drift).
+        # spread (max-min) published so a single driver number can be
+        # read against the session's own jitter envelope
+        timings[name] = round(min(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
+        print(
+            f"# {name}: {timings[name]}s (min of {runs}, "
+            f"spread {spread[name]}s)",
+            file=sys.stderr,
+        )
 
     stress = _run_stress(spark, specs, timings)
     total = round(sum(timings.values()), 3)
@@ -123,6 +206,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf),
                 "runs": runs,
                 **({"sf1_stress": stress} if stress else {}),

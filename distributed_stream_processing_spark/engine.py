@@ -225,10 +225,12 @@ class Engine:
 
     def ann_search(
         self, queries: DataFrame, corpus: DataFrame, k: int = 10,
-        method: str = "brute",
+        method: str = "brute", **kwargs,
     ) -> DataFrame:
+        """``kwargs`` pass through to the method (ivf: n_centroids,
+        n_probe, centroids, dim; lsh: bands/width/seed)."""
         fn = {"brute": brute_force_topk, "lsh": lsh_topk, "ivf": ivf_topk}[method]
-        return fn(queries, corpus, k)
+        return fn(queries, corpus, k, **kwargs)
 
     def asof_join(self, left, right, key, left_ts, right_ts, right_cols):
         return asof_join(left, right, key, left_ts, right_ts, right_cols)

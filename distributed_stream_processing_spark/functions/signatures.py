@@ -88,23 +88,31 @@ def deletion_signatures(tokens: Column, h: int) -> Column:
     segment content with each single token removed (createDeletion,
     BuildSig.scala:187-200).
 
+    Contract: ``tokens`` is treated as a SET. The segment content is
+    deduplicated (array_distinct) before splicing, so dropping by
+    position equals dropping by value even for callers that pass a
+    multiset token array — [a, a, b] minus a is [b], matching the
+    value-based filter this splice form replaced (the engine's own
+    tokenizer, functions.text.tokens, already emits distinct tokens,
+    for which array_distinct is the identity).
+
     Each segment's sorted content array is materialized ONCE, then
     every deletion is an O(s) array splice over it — the naive form
     re-filtered the whole record (one membership hash per token) per
-    deletion, O(s * |record|) hashing per deletion row. Signature
-    values are identical because token arrays are DISTINCT sets
-    (functions.text.tokens): dropping by position equals dropping by
-    value, and concat_ws over the sorted array minus one position is
-    exactly the sorted filtered content. The per-element index lambda
-    makes empty segments contribute nothing (a 1..size sequence would
-    emit a descending [1, 0] for them).
+    deletion, O(s * |record|) hashing per deletion row. The
+    per-element index lambda makes empty segments contribute nothing
+    (a 1..size sequence would emit a descending [1, 0] for them).
     """
     seg_arrs = F.transform(
         F.sequence(F.lit(0), F.lit(h - 1)),
         lambda seg: F.struct(
             seg.cast("int").alias("seg"),
             F.array_sort(
-                F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg)
+                F.array_distinct(
+                    F.filter(
+                        tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg
+                    )
+                )
             ).alias("arr"),
         ),
     )

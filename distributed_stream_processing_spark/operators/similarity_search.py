@@ -238,7 +238,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse quantizer with plan-time constant centroids
     (seeded unit-norm by default; pass ``centroids`` from
@@ -250,18 +250,46 @@ def ivf_topk(
     (~n_probe/n_centroids of the corpus scanned). Deterministic end
     to end, so the DuckDB oracle reproduces it bit-exactly.
 
+    ``dim`` defaults to the corpus's measured embedding width (one
+    first() probe); a row whose embedding width differs from the
+    quantizer raises at scan time instead of silently null-folding
+    every centroid distance (which would collapse bucketing — and
+    pruning — for the whole mismatched slice).
+
     Reference parity: myNapp's partitioned ANN probe
     (reference: DS_join_step4 partition-pruned fetch shape) —
     re-expressed as broadcast-bucket equi-join.
     """
+    if centroids is not None:
+        dim = len(centroids[0])
+    elif dim is None:
+        first = corpus.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            raise ValueError("ivf_topk: empty corpus and no dim/centroids given")
+        dim = int(first.d)
     if centroids is None:
         centroids = seeded_centroids(dim, n_centroids, seed)
 
+    def guarded(col):
+        return F.when(F.size(col) == dim, col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ivf_topk: embedding width != quantizer dim {dim}: "
+                    ),
+                    F.size(col).cast("string"),
+                )
+            )
+        )
+
     c = corpus.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("embedding").alias("c_vec"),
-        norm2(F.col("embedding")).alias("c_norm"),
-        F.array_min(_nearest_centroid_structs(F.col("embedding"), centroids))[
+        guarded(F.col("embedding")).alias("c_vec"),
+    ).select(
+        "vec_id",
+        "c_vec",
+        norm2(F.col("c_vec")).alias("c_norm"),
+        F.array_min(_nearest_centroid_structs(F.col("c_vec"), centroids))[
             "bucket"
         ].alias("bucket"),
     )
@@ -270,12 +298,15 @@ def ivf_topk(
     # head — queries stay on the broadcast side throughout
     q = queries.select(
         F.col("vec_id").cast("bigint").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        norm2(F.col("embedding")).alias("q_norm"),
+        guarded(F.col("embedding")).alias("q_vec"),
+    ).select(
+        "q_id",
+        "q_vec",
+        norm2(F.col("q_vec")).alias("q_norm"),
         F.explode(
             F.slice(
                 F.array_sort(
-                    _nearest_centroid_structs(F.col("embedding"), centroids)
+                    _nearest_centroid_structs(F.col("q_vec"), centroids)
                 ),
                 1,
                 n_probe,

@@ -744,7 +744,18 @@ def verify_ed_ints(
     bit-reproducible in DuckDB via the same integer cents sums.
     """
     m = len(query)
-    q = np.rint(np.asarray(query, dtype=np.float64) * value_scale).astype(np.int64)
+    qs = np.asarray(query, dtype=np.float64) * value_scale
+    # the exactness contract is data-dependent: fail LOUDLY when the
+    # query/series are not fixed-decimal at this scale instead of
+    # silently rint-quantizing to a different problem (same guards as
+    # online_ml.batch_best_match — one contract across the int paths)
+    if len(qs) and float(np.abs(qs - np.rint(qs)).max()) > 1e-6:
+        raise ValueError(
+            f"value_scale={value_scale} but the query is not "
+            "fixed-decimal at that scale"
+        )
+    q = np.rint(qs).astype(np.int64)
+    _q_absmax = float(np.abs(q).max()) if len(q) else 0.0
     eps2 = float(epsilon * value_scale) ** 2  # int64 d2 < 2^53 is exact
 
     def row_fn(pos: np.ndarray, val: np.ndarray, starts: np.ndarray) -> pd.DataFrame:
@@ -753,7 +764,20 @@ def verify_ed_ints(
         )
         if len(starts) == 0 or len(val) < m:
             return empty
-        cents = np.rint(val * value_scale).astype(np.int64)
+        sv = val * value_scale
+        if len(sv) and float(np.abs(sv - np.rint(sv)).max()) > 1e-6:
+            raise ValueError(
+                f"value_scale={value_scale} but series values are not "
+                "fixed-decimal at that scale"
+            )
+        cents = np.rint(sv).astype(np.int64)
+        dmax = float(np.abs(cents).max()) + _q_absmax
+        if dmax * dmax * m >= 2.0**53:
+            raise ValueError(
+                "scaled |diff|^2 * m may exceed 2^53 — exact int64 "
+                "distance contract would break; lower value_scale or "
+                "shorten the query"
+            )
         s_idx = np.searchsorted(pos, starts)
         ok = s_idx + m <= len(pos)
         si, st = s_idx[ok], starts[ok]

@@ -62,3 +62,46 @@ def test_lloyd_trainer_deterministic_and_pluggable(spark, sf_smoke):
     et = {(r.q_id, r.vec_id) for r in exact.collect()}
     at = {(r.q_id, r.vec_id) for r in out.collect()}
     assert len(at & et) >= 0.3 * len(et)
+
+
+def test_ivf_infers_dim_from_corpus(spark):
+    """ADVICE r5: dim was hard-coded to 64; non-64-dim embeddings
+    null-folded every centroid distance and silently collapsed
+    bucketing. The quantizer dim now defaults to the corpus's
+    measured width — 16-dim vectors must bucket and rank properly."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(120, 16)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(v) for v in mat[i]]) for i in range(len(mat))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = brute_force_topk(q, emb, k=5)
+    approx = ivf_topk(q, emb, k=5, n_centroids=4, n_probe=2)
+    et = {(r.q_id, r.vec_id) for r in exact.collect()}
+    at = {(r.q_id, r.vec_id) for r in approx.collect()}
+    assert len(at) > 0
+    assert len(at & et) >= 0.3 * len(et)
+    # buckets must actually PARTITION the corpus (the old null-fold
+    # put every row in one bucket): probing 2/4 centroids on unit
+    # gaussians should scan roughly half the corpus, so some exact
+    # neighbors are missed OR the candidate sets differ from a full
+    # scan; assert the plan at least produced k-capped ranked output
+    from collections import Counter
+
+    per_q = Counter(qid for qid, _ in at)
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_ivf_rejects_mismatched_embedding_width(spark):
+    """A row whose embedding width differs from the quantizer dim
+    must raise loudly at scan time, not degrade recall silently."""
+    import pytest
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0])]  # 3-wide intruder
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(Exception, match="embedding width"):
+        ivf_topk(q, emb, k=2, n_centroids=2, n_probe=2).collect()

@@ -84,6 +84,27 @@ def test_deletion_signature_catches_one_token_diff(spark):
     assert len(seg_a & seg_b) == h - 1
 
 
+def test_deletion_signatures_treat_multiset_as_set(spark):
+    """ADVICE r5: the O(s) splice form drops by POSITION; for multiset
+    inputs that diverged from the value-based filter it replaced
+    (which removed every copy). Contract now: segment content is
+    deduplicated first, so a duplicated token yields exactly the
+    distinct-set signatures."""
+    from distributed_stream_processing_spark.functions.signatures import (
+        deletion_signatures,
+    )
+
+    h = 2
+    rows = [(1, ["a", "a", "b", "c"]), (2, ["a", "b", "c"])]
+    df = spark.createDataFrame(rows, "id long, tokens array<string>")
+    out = df.select(
+        "id", deletion_signatures(F.col("tokens"), h).alias("dele")
+    ).collect()
+    multi = {(s.seg, s.sig) for s in out[0].dele}
+    distinct = {(s.seg, s.sig) for s in out[1].dele}
+    assert multi == distinct
+
+
 def test_similarity_join_equals_bruteforce_hypothesis(spark):
     """Randomized corpora: prefix join == brute force at any threshold
     (exercises both the bitmask and array verification paths)."""
