@@ -142,8 +142,12 @@ def minhash_lsh_dedup(
     # min-aggregate measured slower at sf0.01 and sf0.1 (extra explode
     # + aggregate barrier + join-back outweigh the codegen win here),
     # unlike simhash/winnowing whose lambda forms did superlinear
-    # interpreted work per token.
-    mh = gdf.select(
+    # interpreted work per token. The fold is the pipeline's CPU
+    # center; fan_out keeps AQE's size-based coalescing from running
+    # it on 1-2 tasks (measured ~5 CPU-s on 2 cores at sf0.1).
+    from distributed_stream_processing_spark.operators.skew import fan_out
+
+    mh = fan_out(gdf).select(
         "id", minhash_signature(F.col("tokens"), num_perm, seed).alias("mh")
     )
 

@@ -38,3 +38,23 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism,
+    for a stage of HEAVY PER-ROW COMPUTE whose input would otherwise
+    arrive under-partitioned.
+
+    Two sources of under-partitioning that byte-based planning cannot
+    see past: a small file scan (one task per file) and AQE partition
+    coalescing (merges exchanges to ~64 MB chunks by SIZE — correct
+    for byte-bound stages, wrong when each row costs far more to
+    process than to store, e.g. a 64-permutation MinHash fold over a
+    token array). The explicit REPARTITION_BY_NUM exchange is exempt
+    from AQE coalescing, so the downstream compute runs at full
+    width; the shuffled payload is the operator's (small) row set,
+    paid once. At cluster scale shuffle partitions are sized 2-3x
+    total cores (session.py), so this widens, never narrows.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n_part)
