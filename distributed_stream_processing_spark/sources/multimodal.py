@@ -60,6 +60,90 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_ppm(payload: bytes) -> dict:
+    """REAL pure-python decode of binary PPM (P6): header parse +
+    8-dim feature (mean byte level of 8 equal raster chunks, scaled
+    to [-1, 1)). No image library needed — the format is
+    self-describing, so the engine's decode seam has one fully real
+    path in dependency-free containers."""
+    import re
+
+    # header tokens: "P6", width, height, maxval; '#' comments legal
+    pos, toks = 2, []
+    while len(toks) < 3:
+        m = re.match(rb"(?:\s+|#[^\n]*\n)*(\d+)", payload[pos:])
+        if not m:
+            raise ValueError("malformed PPM header")
+        toks.append(int(m.group(1)))
+        pos += m.end()
+    width, height, maxval = toks
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # single whitespace byte before the raster
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    n = len(raster)
+    feat = []
+    for i in range(8):
+        chunk = raster[i * n // 8 : (i + 1) * n // 8]
+        mean = (sum(chunk) / len(chunk)) if chunk else 0.0
+        feat.append(mean / (maxval + 1) * 2 - 1)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "duration_ms": 0,
+        "feature": feat,
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL pure-python decode of RIFF/WAVE PCM: chunk walk for fmt +
+    data, duration from byte rate, 8-dim feature = per-eighth RMS of
+    the samples scaled to [0, 1] (minus 0.5 to center)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1 or rate <= 0:
+        raise ValueError(f"unsupported WAV (fmt={audio_format}, bits={bits})")
+    width_b = bits // 8
+    n_samples = len(data) // (channels * width_b)
+    duration_ms = round(1000 * n_samples / rate)
+    if bits == 16:
+        vals = struct.unpack_from(f"<{n_samples * channels}h", data)
+        norm = [v / 32768.0 for v in vals]
+    else:  # 8-bit PCM is unsigned
+        norm = [(b - 128) / 128.0 for b in data[: n_samples * channels]]
+    n = len(norm)
+    feat = []
+    for i in range(8):
+        chunk = norm[i * n // 8 : (i + 1) * n // 8]
+        rms = (sum(v * v for v in chunk) / len(chunk)) ** 0.5 if chunk else 0.0
+        feat.append(rms - 0.5)
+    return {
+        "width": 0,
+        "height": 0,
+        # 250 ms analysis windows, matching the stub's frame granularity
+        "n_frames": max(1, -(-duration_ms // 250)),
+        "duration_ms": duration_ms,
+        "feature": feat,
+    }
+
+
 def _fake_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic pseudo-decode: metadata + an 8-dim feature vector
     derived from the payload digest (reproducible everywhere)."""
@@ -84,20 +168,36 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     }
 
 
+def _decode_one(payload: bytes, media_type: str) -> dict:
+    """Magic-byte dispatch: payloads in the engine's natively-decoded
+    mini formats (PPM P6, RIFF/WAVE PCM) get a REAL pure-python
+    decode; everything else keeps the deterministic stub. Sniffing by
+    magic (how real decoders dispatch) keeps the stub gates intact:
+    the synthetic tables' utf-8 text payloads are lowercase words and
+    can never start with the uppercase magics."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    return _fake_decode(payload, media_type)
+
+
 def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Decode + feature-extract each payload (mapInPandas, Arrow
-    batches). Real decoding requires PIL/librosa — stubbed here."""
+    batches). PPM/WAV payloads are decoded for real (pure-python
+    micro-decoders, no media libs needed); jpeg/png/compressed-audio
+    decoding requires PIL/librosa and stays stubbed here."""
     if _HAVE_REAL_DECODERS:  # pragma: no cover
         raise NotImplementedError(
-            "real media decoding not wired in this container; "
-            "plug PIL/librosa decode into _fake_decode's slot"
+            "PIL present but jpeg/png decoding not wired; plug it "
+            "into _decode_one's dispatch next to the PPM/WAV decoders"
         )
 
     def gen(batches):
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                d = _fake_decode(bytes(row["payload"]), row["media_type"])
+                d = _decode_one(bytes(row["payload"]), row["media_type"])
                 recs.append(
                     {"media_id": row["media_id"], "media_type": row["media_type"], **d}
                 )

@@ -132,3 +132,75 @@ def test_real_decoder_environment():
     from distributed_stream_processing_spark.sources import multimodal as mm
 
     assert mm._HAVE_REAL_DECODERS is True
+
+
+def _ppm_bytes(w=4, h=2):
+    raster = bytes(range(w * h * 3))
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + raster
+
+
+def _wav_bytes(n=8000, rate=8000):
+    """1-second 16-bit mono WAV written with the stdlib writer."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(
+            b"".join(
+                struct.pack("<h", int(12000 * math.sin(2 * math.pi * 440 * i / rate)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_real_ppm_decode():
+    """REAL decode path (no media libs): a binary PPM's header fields
+    come back exactly, not as digest pseudo-metadata."""
+    from distributed_stream_processing_spark.sources.multimodal import _decode_ppm
+
+    d = _decode_ppm(_ppm_bytes(5, 3))
+    assert (d["width"], d["height"], d["n_frames"], d["duration_ms"]) == (5, 3, 1, 0)
+    assert len(d["feature"]) == 8
+    assert all(-1.0 <= v < 1.0 for v in d["feature"])
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(_ppm_bytes(5, 3)[:-4])
+
+
+def test_real_wav_decode():
+    from distributed_stream_processing_spark.sources.multimodal import _decode_wav
+
+    d = _decode_wav(_wav_bytes(n=8000, rate=8000))
+    assert d["duration_ms"] == 1000
+    assert d["n_frames"] == 4  # 250 ms windows
+    assert d["width"] == 0 and d["height"] == 0
+    assert len(d["feature"]) == 8
+    # a 440 Hz tone at amplitude 12000/32768 has RMS ~0.259 per chunk
+    assert all(abs((v + 0.5) - 0.259) < 0.02 for v in d["feature"])
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """The mini-format decoders run through the SAME mapInPandas
+    plumbing as the stub — mixed real/stub payloads in one frame."""
+    from distributed_stream_processing_spark.sources.multimodal import decode_media
+
+    rows = [
+        (1, "image/x-portable-pixmap", bytearray(_ppm_bytes(6, 4))),
+        (2, "audio/wav", bytearray(_wav_bytes(n=4000, rate=8000))),
+        (3, "image/jpeg", bytearray(b"not a real jpeg")),  # stub path
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].width, got[1].height) == (6, 4)
+    assert got[2].duration_ms == 500 and got[2].n_frames == 2
+    assert got[3].width != 0  # stub image metadata still flows
