@@ -132,6 +132,52 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
     # groups; record the flags and the measured candidate cut vs
     # forced all-equality so the adaptive/deletion machinery is
     # benched at scale with evidence, not assumed
+    # 100x dedup posture: LSH pair generation + duplicate clustering
+    # on 500k docs (100x the bench corpus, linear-output fixture) —
+    # confirms near-linear LSH scaling and logs the label-propagation
+    # round count (pointer jumping keeps it O(log component diameter))
+    dedup_100x = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
+        try:
+            from fractions import Fraction
+
+            from pyspark.sql import functions as F
+
+            from distributed_stream_processing_spark.functions.text import tokens
+            from distributed_stream_processing_spark.operators.dedup import (
+                duplicate_clusters,
+                minhash_lsh_dedup,
+            )
+            from tools.gen_stress_sf1 import ensure_dedup_100x
+
+            d100 = ensure_dedup_100x()
+            docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
+            toks = docs.select(
+                F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+            )
+            t0 = time.monotonic()
+            pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
+                eager=False
+            )
+            n_pairs = pairs.count()
+            t_pairs = round(time.monotonic() - t0, 3)
+            stats: dict = {}
+            t0 = time.monotonic()
+            clusters = duplicate_clusters(
+                docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
+            )
+            n_keep = clusters.filter("keep").count()
+            dedup_100x = {
+                "n_docs": 500_000,
+                "minhash_pairs_s": t_pairs,
+                "n_pairs": n_pairs,
+                "clustering_s": round(time.monotonic() - t0, 3),
+                "label_prop_rounds": stats.get("rounds"),
+                "n_clusters_kept": n_keep,
+            }
+            print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
+        except Exception as e:
+            print(f"# dedup 100x skipped: {e}", file=sys.stderr)
     scheme_audit = None
     try:
         n_chosen, deletion = _pipeline_candidates(
@@ -165,6 +211,7 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
         # ~10 is ~10x BETTER than candidate-linear scaling
         "q48_candidate_pairs_1x_10x": [359707, 37431750],
         **({"scheme_audit": scheme_audit} if scheme_audit else {}),
+        **({"dedup_100x": dedup_100x} if dedup_100x else {}),
     }
 
 

@@ -111,6 +111,22 @@ def gen_embeddings(path: str, rng: np.random.RandomState, n: int) -> None:
     pq.write_table(tbl, path)
 
 
+def ensure_dedup_100x(base_dir: str = BASE_DIR) -> str:
+    """100x documents-only point (500k docs, same distribution) for
+    the dedup posture audit: LSH near-linearity + label-propagation
+    round count at two orders of magnitude above the bench corpus.
+    Components here are star-ish (each near-dup copies a random
+    source), so convergence is fast; the O(log diameter)
+    pointer-jumping worst case is pinned separately by the 200-node
+    chain pytest."""
+    d = os.path.join(base_dir, "stress100x")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(path):
+        gen_documents(path, np.random.RandomState(42 + 10 * 100), N_DOCS * 100)
+    return d
+
+
 def ensure_stress(base_dir: str = BASE_DIR) -> dict[str, str]:
     """Generate (if missing) both scale points; returns {name: dir}."""
     out = {}
