@@ -92,19 +92,22 @@ class SemiStreamJoin:
             lru.join(batch_keys, k, "left_anti")
             .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
         )
-        # per-key batch frequency (drives optional admission)
-        new_freq = (
-            self.freq.unionByName(
-                batch_keys.withColumn("n_batches_seen", F.lit(1))
-            )
-            .groupBy(k)
-            .agg(F.sum("n_batches_seen").alias("n_batches_seen"))
-        )
-
         admitted = fetched
         window = self.controller.window
         stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
+        new_freq = None
         if self.admit_below_freq is not None:
+            # per-key batch frequency (admission only): maintained —
+            # one groupBy + checkpoint + union branch per batch — only
+            # when admission is enabled; the pipeline is latency-bound
+            # on small sequential stages, so dead state costs real time
+            new_freq = (
+                self.freq.unionByName(
+                    batch_keys.withColumn("n_batches_seen", F.lit(1))
+                )
+                .groupBy(k)
+                .agg(F.sum("n_batches_seen").alias("n_batches_seen"))
+            )
             # a key only reveals itself as hot after repeat batches, so
             # the filter both blocks admission AND evicts already-cached
             # keys that crossed the threshold
@@ -126,15 +129,20 @@ class SemiStreamJoin:
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
         new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
         new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
-        new_freq = new_freq.coalesce(n_part).localCheckpoint(eager=False)
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
             .unionAll(batch_keys.select(F.lit("k").alias("t")))
             .unionAll(fetched.select(F.lit("x").alias("t")))
             .unionAll(new_cache.select(F.lit("c").alias("t")))
             .unionAll(new_lru.select(F.lit("l").alias("t")))
-            .unionAll(new_freq.select(F.lit("f").alias("t")))
         )
+        branch_phases = ["fetch", "join", "fetch", "maintain", "maintain"]
+        walk_order = [1, 2, 0, 3, 4]
+        if new_freq is not None:
+            new_freq = new_freq.coalesce(n_part).localCheckpoint(eager=False)
+            tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
+            branch_phases.append("maintain")
+            walk_order.append(5)
         counts_df = tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
@@ -147,9 +155,7 @@ class SemiStreamJoin:
         # c/l/f the state rebuild; x is walked before c so the shared
         # cached fetch is attributed to the fetch phase
         phases = self._attributor.attribute(
-            counts_df,
-            phases=["fetch", "join", "fetch", "maintain", "maintain", "maintain"],
-            walk_order=[1, 2, 0, 3, 4, 5],
+            counts_df, phases=branch_phases, walk_order=walk_order
         )
         if phases is not None:
             fetch_s, maintain_s = phases["fetch"], phases["maintain"]
@@ -164,8 +170,10 @@ class SemiStreamJoin:
 
         cache.unpersist()
         lru.unpersist()
-        self.freq.unpersist()
-        self.cache, self.lru, self.freq = new_cache, new_lru, new_freq
+        if new_freq is not None:
+            self.freq.unpersist()
+            self.freq = new_freq
+        self.cache, self.lru = new_cache, new_lru
         self.controller.observe(
             BatchTimings(
                 batch_id=batch_id,
