@@ -234,10 +234,14 @@ def main() -> None:
         # min over runs: steady-state plan+execute time, excluding JIT/
         # shuffle-service warmup noise (~20% run-to-run on local[32];
         # n>=3 per VERDICT r4 task 6 after r4's +9% jitter drift).
-        # spread (max-min) published so a single driver number can be
-        # read against the session's own jitter envelope
+        # spread (max-min over the NON-FIRST runs) published so a
+        # single driver number can be read against the session's own
+        # steady-state jitter envelope; run 0 is excluded because it
+        # carries one-time costs (JIT, memoized store builds) that are
+        # warm-up, not jitter
+        steady = times[1:] if len(times) > 2 else times
         timings[name] = round(min(times), 3)
-        spread[name] = round(max(times) - min(times), 3)
+        spread[name] = round(max(steady) - min(steady), 3)
         print(
             f"# {name}: {timings[name]}s (min of {runs}, "
             f"spread {spread[name]}s)",
@@ -260,7 +264,7 @@ def main() -> None:
                 # which BASELINE.md row each headline maps to
                 "baseline_map": {
                     "q33_semi_stream_cached_join": "DS-Join stream x stored equi-join (2.2x-vs-prior claim; here: 600k rows through 4 cached micro-batches)",
-                    "q48_semi_stream_similarity": "DSim-Join cached similarity join (1.8x-vs-Dima claim, 2099ms/batch log; here: 1.5k query docs x 3.5k stored, 3 batches, exact). OUTPUT-BOUND at sf0.1: each batch dedups ~1.2M candidate pairs and emits ~550k qualifying rows (the fixture's similarity density is extreme); reference batches carry ~10 query docs",
+                    "q48_semi_stream_similarity": "DSim-Join cached similarity join (1.8x-vs-Dima claim, 2099ms/batch log; here: 1.5k query docs x 3.5k stored, 3 batches, exact). OUTPUT-BOUND at sf0.1: each batch dedups ~1.2M candidate pairs and emits ~550k qualifying rows (the fixture's similarity density is extreme); reference batches carry ~10 query docs. r5's 11.79s attribution: the single-partition signature store serialized the candidate stage (~1.3s/batch) and per-batch py4j expression construction cost ~0.7s/batch of driver time — both fixed r6 (store repartitioned at build, Columns built once; steady 3-batch run ~8.5s same-session)",
                     "q16_similarity_self_join": "Dima one-shot similarity join (index build 13785ms for 5k docs; here: full exact self-join of 5k docs)",
                     "q29_subseq_match_ed": "KV-match ED search (phase constants A=9.72ms/candidate; here: index build at 100k points + probe + exact verify)",
                 },
