@@ -38,6 +38,9 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 from distributed_stream_processing_spark.streaming.plan_timing import (
     PlanTimeAttributor,
 )
+from distributed_stream_processing_spark.streaming.checkpoint import (
+    lazy_local_checkpoint,
+)
 
 
 @dataclass
@@ -127,8 +130,8 @@ class SemiStreamJoin:
         # per batch, rounds 3-4 ran two with the fetch serialized
         # ahead of maintenance; this runs one).
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
-        new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
-        new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
+        new_cache = lazy_local_checkpoint(new_cache.coalesce(n_part))
+        new_lru = lazy_local_checkpoint(new_lru.coalesce(n_part))
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
             .unionAll(batch_keys.select(F.lit("k").alias("t")))
@@ -139,7 +142,7 @@ class SemiStreamJoin:
         branch_phases = ["fetch", "join", "fetch", "maintain", "maintain"]
         walk_order = [1, 2, 0, 3, 4]
         if new_freq is not None:
-            new_freq = new_freq.coalesce(n_part).localCheckpoint(eager=False)
+            new_freq = lazy_local_checkpoint(new_freq.coalesce(n_part))
             tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
             branch_phases.append("maintain")
             walk_order.append(5)

@@ -42,6 +42,9 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 from distributed_stream_processing_spark.streaming.plan_timing import (
     PlanTimeAttributor,
 )
+from distributed_stream_processing_spark.streaming.checkpoint import (
+    lazy_local_checkpoint,
+)
 
 _KEY = ["g", "seg", "sig"]
 
@@ -360,9 +363,7 @@ class SemiStreamSimilarityJoin:
         # output serialized before the state swap; this runs 1, so at
         # thousands of batches the output tail never stalls the
         # pipeline).
-        out = _verify(pairs, t, self._mapping is not None).localCheckpoint(
-            eager=False
-        )
+        out = lazy_local_checkpoint(_verify(pairs, t, self._mapping is not None))
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
         new_lru = (
@@ -386,8 +387,8 @@ class SemiStreamSimilarityJoin:
         n_part = int(
             self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        new_cache = new_cache.coalesce(n_part).localCheckpoint(eager=False)
-        new_lru = new_lru.coalesce(n_part).localCheckpoint(eager=False)
+        new_cache = lazy_local_checkpoint(new_cache.coalesce(n_part))
+        new_lru = lazy_local_checkpoint(new_lru.coalesce(n_part))
         # THE one action of the batch: a single job materializes the
         # verified output checkpoint, both state checkpoints, and the
         # controller's key counts together — output verify and state
