@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 
 
 def lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+    """NOT safe under concurrent planning on the same session (the
+    conf toggle is session-scoped); the semi-stream pipelines run
+    batches sequentially on the driver, which is the intended use.
+    Only checkpoint plans whose joins carry explicit broadcast hints
+    — static planning picks sort-merge for unhinted joins with
+    unknown stats."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(key)

@@ -62,3 +62,42 @@ def test_measured_split_feeds_window_policy(spark):
     upgrade changes the numbers, not the policy semantics."""
     miss_heavy, hit_heavy = _timings(spark)
     assert hit_heavy.n_miss == 0  # grow path exercised with measured=True
+
+
+def test_attributor_differences_persistent_cache_metrics(spark):
+    """A cached relation keeps its accumulators across actions; raw
+    values would re-attribute its one-time build cost every batch.
+    The attributor differences each metric against its previous
+    observation, so a second identical action over the same cached
+    subtree attributes (near-)zero for the cache-build work."""
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.streaming.plan_timing import (
+        PlanTimeAttributor,
+    )
+
+    # expensive cached subtree (sha2 over 300k rows) + a cheap branch
+    big = (
+        spark.range(300_000)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .cache()
+    )
+    small = spark.range(10).select(F.lit("s").alias("h"))
+
+    def run_once(attr):
+        tagged = big.select(F.lit("a").alias("t")).unionAll(
+            small.select(F.lit("b").alias("t"))
+        )
+        cnt = tagged.groupBy("t").agg(F.count("*").alias("n"))
+        cnt.collect()
+        return attr.attribute(cnt, phases=["heavy", "light"], walk_order=[0, 1])
+
+    attr = PlanTimeAttributor()
+    first = run_once(attr)
+    second = run_once(attr)
+    assert first is not None and second is not None
+    assert first["heavy"] > 0
+    # steady-state delta of the persistent cache is (near-)zero: the
+    # second action reads cached blocks, never re-pays the build
+    assert second["heavy"] <= 0.5 * first["heavy"]
+    big.unpersist()
