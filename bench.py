@@ -209,13 +209,14 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
             for n in STRESS
             if out[n].get("stress1x")
         },
-        # workload-growth context for reading the ratios: q21/q29
-        # outputs grow ~linearly with the corpus, but q48's signature
-        # -equality candidate set is inherently ~quadratic (measured
-        # once on this fixture: 0.36M -> 37.4M deduped candidate
-        # pairs for 10x docs, 104x — single-token segment signatures
-        # collide across unrelated docs), so a q48 runtime ratio of
-        # ~10 is ~10x BETTER than candidate-linear scaling
+        # workload-growth context for reading the (steady-state,
+        # warmed) ratios: q21/q29 outputs grow ~linearly with the
+        # corpus, but q48's signature-equality candidate set is
+        # inherently ~quadratic (measured once on this fixture:
+        # 0.36M -> 37.4M deduped candidate pairs for 10x docs, 104x —
+        # single-token segment signatures collide across unrelated
+        # docs), so a q48 runtime ratio of ~3 is ~30x BETTER than
+        # candidate-linear scaling
         "q48_candidate_pairs_1x_10x": [359707, 37431750],
         **({"scheme_audit": scheme_audit} if scheme_audit else {}),
         **({"dedup_100x": dedup_100x} if dedup_100x else {}),
