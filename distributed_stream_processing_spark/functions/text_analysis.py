@@ -85,3 +85,90 @@ def quality_score(text: Column | str) -> Column:
     return F.round(
         0.5 * len_factor + 0.3 * stop_factor + 0.2 * (1.0 - punct_ratio(text)), 6
     )
+
+
+def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-document repetition signals, one row per
+    document: (id, n_tokens, distinct_token_frac, top_bigram_frac,
+    dup_trigram_frac). Public heuristics per Rae et al., "Scaling
+    Language Models: ... Gopher" (2021) §A1.1 (fraction of duplicated
+    n-grams / top-n-gram mass) — repetition-heavy documents are
+    low-quality training text even when no other document duplicates
+    them (the cross-document case is ``duplicated_spans``).
+
+    * distinct_token_frac: distinct / total tokens
+    * top_bigram_frac: occurrences of the most frequent bigram over
+      all bigram positions (0.0 when the doc has < 2 tokens)
+    * dup_trigram_frac: fraction of trigram positions whose trigram
+      occurs >= 2 times in the document (0.0 when < 3 tokens)
+
+    Explode + two hash aggregations, all whole-stage codegen; shuffle
+    rows are (id, gram-hash) pairs. Fractions rounded to 4 so the
+    DuckDB oracle hash-matches.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature doc)
+    from pyspark.sql import Window as W
+
+    from distributed_stream_processing_spark.functions.text import md5_hash60
+
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.posexplode(raw_tokens(text_col)).alias("pos", "tok"),
+    )
+    wlead = W.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id",
+        md5_hash60(
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wlead))
+        ).alias("bg"),
+        F.lead("tok", 1).over(wlead).isNotNull().alias("has_bg"),
+        md5_hash60(
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(wlead),
+                F.lead("tok", 2).over(wlead),
+            )
+        ).alias("tg"),
+        F.lead("tok", 2).over(wlead).isNotNull().alias("has_tg"),
+    )
+    tok_stats = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
+    bg_stats = (
+        grams.filter("has_bg")
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    tg_stats = (
+        grams.filter("has_tg")
+        .groupBy("id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_tg"
+            ),
+            F.sum("c").alias("n_tg"),
+        )
+    )
+    return (
+        tok_stats.join(bg_stats, "id", "left")
+        .join(tg_stats, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_tg") / F.col("n_tg"), F.lit(0.0)), 4
+            ).alias("dup_trigram_frac"),
+        )
+    )

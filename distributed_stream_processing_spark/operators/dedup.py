@@ -474,3 +474,77 @@ def duplicate_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("keep"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span deduplication: the maximal runs of token
+    positions whose k-grams also appear in at least one OTHER
+    document — the span-level step of a training-data dedup pipeline
+    (document-level dedup removes whole near-copies; boilerplate and
+    templated passages repeat across otherwise-distinct documents and
+    must be located as SPANS). Beyond the reference's operators (its
+    pipelines stop at record granularity); public technique per
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22), re-expressed Spark-first: k-gram inverted
+    postings instead of a suffix array, which distributes as plain
+    shuffles.
+
+    Returns (id, span_start, span_end, n_grams): token positions are
+    0-based, the span covers tokens [span_start, span_end + k - 1],
+    and n_grams = the run length in k-grams. Plan: one posexplode of
+    the token sequence, k-gram assembly via lead() inside whole-stage
+    codegen, hash-aggregated cross-document gram counts (map-side
+    partial), a semi join back onto the gram rows, and per-doc run
+    detection with the pos - row_number() grouping trick. Shuffles
+    carry (gram_hash) and (id, pos) longs only — never text.
+    """
+    from pyspark.sql import Window as W
+
+    seq = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.posexplode(seq).alias("pos", "tok"),
+    )
+    wlead = W.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wlead) for i in range(1, k)
+    ]
+    grams = toks.select(
+        "id",
+        "pos",
+        md5_hash60(F.concat_ws(" ", *gram_parts)).alias("gh"),
+        F.lead("tok", k - 1).over(wlead).alias("_tail"),
+    ).filter(F.col("_tail").isNotNull())
+    # grams duplicated ACROSS documents (>= 2 distinct ids); a gram
+    # repeated only within one document is repetition, not dup — the
+    # repetition_signals operator measures that
+    dup_ghs = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_ghs, "gh", "left_semi").select("id", "pos")
+    wrun = W.partitionBy("id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wrun)
+    )
+    return (
+        runs.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+    )

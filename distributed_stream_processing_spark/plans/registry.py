@@ -51,6 +51,7 @@ _PLAN_MODULES = (
     "distributed_stream_processing_spark.plans.extra_plans",
     "distributed_stream_processing_spark.plans.interval_plans",
     "distributed_stream_processing_spark.plans.olap_plans",
+    "distributed_stream_processing_spark.plans.llm_plans",
 )
 
 

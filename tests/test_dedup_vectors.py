@@ -298,3 +298,68 @@ def test_duplicate_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "a_id long, b_id long")
     got = {(r.id, r.cluster_id, r.keep) for r in duplicate_clusters(ids, pairs).collect()}
     assert got == {(3, 3, True), (9, 9, True)}
+
+
+def test_duplicated_spans_exact_fixture(spark):
+    """A 6-token phrase shared by two docs must surface as one
+    maximal span of 2 five-gram positions in each doc, at the right
+    offsets; within-doc repetition alone must NOT flag spans."""
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three"),          # shared at pos 2..7
+        (2, f"{shared} four five six"),          # shared at pos 0..5
+        (3, "rep rep rep rep rep rep rep rep"),  # self-repetition only
+        (4, "lone words nothing here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(df, k=5).collect()
+    }
+    # 6 shared tokens -> 2 duplicated 5-gram positions, consecutive
+    assert got == {(1, 2, 3, 2), (2, 0, 1, 2)}
+
+
+def test_duplicated_spans_merges_adjacent_runs(spark):
+    """Two docs sharing their WHOLE text produce one span covering
+    every k-gram position, not per-gram fragments."""
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    text = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(7, text), (8, text)], "doc_id long, text string"
+    )
+    got = {
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(df, k=5).collect()
+    }
+    assert got == {(7, 0, 7, 8), (8, 0, 7, 8)}
+
+
+def test_repetition_signals_fixture(spark):
+    from distributed_stream_processing_spark.functions.text_analysis import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "a a a a"),            # maximal repetition
+        (2, "w x y z"),            # all distinct
+        (3, "p q p q p q"),        # alternating: every trigram repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in repetition_signals(df).collect()}
+    assert got[1].distinct_token_frac == 0.25
+    assert got[1].top_bigram_frac == 1.0       # every bigram is "a a"
+    assert got[1].dup_trigram_frac == 1.0
+    assert got[2].distinct_token_frac == 1.0
+    assert got[2].top_bigram_frac == round(1 / 3, 4)
+    assert got[2].dup_trigram_frac == 0.0
+    # "p q p q p q": trigrams = pqp, qpq, pqp, qpq -> all duplicated
+    assert got[3].dup_trigram_frac == 1.0
+    assert got[3].distinct_token_frac == round(2 / 6, 4)
