@@ -347,3 +347,45 @@ def test_emit_sigs_deletion_layout_complete(spark):
         for r in brute_force_similarity_join(left, right, t).collect()
     }
     assert want <= cand and want
+
+
+def test_semi_stream_similarity_transparent_hypothesis(spark):
+    """Randomized cache-transparency: union of cached-pipeline batch
+    outputs == one-shot brute force for random corpora, thresholds,
+    and batch counts — every cache state (cold, warm, evicting) and
+    every scheme the chooser picks must be invisible in the output.
+    Guards the r6 pipeline refactors (reused exprs, repartitioned
+    store, lazy checkpoints, measured timings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        run_semi_stream_similarity,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(20, 60),
+        thr=st.sampled_from([(7, 10), (4, 5), (1, 2)]),
+        nb=st.integers(1, 4),
+    )
+    def run(seed, n, thr, nb):
+        rows = _random_corpus(n, seed)
+        df = spark.createDataFrame(rows, "id long, text string").select(
+            "id", tokens("text").alias("tokens")
+        )
+        rng = random.Random(seed + 1)
+        cut = rng.randint(1, 3)
+        stream = df.filter(F.col("id") % 4 < cut)
+        stored = df.filter(F.col("id") % 4 >= cut)
+        t = Fraction(*thr)
+        got = _pairs(
+            run_semi_stream_similarity(stream, stored, t, n_batches=nb).select(
+                "a_id", "b_id", "inter", "uni"
+            )
+        )
+        want = _pairs(brute_force_similarity_join(stream, stored, t))
+        assert got == want
+
+    run()
