@@ -46,12 +46,15 @@ STRESS = [
 ]
 
 
-def _pipeline_candidates(spark, d: str, force_equality: bool):
-    """Deduped candidate-pair count of the q48 pipeline's probe path
+def _scheme_audit(spark, d: str) -> dict:
+    """Deduped candidate-pair counts of the q48 pipeline's probe path
     on a stress directory's documents split, under the pipeline's own
-    chosen signature schemes or forced all-equality — the measured
+    chosen signature schemes AND forced all-equality — the measured
     evidence for the adaptive/deletion layout's candidate cut on the
-    sparse-vocab stress corpus (VERDICT r5 task 4)."""
+    sparse-vocab stress corpus (VERDICT r5 task 4). The store is
+    built ONCE (its most expensive step) and unpersisted afterwards
+    so the audit leaves no cached-memory pressure on the following
+    stress timings."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -73,30 +76,51 @@ def _pipeline_candidates(spark, d: str, force_equality: bool):
         F.col("id") % 10 >= 3
     )
     store = sss.build_similarity_store(stored, t)
-    if force_equality:
-        hs = {
+    try:
+        pf_len = (
+            (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
+            & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
+        )
+
+        def count_pairs(index, hs, deletion):
+            probe = sss._emit_sigs(
+                stream, "a", True, store.groups, hs, t, deletion
+            )
+            pf = pf_len
+            if any(deletion.values()):
+                pf = pf & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
+            return (
+                index.join(F.broadcast(probe), sss._KEY)
+                .filter(pf)
+                .select("a_id", "b_id")
+                .dropDuplicates(["a_id", "b_id"])
+                .count()
+            )
+
+        n_chosen = count_pairs(store.sig_store, store.hs, store.deletion)
+        hs_eq = {
             g: max(1, seg_count_dima(t, hi))
             for g, (lo, hi) in enumerate(store.groups)
         }
-        deletion = {g: False for g in hs}
-        index = sss._emit_sigs(stored, "b", False, store.groups, hs, t, deletion)
-    else:
-        hs, deletion, index = store.hs, store.deletion, store.sig_store
-    probe = sss._emit_sigs(stream, "a", True, store.groups, hs, t, deletion)
-    pf = (
-        (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
-        & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
-    )
-    if any(deletion.values()):
-        pf = pf & ((F.col("a_kind") == 0) | (F.col("b_kind") == 0))
-    n = (
-        index.join(F.broadcast(probe), sss._KEY)
-        .filter(pf)
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-        .count()
-    )
-    return n, deletion
+        del_eq = {g: False for g in hs_eq}
+        n_eq = count_pairs(
+            sss._emit_sigs(stored, "b", False, store.groups, hs_eq, t, del_eq),
+            hs_eq,
+            del_eq,
+        )
+        return {
+            "deletion_flags_1x": {
+                str(g): bool(v) for g, v in store.deletion.items()
+            },
+            "candidate_pairs_1x": {
+                "chosen_scheme": n_chosen,
+                "all_equality": n_eq,
+            },
+            "equality_over_chosen_ratio": round(n_eq / max(1, n_chosen), 2),
+        }
+    finally:
+        store.sig_store.unpersist()
+        store.rep_store.unpersist()
 
 
 def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
@@ -187,17 +211,7 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
             print(f"# dedup 100x skipped: {e}", file=sys.stderr)
     scheme_audit = None
     try:
-        n_chosen, deletion = _pipeline_candidates(
-            spark, dirs["stress1x"], force_equality=False
-        )
-        n_eq, _ = _pipeline_candidates(
-            spark, dirs["stress1x"], force_equality=True
-        )
-        scheme_audit = {
-            "deletion_flags_1x": {str(g): bool(v) for g, v in deletion.items()},
-            "candidate_pairs_1x": {"chosen_scheme": n_chosen, "all_equality": n_eq},
-            "equality_over_chosen_ratio": round(n_eq / max(1, n_chosen), 2),
-        }
+        scheme_audit = _scheme_audit(spark, dirs["stress1x"])
         print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
     except Exception as e:
         print(f"# scheme audit skipped: {e}", file=sys.stderr)
@@ -247,7 +261,7 @@ def main() -> None:
         # steady-state jitter envelope; run 0 is excluded because it
         # carries one-time costs (JIT, memoized store builds) that are
         # warm-up, not jitter
-        steady = times[1:] if len(times) > 2 else times
+        steady = times[1:] if len(times) > 1 else times
         timings[name] = round(min(times), 3)
         spread[name] = round(max(steady) - min(steady), 3)
         print(

@@ -228,7 +228,8 @@ class Engine:
         method: str = "brute", **kwargs,
     ) -> DataFrame:
         """``kwargs`` pass through to the method (ivf: n_centroids,
-        n_probe, centroids, dim; lsh: bands/width/seed)."""
+        n_probe, centroids, dim, seed; lsh: n_planes, dim, seed,
+        multiprobe)."""
         fn = {"brute": brute_force_topk, "lsh": lsh_topk, "ivf": ivf_topk}[method]
         return fn(queries, corpus, k, **kwargs)
 

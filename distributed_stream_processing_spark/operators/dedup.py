@@ -505,10 +505,13 @@ def duplicated_spans(
     """
     from pyspark.sql import Window as W
 
-    seq = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    from distributed_stream_processing_spark.functions.text_analysis import (
+        raw_tokens,
+    )
+
     toks = df.select(
         F.col(id_col).cast("bigint").alias("id"),
-        F.posexplode(seq).alias("pos", "tok"),
+        F.posexplode(raw_tokens(text_col)).alias("pos", "tok"),
     )
     wlead = W.partitionBy("id").orderBy("pos")
     gram_parts = [F.col("tok")] + [

@@ -87,12 +87,26 @@ class SemiStreamJoin:
         missed_keys = miss.select(k).distinct()
         fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
 
-        out = hit.unionByName(miss.join(fetched, k, "inner"))
+        # the output is checkpointed per batch (plain lazy
+        # localCheckpoint: its joins lean on AQE's runtime broadcast
+        # decisions, so it must NOT be planned AQE-off) and
+        # materialized by the combined action's 'o' branch — the
+        # caller's eventual evaluation scans pinned blocks instead of
+        # recomputing hit/miss/fetch through by-then-released state
+        out = hit.unionByName(miss.join(fetched, k, "inner")).localCheckpoint(
+            eager=False
+        )
 
         # ---- state maintenance (X4-X6) ----
+        # key-set joins carry explicit broadcast hints: these plans go
+        # through lazy_local_checkpoint (AQE-off planning), where an
+        # unhinted join against the checkpointed state (unknown stats)
+        # would compile to a sort-merge join shuffling the whole
+        # cache/LRU every batch. Key sets are micro-batch-sized — the
+        # same S7 broadcast pattern as the store fetch above.
         batch_keys = batch.select(k).distinct()
         new_lru = (
-            lru.join(batch_keys, k, "left_anti")
+            lru.join(F.broadcast(batch_keys), k, "left_anti")
             .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
         )
         admitted = fetched
@@ -119,8 +133,10 @@ class SemiStreamJoin:
             ).select(k)
             admitted = fetched.join(F.broadcast(hot), k, "left_anti")
             stale = stale.unionByName(hot)
-        new_cache = cache.join(stale, k, "left_anti").unionByName(admitted)
-        new_lru = new_lru.join(stale, k, "left_anti")
+        new_cache = cache.join(F.broadcast(stale), k, "left_anti").unionByName(
+            admitted
+        )
+        new_lru = new_lru.join(F.broadcast(stale), k, "left_anti")
 
         # checkpoint + bound every batch (constant plan depth, bounded
         # partition width — the union adds the fetch's partitions each
@@ -138,14 +154,15 @@ class SemiStreamJoin:
             .unionAll(fetched.select(F.lit("x").alias("t")))
             .unionAll(new_cache.select(F.lit("c").alias("t")))
             .unionAll(new_lru.select(F.lit("l").alias("t")))
+            .unionAll(out.select(F.lit("o").alias("t")))
         )
-        branch_phases = ["fetch", "join", "fetch", "maintain", "maintain"]
-        walk_order = [1, 2, 0, 3, 4]
+        branch_phases = ["fetch", "join", "fetch", "maintain", "maintain", "join"]
+        walk_order = [1, 2, 0, 3, 4, 5]
         if new_freq is not None:
             new_freq = lazy_local_checkpoint(new_freq.coalesce(n_part))
             tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
+            walk_order.append(len(branch_phases))
             branch_phases.append("maintain")
-            walk_order.append(5)
         counts_df = tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
@@ -173,6 +190,11 @@ class SemiStreamJoin:
 
         cache.unpersist()
         lru.unpersist()
+        # the combined action materialized the output checkpoint and
+        # the new cache (which absorbed the fetched rows) — the
+        # per-batch fetch cache is dead weight from here (bounded
+        # CacheManager on unbounded streams)
+        fetched.unpersist()
         if new_freq is not None:
             self.freq.unpersist()
             self.freq = new_freq

@@ -431,6 +431,11 @@ class SemiStreamSimilarityJoin:
         self.cache.unpersist()
         self.lru.unpersist()
         probe.unpersist()
+        # the combined action has materialized the output checkpoint
+        # and the new cache (which absorbed the fetched rows), so the
+        # per-batch fetch cache is dead weight from here — dropping it
+        # NOW keeps the CacheManager bounded on unbounded streams
+        fetched.unpersist()
         self.cache, self.lru = new_cache, new_lru
         self.controller.observe(
             BatchTimings(

@@ -259,21 +259,16 @@ def similarity_join(
     if self_join:
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
 
-    # pin the prefix join's width: the prefix-row tables are BYTES-
-    # small (ids + one token), so AQE's size-based coalescing merges
-    # their exchange to 1-2 partitions — but the join OUTPUT is the
-    # candidate-pair set (quadratic in bucket density), which then
-    # generates + verifies on 1-2 tasks (measured 3s single-task at
-    # sf0.1). Hash-repartitioning both sides on the join key at the
-    # session's shuffle width satisfies the join's distribution
-    # requirement (no extra exchange vs the planned one) and is
-    # exempt from AQE coalescing.
-    n_part = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cands = (
-        a.repartition(n_part, "ptok")
-        .join(b.repartition(n_part, "ptok"), "ptok")
-        .filter(pair_filter)
-    )
+    # The prefix-row tables are BYTES-small (ids + one token), but the
+    # join OUTPUT is the candidate-pair set (quadratic in bucket
+    # density): AQE's default size-based coalescing merged this
+    # exchange to 1-2 partitions and serialized candidate generation
+    # (measured 3s single-task at sf0.1). The session's
+    # coalescePartitions.minPartitionSize floor (session.py) keeps the
+    # exchange wide while leaving it AQE-managed — deliberately NOT an
+    # explicit repartition, which would exempt the shuffle from AQE's
+    # skew-join splitting exactly where a hot prefix token needs it.
+    cands = a.join(b, "ptok").filter(pair_filter)
 
     if mapping is not None:
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")

@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE's size-based coalescing (default 1m): exchanges
+        # feeding compute-heavy stages (signature folds, candidate
+        # joins) are often BYTES-small, and coalescing them to 1-2
+        # partitions serializes multi-CPU-second stages; a 64k floor
+        # keeps them wide while leaving the exchange AQE-managed (skew
+        # split still applies — unlike an explicit repartition). At
+        # cluster scale partitions dwarf either threshold; no effect.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

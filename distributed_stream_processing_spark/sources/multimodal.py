@@ -111,6 +111,8 @@ def _decode_wav(payload: bytes) -> dict:
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("unsupported WAV (fmt chunk too short)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -51,10 +51,16 @@ class AdaptiveCacheController:
 
     def observe(self, t: BatchTimings) -> int:
         self.history.append(t)
-        recent = self.history[-self.smoothing :]
         if t.n_miss == 0:
             self.window = min(self.window + self.step, self.max_window)
             return self.window
+        # smooth only over observations in the SAME unit as the
+        # latest: measured splits are aggregate task-CPU seconds,
+        # fallback splits are wall-clock — averaging across the two
+        # lets whichever unit is larger swamp the comparison when a
+        # batch drops to the fallback mid-stream
+        same_unit = [r for r in self.history if r.measured == t.measured]
+        recent = same_unit[-self.smoothing :]
         fetch = sum(r.store_fetch_s for r in recent) / len(recent)
         maintain = sum(r.cache_maintain_s for r in recent) / len(recent)
         if fetch > maintain:

@@ -120,6 +120,7 @@ class PlanTimeAttributor:
             branches = _find_union(root, len(phases))
             if branches is None:
                 return None
+            primed = bool(self._last)
             seen: set[int] = set()
             current: dict[int, float] = {}
             totals = {p: 0.0 for p in phases}
@@ -140,6 +141,12 @@ class PlanTimeAttributor:
             # replacing the baseline wholesale forgets per-batch ids
             # (they never recur) and keeps the persistent ones current
             self._last = current
-            return totals
+            # first call: persistent cached relations (a corpus store
+            # built before any batch) arrive with their one-time build
+            # cost already in the accumulators, which would all land on
+            # this batch's phases. Record the baseline, decline to
+            # attribute — the caller uses its estimate for batch 0 and
+            # gets clean deltas from batch 1 on.
+            return totals if primed else None
         except Exception:
             return None
