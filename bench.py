@@ -144,19 +144,25 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
     out: dict[str, dict[str, float]] = {n: {} for n in STRESS}
     for scale, d in dirs.items():
         for name in STRESS:
-            # untimed warm-up per (query, scale): pays one-time costs
-            # (JIT, per-corpus memoized store builds) so the timed run
-            # and the 10x/1x ratio measure steady-state engine scaling
-            # — without it the ratio swung ~±40% between clean runs
-            specs[name].fn(spark, d).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            t0 = time.monotonic()
-            specs[name].fn(spark, d).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            out[name][scale] = round(time.monotonic() - t0, 3)
-            print(f"# {scale} {name}: {out[name][scale]}s", file=sys.stderr)
+            # two runs per (query, scale), report the MIN: run 1 pays
+            # one-time costs (JIT, per-corpus memoized store builds),
+            # run 2 is steady state — and a host hiccup can spike
+            # either (single-run ratios swung up to 4x between clean
+            # sessions), so min-of-2 measures steady-state engine
+            # scaling at no extra cost over warm-up-then-time
+            times = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                specs[name].fn(spark, d).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                times.append(time.monotonic() - t0)
+            out[name][scale] = round(min(times), 3)
+            print(
+                f"# {scale} {name}: {out[name][scale]}s "
+                f"(runs {[round(x, 2) for x in times]})",
+                file=sys.stderr,
+            )
     # signature-scheme audit on the sparse-vocab stress corpus: the
     # stress documents (2k-word vocab, 8-100-token docs) flip the
     # pipeline's scheme chooser to the deletion layout for the long
