@@ -381,6 +381,73 @@ def plan_segments_dp(
     return segs
 
 
+# Phase-2 cost-model constants published in the reference
+# (kvmatch/NormQueryEngine.java:49-51): A ms per candidate window
+# verified, B ms per 1e5 covered offsets scanned during the probe.
+_COST_A_MS = 9.72
+_COST_B_MS = 0.0107
+
+
+def truncate_segments_cost(
+    segments: list[Segment],
+    stats: dict[int, list[tuple[float, int]]],
+    epsilon: float,
+    n_positions: int,
+    bucket: float = 2.0,
+    a_ms: float = _COST_A_MS,
+    b_ms: float = _COST_B_MS,
+) -> list[Segment]:
+    """Early probe termination (T11, QueryEngine.java:228-239): stop
+    adding probe segments when the estimated marginal candidate
+    reduction no longer pays for the extra index scan.
+
+    The reference probes segments sequentially and compares measured
+    phase-1 time so far against the phase-2 cost model over the LIVE
+    candidate count; the engine probes all chosen segments in one
+    batch, so the same decision moves to plan time over the index
+    statistics: segments are ordered most-selective first, expected
+    candidates after k segments are modeled as n_positions times the
+    product of per-segment selectivities (covered-positions / total),
+    and segment k+1 is kept only while
+    a_ms * est_k * (1 - sel_{k+1}) > b_ms * covered_{k+1} / 1e5 —
+    marginal verify savings vs its probe cost, with the reference's
+    published constants. Dropping segments only WIDENS the candidate
+    superset (each segment's range filter is complete), so phase-2
+    verification keeps the result exact; this is purely a cost trade.
+    """
+    if len(segments) <= 1:
+        return segments
+
+    def covered(seg: Segment) -> float:
+        w = seg.width
+        if w not in stats:
+            return float(n_positions)
+        slack = epsilon / math.sqrt(w) + _GRID + bucket
+        return float(
+            sum(
+                span
+                for mb, span in stats[w]
+                if seg.mean - slack <= mb <= seg.mean + slack
+            )
+        )
+
+    ordered = sorted(segments, key=covered)
+    kept = [ordered[0]]
+    est = max(1.0, covered(ordered[0]))
+    for seg in ordered[1:]:
+        cov = covered(seg)
+        sel = min(1.0, cov / max(1, n_positions))
+        gain_ms = a_ms * est * (1.0 - sel)
+        probe_ms = b_ms * cov / 1e5
+        if gain_ms <= probe_ms:
+            break  # ordered by selectivity: later segments gain less
+        kept.append(seg)
+        est = max(1.0, est * sel)
+    # probe offsets must stay sorted for the interval-shift intersect
+    kept.sort(key=lambda s: s.offset)
+    return kept
+
+
 def probe_index_ranges(
     index: DataFrame,
     probes: list[tuple[int, int, float, float]],
@@ -811,6 +878,7 @@ def subsequence_match_ed(
     segmenter: str = "greedy",
     available_widths: set[int] | None = None,
     probe_method: str = "explode",
+    early_stop: bool = True,
 ) -> DataFrame:
     """RSM with ED: all window starts within ``epsilon`` of ``query``.
 
@@ -818,8 +886,10 @@ def subsequence_match_ed(
     phase-2 verification is exact. Pass ``index_grid`` when probing a
     compacted index (factor * default grid); ``segmenter="dp"``
     plans segments from index statistics (minimum estimated candidate
-    volume) instead of greedily. ``available_widths`` declares the
-    widths a caller-supplied ``index`` holds, skipping the probe's
+    volume) instead of greedily, and ``early_stop`` then applies the
+    T11 cost-model segment budget (truncate_segments_cost) on the
+    same statistics. ``available_widths`` declares the widths a
+    caller-supplied ``index`` holds, skipping the probe's
     distinct-widths materialization.
     """
     if not query:
@@ -827,12 +897,14 @@ def subsequence_match_ed(
     if n_positions is None:
         n_positions = series.count()
     known_widths: set[int] | None = available_widths
+    stats = None
     if index is None:
         usable = tuple(w for w in widths if w <= len(query)) or (min(widths),)
         if segmenter == "dp":
             # DP needs index statistics over every usable width
             index = build_kv_index(series, usable, value_scale=value_scale).cache()
-            segments = plan_segments_dp(query, usable, index_stats(index), epsilon)
+            stats = index_stats(index)
+            segments = plan_segments_dp(query, usable, stats, epsilon)
         else:
             # greedy segmentation is query-only: plan first, then build
             # ONLY the widths it selected (round 2 built all three
@@ -843,9 +915,18 @@ def subsequence_match_ed(
             index = build_kv_index(series, usable, value_scale=value_scale).cache()
         known_widths = set(usable)
     elif segmenter == "dp":
-        segments = plan_segments_dp(query, widths, index_stats(index), epsilon)
+        stats = index_stats(index)
+        segments = plan_segments_dp(query, widths, stats, epsilon)
     else:
         segments = plan_segments(query, widths)
+    if early_stop and stats is not None:
+        # T11 early probe termination over the same statistics the DP
+        # planner used: drop segments whose marginal candidate cut no
+        # longer pays for their index scan (result stays exact — the
+        # probe superset only widens)
+        segments = truncate_segments_cost(
+            segments, stats, epsilon, n_positions
+        )
     cands = probe_index(
         index,
         segments,

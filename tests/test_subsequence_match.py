@@ -418,3 +418,58 @@ def test_sweep_probe_equals_explode_probe(spark, series):
         ).collect()
     )
     assert got == want
+
+
+def test_t11_truncation_cost_model():
+    """T11 early probe termination: useless segments (covering the
+    whole series — zero marginal pruning) are dropped, selective
+    segments are kept, at least one probe always survives, and the
+    kept probes stay offset-ordered."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        Segment,
+        truncate_segments_cost,
+    )
+
+    n = 100_000
+    # stats: width 25 has one bucket covering EVERYTHING (useless
+    # probes) except around mean 0 where coverage is tiny (selective)
+    stats = {25: [(-2.0, 50), (0.0, 50), (2.0, 50), (40.0, n)]}
+    segs = [
+        Segment(0, 25, 40.0),   # useless: covers ~all positions
+        Segment(25, 25, 0.0),   # selective: ~150 positions
+        Segment(50, 25, 40.0),  # useless again
+    ]
+    kept = truncate_segments_cost(segs, stats, epsilon=5.0, n_positions=n)
+    assert [s.offset for s in kept] == [25]  # only the selective probe pays
+    # all-selective: every added probe keeps paying -> all kept
+    stats2 = {25: [(0.0, 2000), (2.0, 2000)]}
+    segs2 = [Segment(0, 25, 0.0), Segment(25, 25, 2.0), Segment(50, 25, 0.0)]
+    kept2 = truncate_segments_cost(segs2, stats2, epsilon=5.0, n_positions=n)
+    assert [s.offset for s in kept2] == [0, 25, 50]
+    # never empty
+    assert truncate_segments_cost(
+        [Segment(0, 25, 40.0)], stats, 5.0, n
+    ) == [Segment(0, 25, 40.0)]
+
+
+def test_t11_early_stop_keeps_results_exact(spark, series):
+    """early_stop=True may only widen the candidate superset — the
+    verified output must equal the untruncated dp run."""
+    df, arr = series
+    q = arr[300 : 300 + M].tolist()
+    eps = 8.0
+    full = {
+        (r.start, r.dist)
+        for r in subsequence_match_ed(
+            df, q, eps, widths=(25, 50), value_scale=100, segmenter="dp",
+            early_stop=False,
+        ).collect()
+    }
+    cut = {
+        (r.start, r.dist)
+        for r in subsequence_match_ed(
+            df, q, eps, widths=(25, 50), value_scale=100, segmenter="dp",
+            early_stop=True,
+        ).collect()
+    }
+    assert cut == full and len(full) > 0
