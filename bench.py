@@ -123,7 +123,9 @@ def _scheme_audit(spark, d: str) -> dict:
         store.rep_store.unpersist()
 
 
-def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
+def _run_stress(
+    spark, specs, base: dict[str, float], deadline: float | None = None
+) -> dict | None:
     """10x scaling audit for the STRESS queries: same synthetic
     distribution at 1x (the sf0.1 shape) and 10x rows, generated
     deterministically on first use (gitignored local parquet —
@@ -134,6 +136,16 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
     behavior. One timed run per point after a 1x warm-up."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         return None
+    # soft wall-clock budget for the OPTIONAL audit work (second
+    # stress runs, 100x dedup, scheme audit): the bench must always
+    # print its JSON line inside the driver's window, so on a slow
+    # host the optional pieces degrade (marked in the output) instead
+    # of the whole bench being killed with nothing recorded
+    if deadline is None:
+        deadline = time.monotonic() + int(
+            os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420")
+        )
+    skipped: list[str] = []
     try:
         from tools.gen_stress_sf1 import ensure_stress
 
@@ -151,7 +163,10 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
             # sessions), so min-of-2 measures steady-state engine
             # scaling at no extra cost over warm-up-then-time
             times = []
-            for _ in range(2):
+            for i in range(2):
+                if i == 1 and time.monotonic() > deadline:
+                    skipped.append(f"second run {scale}/{name}")
+                    break
                 t0 = time.monotonic()
                 specs[name].fn(spark, d).write.mode("overwrite").format(
                     "noop"
@@ -169,12 +184,26 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
     # groups; record the flags and the measured candidate cut vs
     # forced all-equality so the adaptive/deletion machinery is
     # benched at scale with evidence, not assumed
+    scheme_audit = None
+    if time.monotonic() > deadline:
+        skipped.append("scheme_audit (budget)")
+        print("# scheme audit skipped: budget", file=sys.stderr)
+    else:
+        try:
+            scheme_audit = _scheme_audit(spark, dirs["stress1x"])
+            print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
+        except Exception as e:
+            print(f"# scheme audit skipped: {e}", file=sys.stderr)
     # 100x dedup posture: LSH pair generation + duplicate clustering
     # on 500k docs (100x the bench corpus, linear-output fixture) —
     # confirms near-linear LSH scaling and logs the label-propagation
     # round count (pointer jumping keeps it O(log component diameter))
     dedup_100x = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
+    if os.environ.get("SPARK_GRAFT_SKIP_100X") or time.monotonic() > deadline:
+        if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
+            skipped.append("dedup_100x (budget)")
+            print("# dedup 100x skipped: budget", file=sys.stderr)
+    else:
         try:
             from fractions import Fraction
 
@@ -215,12 +244,6 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
             print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
         except Exception as e:
             print(f"# dedup 100x skipped: {e}", file=sys.stderr)
-    scheme_audit = None
-    try:
-        scheme_audit = _scheme_audit(spark, dirs["stress1x"])
-        print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
-    except Exception as e:
-        print(f"# scheme audit skipped: {e}", file=sys.stderr)
     return {
         "queries": out,
         "data_ratio": 10.0,
@@ -240,6 +263,7 @@ def _run_stress(spark, specs, base: dict[str, float]) -> dict | None:
         "q48_candidate_pairs_1x_10x": [359707, 37431750],
         **({"scheme_audit": scheme_audit} if scheme_audit else {}),
         **({"dedup_100x": dedup_100x} if dedup_100x else {}),
+        **({"budget_skipped": skipped} if skipped else {}),
     }
 
 
@@ -248,6 +272,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     specs = load_all()
+    # whole-bench soft deadline: headline timings are never skipped;
+    # the stress section's optional pieces degrade past it so the
+    # JSON line always lands inside the driver's window
+    deadline = time.monotonic() + int(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480")
+    )
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -276,7 +306,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    stress = _run_stress(spark, specs, timings)
+    stress = _run_stress(spark, specs, timings, deadline=deadline)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
