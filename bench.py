@@ -283,6 +283,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
+        # block hygiene between queries: localCheckpoint blocks (batch
+        # outputs, state swaps) are freed by the ContextCleaner only
+        # after JVM GC notices the dropped RDDs, and accumulation
+        # measurably degrades later queries (q48, timed last, ran
+        # 8.4s early-process vs 15s+ after 29 prior runs); a forced
+        # collection before each query levels the playing field
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         times = []
         for _ in range(runs):
             t0 = time.monotonic()
