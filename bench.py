@@ -276,7 +276,7 @@ def main() -> None:
     # the stress section's optional pieces degrade past it so the
     # JSON line always lands inside the driver's window
     deadline = time.monotonic() + int(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540")
     )
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
