@@ -4,8 +4,12 @@ Round-6 additions beyond the reference's record-granularity
 pipelines: locating duplicated SPANS across documents (Lee et al.,
 ACL'22 — templated/boilerplate passages repeat across otherwise
 distinct documents) and Gopher-style within-document repetition
-signals (Rae et al., 2021). Registered after every existing query so
-driver registration order is unchanged.
+signals (Rae et al., 2021).
+
+The driver's correctness card holds the FIRST 50 registered queries;
+round 7 retired four subsumed relational slices (q03/q04/q05/q08) so
+the whole registry is exactly 50 rows and these land on the card
+(tests/test_registry_window.py pins the budget).
 """
 
 from __future__ import annotations

@@ -16,6 +16,14 @@ compare deterministic across Spark and DuckDB:
 * never emit raw timestamps — emit epoch seconds/micros as BIGINT
   or an ISO date string;
 * break every ranking tie with a unique key column.
+
+HARD BUDGET: the driver's correctness card records only the FIRST 50
+registered queries (verified rounds 5-6: registry sizes 51 and 53
+both produced exactly 50 card rows, in registration order). Every
+registered query past 50 ships formally ungated, so the registry must
+hold AT MOST 50 rows — adding a query means retiring or merging a
+subsumed one (see q03-q06/q08 retirement comments in relational.py).
+tests/test_registry_window.py enforces this.
 """
 
 from __future__ import annotations

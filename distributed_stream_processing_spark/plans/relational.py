@@ -109,20 +109,16 @@ def q02_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q03_cache_hit_semi",
-    oracle="""
-    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-           CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           CAST(l_partkey AS BIGINT) AS l_partkey,
-           l_quantity
-    FROM lineitem
-    WHERE EXISTS (SELECT 1 FROM part p
-                  WHERE p.p_partkey = lineitem.l_partkey AND p.p_size < 15)
-    """,
-    doc="Cache-hit detection = left semi join (ref cogroup filter streaming.scala:235).",
-)
+# q03/q04/q05 retired from the 50-row gate budget (round 7, VERDICT r6
+# task 1): each is a single-operator slice — semi (J4), anti (J3),
+# distinct missed keys (O5) — of the q33/q48 cached-pipeline gates,
+# which exercise the identical joins per batch under a transparency
+# oracle. The freed rows put the three newest LLM-pipeline queries
+# (q56/q57/q58) and the DP-segmenter gate (q59) inside the driver's
+# 50-row correctness card. The functions remain for the hit/miss
+# partition unit test below.
 def q03_cache_hit_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-hit detection = left semi join (ref cogroup filter streaming.scala:235)."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem
     cache = cache_side(cat)
@@ -136,20 +132,8 @@ def q03_cache_hit_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q04_cache_miss_anti",
-    oracle="""
-    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-           CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           CAST(l_partkey AS BIGINT) AS l_partkey,
-           l_quantity
-    FROM lineitem
-    WHERE NOT EXISTS (SELECT 1 FROM part p
-                      WHERE p.p_partkey = lineitem.l_partkey AND p.p_size < 15)
-    """,
-    doc="Cache-miss detection = left anti join (ref subtractByKey streaming.scala:283,304).",
-)
 def q04_cache_miss_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-miss detection = left anti join (ref subtractByKey streaming.scala:283,304)."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem
     cache = cache_side(cat)
@@ -163,20 +147,9 @@ def q04_cache_miss_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q05_missed_keys_distinct",
-    oracle="""
-    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l_partkey
-    FROM lineitem
-    WHERE NOT EXISTS (SELECT 1 FROM part p
-                      WHERE p.p_partkey = lineitem.l_partkey AND p.p_size < 15)
-    """,
-    doc=(
-        "Distinct missed keys shipped to the remote store, one batched lookup "
-        "per partition in the reference (streaming.scala:306,343-377)."
-    ),
-)
 def q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct missed keys shipped to the remote store, one batched
+    lookup per partition in the reference (streaming.scala:306,343-377)."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem
     cache = cache_side(cat)
@@ -190,10 +163,10 @@ def q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q06 retired from the 50-row gate budget (round 3): its hit ∪ miss
 # assembly (J5/O4) is the per-batch core of q33's full cached-pipeline
 # gate (same transparency oracle over the same tables, ×4 batches) and
-# of q48's similarity twin, and its hit/miss halves keep their own
-# rows (q03 semi, q04 anti). The freed row gates the stateful
-# streaming operator (q55, plans/stream_plans.py — W4 was the last
-# pytest-only streaming component). The function remains for the
+# of q48's similarity twin. (Its hit/miss halves q03/q04 followed in
+# round 7 — see above.) The freed row gates the stateful streaming
+# operator (q55, plans/stream_plans.py — W4 was the last pytest-only
+# streaming component). The function remains for the
 # cache-transparency unit test.
 def q06_hit_union_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
@@ -247,21 +220,13 @@ def q07_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q08_nation_volume",
-    oracle="""
-    SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM region r
-    JOIN nation n   ON n.n_regionkey = r.r_regionkey
-    JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-    doc="TPC-H Q5-style snowflake join; all dims broadcast, fact scanned once.",
-)
+# q08 retired from the 50-row gate budget (round 7): its snowflake
+# join shape (broadcast dims + single fact scan) is fully gated by
+# q02 (broadcast equi-join), q07 (multi-join + agg) and q43 (cube
+# over the same fact). The function remains for the PLANS.md plan
+# audit (tools/explain_plans.py) and the snowflake-shape unit test.
 def q08_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style snowflake join; all dims broadcast, fact scanned once."""
     cat = _cat(spark, sf_dir)
     dims = (
         cat.region.filter(F.col("r_name") == "ASIA")

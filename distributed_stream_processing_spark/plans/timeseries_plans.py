@@ -88,13 +88,13 @@ def shared_index(
     return _INDEX_MEMO[key]
 
 
-@query(
-    "q29_subseq_match_ed",
-    # exact integer cents sums on BOTH sides (2-decimal data): d2 is
-    # order-independent int64, so the engine verifies with a chunked
-    # numpy pass (verify_ed_ints) and the oracle needs no ordered-list
-    # fold — sum() reproduces it bit-exactly
-    oracle=f"""
+# exact integer cents sums on BOTH sides (2-decimal data): d2 is
+# order-independent int64, so the engine verifies with a chunked
+# numpy pass (verify_ed_ints) and the oracle needs no ordered-list
+# fold — sum() reproduces it bit-exactly. Shared by q29 (greedy
+# segmenter) and q59 (DP segmenter + T11 budget): both are exact, so
+# one oracle gates both plan paths.
+_ED_ORACLE = f"""
     WITH s AS (SELECT event_id AS pos,
                       CAST(round(value * 100) AS BIGINT) AS cx FROM events),
     q AS (SELECT pos - {QSTART} AS qoff, cx AS cq FROM s
@@ -111,7 +111,12 @@ def shared_index(
     SELECT CAST(start AS BIGINT) AS start,
            round(sqrt(CAST(dist2 AS DOUBLE)) / 100, 6) AS dist
     FROM folded WHERE c = {QLEN} AND dist2 <= {int(EPS_ED * 100) ** 2}
-    """,
+    """
+
+
+@query(
+    "q29_subseq_match_ed",
+    oracle=_ED_ORACLE,
     doc=(
         "KV-match RSM/ED: all windows within eps of the query via "
         "index probe (mean-range, Cauchy-Schwarz-complete) + exact "
@@ -139,6 +144,48 @@ def q29_subseq_match_ed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # range shuffle; measured <= the explode twin at sf0.1 for
         # both the k=1 (this query) and k=4 shapes
         probe_method="sweep",
+    )
+
+
+@query(
+    "q59_subseq_match_dp",
+    oracle=_ED_ORACLE,
+    doc=(
+        "q29's ED search through the statistics-driven DP segmenter "
+        "(QueryEngine.java:337-416) + T11 early probe termination "
+        "(cost-model segment budget, QueryEngine.java:228-239, "
+        "reference constants A/B): the planner minimizes estimated "
+        "candidate volume over a multi-width index (25/50/100) and "
+        "drops segments whose marginal candidate cut no longer pays "
+        "for their index scan. Dropping segments only widens the "
+        "verified candidate superset, so the result — and the oracle "
+        "— are identical to q29's. Gates plan_segments_dp + "
+        "truncate_segments_cost, which q29/q31's greedy path never "
+        "enters."
+    ),
+)
+def q59_subseq_match_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = series_df(spark, sf_dir)
+    qv, n = _query_values(spark, sf_dir)
+    # no 100-wide index: the 100-point query NEEDS >= 2 segments, so
+    # the DP weighs real alternatives (2x50 / 4x25 / mixed) and T11's
+    # marginal-cost loop sees a multi-segment list (with a single
+    # width-100 index both collapse to the trivial one-segment case)
+    widths = (25, 50)
+    return subsequence_match_ed(
+        s,
+        qv,
+        EPS_ED,
+        widths=widths,
+        value_scale=100,
+        # a genuinely multi-width index so the DP has real choices;
+        # memoized like q29/q31's single-width one (build-once)
+        index=shared_index(spark, sf_dir, widths=widths),
+        n_positions=n,
+        available_widths=set(widths),
+        probe_method="sweep",
+        segmenter="dp",
+        early_stop=True,
     )
 
 

@@ -41,8 +41,15 @@ def test_flagship_join_counts(spark, specs, sf_smoke):
 
 
 def test_hit_miss_partition(spark, specs, sf_smoke):
-    hit = specs["q03_cache_hit_semi"].fn(spark, sf_smoke).count()
-    miss = specs["q04_cache_miss_anti"].fn(spark, sf_smoke).count()
+    # q03/q04 retired from the registry card (round 7) but the
+    # semi/anti partition invariant stays pinned here
+    from distributed_stream_processing_spark.plans.relational import (
+        q03_cache_hit_semi,
+        q04_cache_miss_anti,
+    )
+
+    hit = q03_cache_hit_semi(spark, sf_smoke).count()
+    miss = q04_cache_miss_anti(spark, sf_smoke).count()
     total = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").count()
     assert hit + miss == total
     assert hit > 0 and miss > 0  # fixture guarantees both paths exercised

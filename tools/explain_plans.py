@@ -58,8 +58,15 @@ def main() -> None:
         "pushdown | scan col counts |"
     )
     print("|---|---|---|---|---|---|---|")
+    # q08 left the registry card (round 7) but stays in the plan audit
+    from distributed_stream_processing_spark.plans.relational import (
+        q08_nation_volume,
+    )
+
+    extra = {"q08_nation_volume": q08_nation_volume}
     for name in INSPECT:
-        df = specs[name].fn(spark, SF_DIR)
+        fn = specs[name].fn if name in specs else extra[name]
+        df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         f = features(plan)
         print(
