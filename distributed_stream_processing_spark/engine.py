@@ -223,13 +223,66 @@ class Engine:
         ids = docs.select(F.col(id_col).cast("bigint").alias("id"))
         return duplicate_clusters(ids, pairs)
 
+    # per-method tuning options; validated up front so switching
+    # method after tuning another (ann_search(method="brute",
+    # n_probe=4)) raises a clear argument error, not an opaque
+    # TypeError from the function internals (ADVICE r6)
+    _ANN_KW = {
+        "brute": frozenset(),
+        "lsh": frozenset({"n_planes", "dim", "seed", "multiprobe"}),
+        "ivf": frozenset({"n_centroids", "n_probe", "centroids", "dim", "seed"}),
+    }
+
+    def duplicated_spans(
+        self,
+        docs: DataFrame,
+        k: int = 5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Span-level dedup (Lee et al., ACL'22): maximal runs of
+        token positions whose k-grams appear in >= 2 distinct docs ->
+        (id, span_start, span_end, n_grams)."""
+        from distributed_stream_processing_spark.operators.dedup import (
+            duplicated_spans,
+        )
+
+        return duplicated_spans(docs, k=k, id_col=id_col, text_col=text_col)
+
+    def repetition_signals(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Gopher-style repetition-quality signals (Rae et al. 2021
+        §A1.1) -> (id, n_tokens, distinct_token_frac, top_bigram_frac,
+        dup_trigram_frac)."""
+        from distributed_stream_processing_spark.functions.text_analysis import (
+            repetition_signals,
+        )
+
+        return repetition_signals(docs, id_col=id_col, text_col=text_col)
+
     def ann_search(
         self, queries: DataFrame, corpus: DataFrame, k: int = 10,
         method: str = "brute", **kwargs,
     ) -> DataFrame:
         """``kwargs`` pass through to the method (ivf: n_centroids,
         n_probe, centroids, dim, seed; lsh: n_planes, dim, seed,
-        multiprobe)."""
+        multiprobe; brute takes none)."""
+        if method not in self._ANN_KW:
+            raise ValueError(
+                f"unknown ann method {method!r}; one of {sorted(self._ANN_KW)}"
+            )
+        unknown = set(kwargs) - self._ANN_KW[method]
+        if unknown:
+            allowed = sorted(self._ANN_KW[method])
+            raise TypeError(
+                f"ann_search(method={method!r}) got unsupported "
+                f"argument(s) {sorted(unknown)}; {method} accepts "
+                f"{allowed if allowed else 'no tuning options'}"
+            )
         fn = {"brute": brute_force_topk, "lsh": lsh_topk, "ivf": ivf_topk}[method]
         return fn(queries, corpus, k, **kwargs)
 

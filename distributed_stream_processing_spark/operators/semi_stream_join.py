@@ -38,6 +38,7 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
 from distributed_stream_processing_spark.streaming.plan_timing import (
     PlanTimeAttributor,
 )
+from distributed_stream_processing_spark.operators.skew import bounded_broadcast
 from distributed_stream_processing_spark.streaming.checkpoint import (
     lazy_local_checkpoint,
 )
@@ -73,6 +74,14 @@ class SemiStreamJoin:
         ).limit(0).cache()
         self._spark = spark
         self._attributor = PlanTimeAttributor()
+        # driver-known row bounds for the eviction-set broadcast gates
+        # (bounded_broadcast): refreshed from each batch's combined
+        # count action. An initial cache is counted ONCE at setup —
+        # one tiny job, never per batch.
+        self._lru_rows: int = (
+            0 if self.initial_cache is None else self.initial_cache.count()
+        )
+        self._freq_rows: int = 0
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """Join one micro-batch against store-through-cache; maintain
@@ -102,8 +111,12 @@ class SemiStreamJoin:
         # through lazy_local_checkpoint (AQE-off planning), where an
         # unhinted join against the checkpointed state (unknown stats)
         # would compile to a sort-merge join shuffling the whole
-        # cache/LRU every batch. Key sets are micro-batch-sized — the
-        # same S7 broadcast pattern as the store fetch above.
+        # cache/LRU every batch. batch_keys is genuinely micro-batch-
+        # sized (unconditional hint); the EVICTION sets (stale, hot)
+        # are only usually small — after a workload shift stale can be
+        # the whole cache — so their hints are gated on the tracked
+        # state sizes (bounded_broadcast), falling back to a shuffled
+        # join rather than an unbounded driver collect.
         batch_keys = batch.select(k).distinct()
         new_lru = (
             lru.join(F.broadcast(batch_keys), k, "left_anti")
@@ -131,12 +144,21 @@ class SemiStreamJoin:
             hot = new_freq.filter(
                 F.col("n_batches_seen") >= self.admit_below_freq
             ).select(k)
-            admitted = fetched.join(F.broadcast(hot), k, "left_anti")
+            # hot ⊆ the maintained freq table's keys (a new key's
+            # count is 1 < threshold), so last batch's freq row count
+            # bounds it
+            admitted = fetched.join(
+                bounded_broadcast(hot, self._freq_rows), k, "left_anti"
+            )
             stale = stale.unionByName(hot)
-        new_cache = cache.join(F.broadcast(stale), k, "left_anti").unionByName(
-            admitted
-        )
-        new_lru = new_lru.join(F.broadcast(stale), k, "left_anti")
+            stale_bound = self._lru_rows + self._freq_rows
+        else:
+            stale_bound = self._lru_rows
+        # stale ⊆ prior-LRU keys (this batch's keys carry last_seen ==
+        # batch_id, never stale) ∪ hot keys — both tracked counts
+        stale = bounded_broadcast(stale, stale_bound)
+        new_cache = cache.join(stale, k, "left_anti").unionByName(admitted)
+        new_lru = new_lru.join(stale, k, "left_anti")
 
         # checkpoint + bound every batch (constant plan depth, bounded
         # partition width — the union adds the fetch's partitions each
@@ -167,6 +189,10 @@ class SemiStreamJoin:
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("k", 0))
+        # refresh the eviction-broadcast row bounds from the same
+        # combined action (no extra job)
+        self._lru_rows = int(counts.get("l", 0))
+        self._freq_rows = int(counts.get("f", 0))
         total_s = time.monotonic() - t0
         # MEASURED per-phase split recovered from the combined action's
         # SQL metrics (DS-Join's controller compares measured phase

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from distributed_stream_processing_spark.functions.text import jaccard_parts
+from distributed_stream_processing_spark.operators.skew import bounded_broadcast
 from distributed_stream_processing_spark.streaming.cache_controller import (
     AdaptiveCacheController,
     BatchTimings,
@@ -308,6 +309,9 @@ class SemiStreamSimilarityJoin:
             )
         self._pair_filter = pair_filter
         self._attributor = PlanTimeAttributor()
+        # LRU starts empty; refreshed from each batch's combined count
+        # action to gate the eviction-set broadcast (bounded_broadcast)
+        self._lru_rows: int = 0
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
@@ -370,11 +374,18 @@ class SemiStreamSimilarityJoin:
             self.lru.join(F.broadcast(probe_keys), _KEY, "left_anti")
             .unionByName(probe_keys.withColumn("last_seen", F.lit(batch_id)))
         )
-        stale = new_lru.filter(
-            F.col("last_seen") < batch_id - self.controller.window
-        ).select(*_KEY)
-        new_cache = self.cache.join(F.broadcast(stale), _KEY, "left_anti").unionByName(fetched)
-        new_lru = new_lru.join(F.broadcast(stale), _KEY, "left_anti")
+        # stale ⊆ prior-LRU keys (this batch's keys are never stale):
+        # the tracked LRU row count gates the broadcast hint — after a
+        # workload shift stale can be cache-sized, and these joins are
+        # planned AQE-off with no runtime fallback (ADVICE r6)
+        stale = bounded_broadcast(
+            new_lru.filter(
+                F.col("last_seen") < batch_id - self.controller.window
+            ).select(*_KEY),
+            self._lru_rows,
+        )
+        new_cache = self.cache.join(stale, _KEY, "left_anti").unionByName(fetched)
+        new_lru = new_lru.join(stale, _KEY, "left_anti")
         # localCheckpoint, not cache(): a cache keeps the FULL plan
         # lineage, so each batch's state plan deepens by the whole
         # prior chain. Checkpointing pins the state to its blocks and
@@ -405,6 +416,8 @@ class SemiStreamSimilarityJoin:
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("p", 0))
+        # refresh the eviction-broadcast row bound (no extra job)
+        self._lru_rows = int(counts.get("l", 0))
         total_s = time.monotonic() - t0
         # MEASURED per-phase split from the combined action's SQL
         # metrics: p owns the probe signature emission (join context),

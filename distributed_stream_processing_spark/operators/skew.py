@@ -40,6 +40,31 @@ def salted_join(
     return l.join(r, [key, "_salt"], how).drop("_salt")
 
 
+def bounded_broadcast(
+    df: DataFrame, approx_rows: int | None, max_rows: int = 1_000_000
+) -> DataFrame:
+    """Broadcast hint gated on a driver-known row bound.
+
+    The semi-stream state plans are compiled AQE-off (see
+    streaming/checkpoint.lazy_local_checkpoint), so a broadcast hint
+    there is UNCONDITIONAL — no runtime fallback if the set turns out
+    huge. Eviction key sets are usually tiny, but stale = every cached
+    key untouched for `window` batches, which after a workload shift
+    can be the entire cache; at cluster scale forcing that through a
+    driver-collected broadcast is an OOM (ADVICE r6). When the bound
+    is unknown (None) or above ``max_rows`` the join is left unhinted,
+    which static planning compiles to a shuffled sort-merge join —
+    slower, but correct at any size.
+
+    ``max_rows`` defaults to ~1M keys: eviction sets are narrow key
+    rows (a long, or the 3-int signature key), so 1M rows is tens of
+    MB serialized — inside executor broadcast capacity with margin.
+    """
+    if approx_rows is not None and approx_rows <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's shuffle parallelism,
     for a stage of HEAVY PER-ROW COMPUTE whose input would otherwise

@@ -14,6 +14,7 @@ StreamingQueryProgress in production.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 
@@ -47,10 +48,24 @@ class AdaptiveCacheController:
     max_window: int = 128
     step: int = 1
     smoothing: int = 3  # batches averaged
-    history: list[BatchTimings] = field(default_factory=list)
+    # recent observations for diagnostics/tests; bounded — an
+    # unbounded stream must not grow driver memory per batch
+    history: deque = field(default_factory=lambda: deque(maxlen=1024))
+
+    def __post_init__(self):
+        # per-unit smoothing windows (measured task-CPU vs fallback
+        # wall-clock), appended in observe(): O(1) per batch, and a
+        # regime flip never averages in arbitrarily old same-unit
+        # observations from before the other regime's run (ADVICE r6
+        # — the full-history scan was O(n^2) over a long stream)
+        self._recent: dict[bool, deque] = {
+            True: deque(maxlen=self.smoothing),
+            False: deque(maxlen=self.smoothing),
+        }
 
     def observe(self, t: BatchTimings) -> int:
         self.history.append(t)
+        self._recent[t.measured].append(t)
         if t.n_miss == 0:
             self.window = min(self.window + self.step, self.max_window)
             return self.window
@@ -59,8 +74,7 @@ class AdaptiveCacheController:
         # fallback splits are wall-clock — averaging across the two
         # lets whichever unit is larger swamp the comparison when a
         # batch drops to the fallback mid-stream
-        same_unit = [r for r in self.history if r.measured == t.measured]
-        recent = same_unit[-self.smoothing :]
+        recent = list(self._recent[t.measured])
         fetch = sum(r.store_fetch_s for r in recent) / len(recent)
         maintain = sum(r.cache_maintain_s for r in recent) / len(recent)
         if fetch > maintain:

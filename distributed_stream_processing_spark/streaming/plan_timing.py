@@ -106,8 +106,18 @@ class PlanTimeAttributor:
     carries the cross-batch accumulator baseline.
     """
 
+    # baseline entries unseen for this many attribute() calls are
+    # pruned: per-batch accumulators never recur (their ids are fresh
+    # each batch), while a persistent cache's metrics reappear every
+    # batch its branch executes — a gap longer than this means the
+    # relation was dropped, and if its id somehow recurred afterwards
+    # a fresh baseline is the correct treatment anyway
+    _PRUNE_AFTER = 16
+
     def __init__(self):
         self._last: dict[int, float] = {}
+        self._seen_at: dict[int, int] = {}
+        self._n_calls = 0
 
     def attribute(
         self,
@@ -137,10 +147,27 @@ class PlanTimeAttributor:
                         acc += secs - self._last.get(mid, 0.0)
                     stack.extend(_children(node))
                 totals[phases[idx]] += max(acc, 0.0)
-            # persistent caches keep their accumulators across batches;
-            # replacing the baseline wholesale forgets per-batch ids
-            # (they never recur) and keeps the persistent ones current
-            self._last = current
+            # MERGE into the baseline, don't replace: a persistent
+            # cache whose branch is skipped one batch (plan-shape
+            # variance, pruned branch) must keep its baseline, or the
+            # next visit re-attributes its full cumulative build/scan
+            # time as one batch's phase delta and spikes the window
+            # policy (ADVICE r6). Per-batch ids never recur, so stale
+            # entries are pruned by last-seen age to keep the dict
+            # bounded on unbounded streams.
+            self._n_calls += 1
+            self._last.update(current)
+            for mid in current:
+                self._seen_at[mid] = self._n_calls
+            if self._n_calls % self._PRUNE_AFTER == 0:
+                dead = [
+                    mid
+                    for mid, at in self._seen_at.items()
+                    if self._n_calls - at >= self._PRUNE_AFTER
+                ]
+                for mid in dead:
+                    self._last.pop(mid, None)
+                    self._seen_at.pop(mid, None)
             # first call: persistent cached relations (a corpus store
             # built before any batch) arrive with their one-time build
             # cost already in the accumulators, which would all land on

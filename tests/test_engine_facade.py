@@ -98,3 +98,44 @@ def test_engine_dedup_clusters_exact_and_minhash(spark, sf_smoke):
             # representative is the min id and the only keep=True
             assert min(m.id for m in members) == cid
             assert sum(1 for m in members if m.keep) == 1
+
+
+def test_ann_kwargs_validated(eng, spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).embeddings
+    q = emb.filter(F.col("vec_id") < 2)
+    # tuning an ivf call then switching to brute must raise a CLEAR
+    # argument error naming the method and parameter (ADVICE r6), not
+    # an opaque TypeError from the function internals
+    with pytest.raises(TypeError, match="brute.*n_probe"):
+        eng.ann_search(q, emb, k=2, method="brute", n_probe=4)
+    with pytest.raises(TypeError, match="lsh.*n_centroids"):
+        eng.ann_search(q, emb, k=2, method="lsh", n_centroids=8)
+    with pytest.raises(ValueError, match="unknown ann method"):
+        eng.ann_search(q, emb, k=2, method="annoy")
+    # valid per-method kwargs still pass through
+    out = eng.ann_search(q, emb, k=2, method="lsh", n_planes=6, multiprobe=2)
+    assert out.count() >= 0
+
+
+def test_engine_duplicated_spans(eng, spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents
+    out = eng.duplicated_spans(docs, k=5)
+    assert set(out.columns) == {"id", "span_start", "span_end", "n_grams"}
+    for r in out.collect():
+        assert r.span_end >= r.span_start
+        assert r.n_grams == r.span_end - r.span_start + 1
+
+
+def test_engine_repetition_signals(eng, spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents
+    out = eng.repetition_signals(docs)
+    assert set(out.columns) == {
+        "id", "n_tokens", "distinct_token_frac",
+        "top_bigram_frac", "dup_trigram_frac",
+    }
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.distinct_token_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0

@@ -125,3 +125,94 @@ def test_attributor_differences_persistent_cache_metrics(spark):
     assert first["heavy"] < 10.0
     assert second["heavy"] < 10.0
     big.unpersist()
+
+
+def test_attributor_keeps_baseline_for_skipped_cache(spark):
+    """A persistent cache's branch can be absent one batch (plan-shape
+    variance). Replacing the baseline wholesale would drop its entry
+    and re-attribute the FULL cumulative build/scan time on the next
+    visit as one batch's delta (ADVICE r6); the merged baseline keeps
+    unvisited persistent accumulators current."""
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.streaming.plan_timing import (
+        PlanTimeAttributor,
+    )
+
+    big = (
+        spark.range(1_000_000)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .cache()
+    )
+    small = spark.range(10).select(F.lit("s").alias("h"))
+    tiny = spark.range(5).select(F.lit("t").alias("h"))
+
+    def run(attr, left):
+        tagged = left.select(F.lit("a").alias("t")).unionAll(
+            small.select(F.lit("b").alias("t"))
+        )
+        cnt = tagged.groupBy("t").agg(F.count("*").alias("n"))
+        cnt.collect()
+        return attr.attribute(cnt, phases=["heavy", "light"], walk_order=[0, 1])
+
+    attr = PlanTimeAttributor()
+    assert run(attr, big) is None  # priming call absorbs the build cost
+    # a batch whose plan does NOT visit the cached relation
+    assert run(attr, tiny) is not None
+    # the cache returns: its baseline must have survived the skip
+    back = run(attr, big)
+    assert back is not None
+    assert back["heavy"] < 10.0  # far below the ~15+ CPU-s build cost
+    big.unpersist()
+
+
+def test_benched_pipelines_use_measured_split(spark, sf_smoke):
+    """The benched q33/q48 shapes must take the MEASURED SQL-metric
+    attribution path from batch 1 on — a plan-shape surprise silently
+    drops attribute() to the miss-fraction fallback, and nothing else
+    would notice (VERDICT r6 task 8). Batch 0 is the designed
+    estimate (it primes the accumulator baseline)."""
+    from fractions import Fraction
+
+    from distributed_stream_processing_spark.catalog import Catalog
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators.semi_stream_join import (
+        run_semi_stream_join,
+    )
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        run_semi_stream_similarity,
+    )
+    from distributed_stream_processing_spark.streaming.cache_controller import (
+        AdaptiveCacheController,
+    )
+
+    cat = Catalog(spark, sf_smoke)
+    # q33's exact shape with an injected controller
+    stream = cat.lineitem.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    store = cat.part.select("p_partkey", "p_retailprice").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    c33 = AdaptiveCacheController()
+    run_semi_stream_join(
+        stream, store, "l_partkey",
+        ["l_orderkey", "l_partkey", "p_retailprice"],
+        n_batches=4, bucket_col="l_orderkey",
+        initial_cache=store.filter(F.col("p_retailprice") < 1200.0),
+        controller=c33,
+    )
+    assert [t.measured for t in c33.history] == [False, True, True, True]
+
+    # q48's exact shape
+    base = cat.documents.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
+    c48 = AdaptiveCacheController()
+    run_semi_stream_similarity(
+        base.filter(F.col("id") % 10 < 3),
+        base.filter(F.col("id") % 10 >= 3),
+        Fraction(3, 4), n_batches=3, controller=c48,
+    )
+    assert [t.measured for t in c48.history] == [False, True, True]
