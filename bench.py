@@ -293,6 +293,11 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    # controller regime of the benched semi-stream pipelines:
+    # "measured/total" batches (batch 0 is the designed estimate — it
+    # primes the SQL-metric baseline), read from each pipeline's
+    # last_controller after its timed runs (VERDICT r7 task 6)
+    ctl: dict[str, str] = {}
     import gc as _gc
 
     for name in HEADLINE:
@@ -326,6 +331,27 @@ def main() -> None:
             f"spread {spread[name]}s)",
             file=sys.stderr,
         )
+        if name.startswith(("q33", "q48")):
+            from distributed_stream_processing_spark.operators import (
+                semi_stream_join as ssj,
+            )
+            from distributed_stream_processing_spark.operators import (
+                semi_stream_similarity as sss_mod,
+            )
+
+            c = (
+                ssj.last_controller
+                if name.startswith("q33")
+                else sss_mod.last_controller
+            )
+            if c is not None and c.history:
+                n_meas = sum(1 for t in c.history if t.measured)
+                ctl[name.split("_")[0]] = f"{n_meas}/{len(c.history)}"
+                print(
+                    f"#   controller regime: {n_meas}/{len(c.history)} "
+                    "batches on the measured split",
+                    file=sys.stderr,
+                )
 
     stress = _run_stress(spark, specs, timings, deadline=deadline)
     total = round(sum(timings.values()), 3)
@@ -355,6 +381,10 @@ def main() -> None:
             "spread_s": [spread[n] for n in timings],
             "sf": float(sf),
             "runs": runs,
+            # measured/total controller batches (batch 0 = designed
+            # estimate); both pipelines must show the measured split
+            # engaged from batch 1 on
+            **({"ctl": ctl} if ctl else {}),
             **({"sf1_stress": stress} if stress else {}),
             # which BASELINE.md row each headline maps to
             "baseline_map": {

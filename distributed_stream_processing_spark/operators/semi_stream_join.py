@@ -179,12 +179,14 @@ class SemiStreamJoin:
             .unionAll(out.select(F.lit("o").alias("t")))
         )
         branch_phases = ["fetch", "join", "fetch", "maintain", "maintain", "join"]
+        branch_tags = ["m", "k", "x", "c", "l", "o"]
         walk_order = [1, 2, 0, 3, 4, 5]
         if new_freq is not None:
             new_freq = lazy_local_checkpoint(new_freq.coalesce(n_part))
             tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
             walk_order.append(len(branch_phases))
             branch_phases.append("maintain")
+            branch_tags.append("f")
         counts_df = tagged.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
@@ -201,7 +203,10 @@ class SemiStreamJoin:
         # c/l/f the state rebuild; x is walked before c so the shared
         # cached fetch is attributed to the fetch phase
         phases = self._attributor.attribute(
-            counts_df, phases=branch_phases, walk_order=walk_order
+            counts_df,
+            phases=branch_phases,
+            tags=branch_tags,
+            walk_order=walk_order,
         )
         if phases is not None:
             fetch_s, maintain_s = phases["fetch"], phases["maintain"]
@@ -250,6 +255,12 @@ def replay_in_batches(
     ]
 
 
+# controller of the most recent run_semi_stream_join pipeline —
+# read by bench.py to publish the measured/estimated regime split
+# (VERDICT r7 task 6); diagnostics only, never control flow
+last_controller: AdaptiveCacheController | None = None
+
+
 def run_semi_stream_join(
     stream_table: DataFrame,
     store: DataFrame,
@@ -271,6 +282,8 @@ def run_semi_stream_join(
         controller=controller or AdaptiveCacheController(),
         admit_below_freq=admit_below_freq,
     )
+    global last_controller
+    last_controller = j.controller
     outs = []
     for batch_id, batch in replay_in_batches(
         stream_table, n_batches, bucket_col or key

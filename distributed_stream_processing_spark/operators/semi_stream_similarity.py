@@ -427,6 +427,7 @@ class SemiStreamSimilarityJoin:
         phases = self._attributor.attribute(
             counts_df,
             phases=["fetch", "join", "maintain", "maintain", "join", "fetch"],
+            tags=["m", "p", "c", "l", "o", "x"],
             walk_order=[1, 5, 0, 2, 3, 4],
         )
         if phases is not None:
@@ -459,6 +460,12 @@ class SemiStreamSimilarityJoin:
         return out
 
 
+# controller of the most recent run_semi_stream_similarity pipeline —
+# read by bench.py to publish the measured/estimated regime split
+# (VERDICT r7 task 6); diagnostics only, never control flow
+last_controller: AdaptiveCacheController | None = None
+
+
 def run_semi_stream_similarity(
     stream_table: DataFrame,
     stored: DataFrame,
@@ -477,6 +484,8 @@ def run_semi_stream_similarity(
         controller=controller or AdaptiveCacheController(),
         artifacts=artifacts,
     )
+    global last_controller
+    last_controller = j.controller
     outs = []
     for b in range(n_batches):
         batch = stream_table.filter(F.pmod(F.col("id"), F.lit(n_batches)) == b)

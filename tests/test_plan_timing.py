@@ -110,7 +110,12 @@ def test_attributor_differences_persistent_cache_metrics(spark):
         )
         cnt = tagged.groupBy("t").agg(F.count("*").alias("n"))
         cnt.collect()
-        return attr.attribute(cnt, phases=["heavy", "light"], walk_order=[0, 1])
+        return attr.attribute(
+            cnt,
+            phases=["heavy", "light"],
+            tags=["a", "b"],
+            walk_order=[0, 1],
+        )
 
     attr = PlanTimeAttributor()
     primer = run_once(attr)  # first call records the baseline only
@@ -153,7 +158,12 @@ def test_attributor_keeps_baseline_for_skipped_cache(spark):
         )
         cnt = tagged.groupBy("t").agg(F.count("*").alias("n"))
         cnt.collect()
-        return attr.attribute(cnt, phases=["heavy", "light"], walk_order=[0, 1])
+        return attr.attribute(
+            cnt,
+            phases=["heavy", "light"],
+            tags=["a", "b"],
+            walk_order=[0, 1],
+        )
 
     attr = PlanTimeAttributor()
     assert run(attr, big) is None  # priming call absorbs the build cost
@@ -216,3 +226,68 @@ def test_benched_pipelines_use_measured_split(spark, sf_smoke):
         Fraction(3, 4), n_batches=3, controller=c48,
     )
     assert [t.measured for t in c48.history] == [False, True, True]
+
+
+def test_attributor_survives_statically_pruned_branch(spark):
+    """A tag whose branch the optimizer deleted outright (statically
+    empty relation) must attribute 0 s to its phase — never None.
+    Positional matching can't express this; tag matching must."""
+    from distributed_stream_processing_spark.streaming.plan_timing import (
+        PlanTimeAttributor,
+    )
+
+    left = spark.range(20_000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    small = spark.range(10).select(F.lit("s").alias("h"))
+    empty = spark.range(0).select(F.lit("e").alias("h"))
+
+    def run(attr):
+        tagged = (
+            left.select(F.lit("a").alias("t"))
+            .unionAll(small.select(F.lit("b").alias("t")))
+            .unionAll(empty.select(F.lit("c").alias("t")))
+        )
+        cnt = tagged.groupBy("t").agg(F.count("*").alias("n"))
+        cnt.collect()
+        return attr.attribute(
+            cnt,
+            phases=["heavy", "light", "gone"],
+            tags=["a", "b", "c"],
+            walk_order=[0, 1, 2],
+        )
+
+    attr = PlanTimeAttributor()
+    assert run(attr) is None  # priming call
+    out = run(attr)
+    assert out is not None
+    assert out["gone"] == 0.0
+
+
+def test_attributor_survives_aqe_pruned_fetch_branch(spark):
+    """The q33 regression shape (VERDICT r7 #1): a zero-miss batch
+    makes the miss/fetch subtrees empty at RUNTIME, AQE empty-relation
+    propagation deletes those union branches from the executed plan,
+    and the attributor must still return a measured split with the
+    fetch phase ~free instead of silently dropping to the estimate."""
+    store = spark.range(60_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    batch = spark.range(20_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    for attempt in range(2):
+        j = SemiStreamJoin(store=store, key="k")
+        j.process_batch(batch, 0)  # primes the baseline; misses all
+        j.process_batch(batch, 1)  # same keys cached -> zero misses
+        t = j.controller.history[1]
+        try:
+            assert t.n_miss == 0
+            assert t.measured  # the split survived branch pruning
+            # the pruned fetch branches can't dominate state rebuild
+            assert t.store_fetch_s <= t.cache_maintain_s
+            return
+        except AssertionError:
+            if attempt == 1:
+                raise
