@@ -97,42 +97,63 @@ def _feature_bytes(feature_col) -> F.Column:
     )
 
 
-# DuckDB twin of _feature_bytes: sha256 hex -> first 8 bytes as CSV.
-_DUCK_FEATURE_BYTES = "concat_ws(',', " + ", ".join(
-    f"CAST(concat('0x', substr(hx, {2 * i + 1}, 2)) AS BIGINT)" for i in range(8)
-) + ") AS feature_bytes"
+# DuckDB twin of media_table + decode_media: _synth_payload
+# (sources/multimodal.py) is pure doc_id arithmetic with dyadic-exact
+# decoded features, so the oracle reproduces the REAL decode results —
+# header dims, duration, per-chunk band-mean / RMS features — without
+# touching any payload bytes:
+#   k = doc_id % 3 -> {0: PPM, 1: PNG, 2: WAV}
+#   PPM dims  w = 4*(2+id%17), h = 2*(1+id%5)
+#   PNG dims  w = 8*(3+id%13), h = 2*(2+id%7)
+#   WAV       duration_ms = 250*(1+id%8), n_frames = 1+id%8
+#   image feature bytes  [a x4, b x4],     a = id%256,    b = (id*7)%256
+#   audio feature bytes  [m1+64 x4, m2+64 x4], m1 = id%97, m2 = (id*5)%97
+_DUCK_MEDIA_CTE = """
+    m AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-pixmap'
+                  WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+             CASE doc_id % 3 WHEN 0 THEN 4 * (2 + doc_id % 17)
+                  WHEN 1 THEN 8 * (3 + doc_id % 13) ELSE 0 END AS width,
+             CASE doc_id % 3 WHEN 0 THEN 2 * (1 + doc_id % 5)
+                  WHEN 1 THEN 2 * (2 + doc_id % 7) ELSE 0 END AS height,
+             CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames,
+             CASE WHEN doc_id % 3 = 2 THEN 250 * (1 + doc_id % 8) ELSE 0 END AS duration_ms,
+             CASE WHEN doc_id % 3 = 2
+                  THEN concat_ws(',', (doc_id % 97) + 64, (doc_id % 97) + 64,
+                                 (doc_id % 97) + 64, (doc_id % 97) + 64,
+                                 ((doc_id * 5) % 97) + 64, ((doc_id * 5) % 97) + 64,
+                                 ((doc_id * 5) % 97) + 64, ((doc_id * 5) % 97) + 64)
+                  ELSE concat_ws(',', doc_id % 256, doc_id % 256,
+                                 doc_id % 256, doc_id % 256,
+                                 (doc_id * 7) % 256, (doc_id * 7) % 256,
+                                 (doc_id * 7) % 256, (doc_id * 7) % 256)
+             END AS feature_bytes
+      FROM documents
+    )
+"""
 
 
 @query(
     "q37_multimodal_decode",
     oracle=f"""
-    WITH m AS (
-      SELECT doc_id,
-             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
-             sha256(text) AS hx
-      FROM documents
-    ), b AS (
-      SELECT doc_id, media_type,
-             CAST(concat('0x', substr(hx, 17, 2)) AS BIGINT) AS b8,
-             CAST(concat('0x', substr(hx, 19, 2)) AS BIGINT) AS b9,
-             {_DUCK_FEATURE_BYTES}
-      FROM m
-    )
+    WITH {_DUCK_MEDIA_CTE}
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            media_type,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS BIGINT) AS width,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS BIGINT) AS height,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS BIGINT) AS n_frames,
-           CAST(CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS BIGINT) AS duration_ms,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
            feature_bytes
-    FROM b
+    FROM m
     """,
     doc=(
-        "Multimodal pipeline: opaque binary payloads -> mapInPandas "
-        "decode/feature-extract (stubbed deterministically) -> typed "
-        "metadata + 8-dim feature vectors. The deterministic stub is "
-        "sha256-derived, so the oracle reproduces metadata AND features "
-        "(serialized to digest bytes — arrays crash the gate)."
+        "Multimodal pipeline: REAL encoded binary payloads (PPM/PNG/"
+        "WAV) -> mapInPandas real decode (header parse, PNG inflate+"
+        "unfilter, PCM RMS) -> typed metadata + 8-dim features. The "
+        "synthesized pixel/sample content yields dyadic-exact features, "
+        "so the oracle reproduces the decode results from doc_id "
+        "arithmetic alone (serialized to bytes — arrays crash the gate)."
     ),
 )
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,27 +172,18 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q38_multimodal_frame_sample",
     oracle=f"""
-    WITH m AS (
-      SELECT doc_id,
-             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
-             sha256(text) AS hx
-      FROM documents
-    ), a AS (
-      SELECT doc_id, media_type,
-             1 + CAST(concat('0x', substr(hx, 17, 2)) AS BIGINT) % 16 AS n_frames,
-             {_DUCK_FEATURE_BYTES}
-      FROM m WHERE media_type = 'audio/wav'
-    )
+    WITH {_DUCK_MEDIA_CTE}
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            media_type,
            CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_no,
            feature_bytes
-    FROM a WHERE n_frames > 1
+    FROM m WHERE n_frames > 1
     """,
     doc=(
         "Frame sampling over decoded multi-frame media (JVM-side "
         "explode of a stride sequence); oracle unrolls the same stride "
-        "with generate_series over the sha256-derived frame counts."
+        "with generate_series over the real WAV frame counts "
+        "(1 + doc_id % 8 analysis windows of 250 ms)."
     ),
 )
 def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,22 +198,8 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q50_multimodal_metadata",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             ['image/jpeg', 'image/png', 'audio/wav'][(doc_id % 3) + 1] AS media_type,
-             CAST(concat('0x', substr(sha256(text), 17, 2)) AS BIGINT) AS b8,
-             CAST(concat('0x', substr(sha256(text), 19, 2)) AS BIGINT) AS b9
-      FROM documents
-    )
-    , wh AS (
-      SELECT doc_id, media_type,
-             CASE WHEN media_type LIKE 'image/%' THEN 64 + b8 % 192 ELSE 0 END AS width,
-             CASE WHEN media_type LIKE 'image/%' THEN 64 + b9 % 192 ELSE 0 END AS height,
-             CASE WHEN media_type LIKE 'image/%' THEN 1 ELSE 1 + b8 % 16 END AS n_frames,
-             CASE WHEN media_type LIKE 'image/%' THEN 0 ELSE 250 * (1 + b9 % 40) END AS duration_ms
-      FROM m
-    )
+    oracle=f"""
+    WITH {_DUCK_MEDIA_CTE}
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            media_type,
            CAST(width AS BIGINT) AS width,
@@ -214,12 +212,12 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN media_type LIKE 'image/%'
                 THEN greatest(1, CAST(floor(height * least(1.0, 64 / greatest(width, height))) AS INT))
                 END AS BIGINT) AS new_height
-    FROM wh
+    FROM m
     """,
     doc=(
         "Multimodal decode metadata + aspect-preserving resize "
-        "geometry (max side 64), oracle-backed: the deterministic "
-        "stub derives metadata from sha256(payload) bytes and the "
+        "geometry (max side 64), oracle-backed: real PPM/PNG header "
+        "dims and WAV durations follow exact doc_id formulas and the "
         "resize plan is pure column arithmetic, both reproduced "
         "exactly by DuckDB — gate-checks the mapInPandas decode "
         "plumbing and resize_media end-to-end (features stay in "

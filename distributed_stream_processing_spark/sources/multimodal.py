@@ -277,9 +277,15 @@ def _decode_png(payload: bytes) -> dict:
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 2:  # Up — no intra-row dependency: vectorize
+            import numpy as np
+
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8)
+                    + np.frombuffer(prev, dtype=np.uint8)
+                ).tobytes()
+            )
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
@@ -304,6 +310,8 @@ def _decode_png(payload: bytes) -> dict:
     elif color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
+        if recon and max(recon) * 3 + 3 > len(plte):
+            raise ValueError("PNG palette index out of range")
         rgb = b"".join(plte[3 * v : 3 * v + 3] for v in recon)
     elif color == 4:
         rgb = bytes(v for i in range(0, len(recon), 2) for v in (recon[i],) * 3)
@@ -415,11 +423,13 @@ def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                d = _decode_one(bytes(row["payload"]), row["media_type"])
-                recs.append(
-                    {"media_id": row["media_id"], "media_type": row["media_type"], **d}
-                )
+            # column zip, not iterrows: ~10x less per-row overhead in
+            # the only Python seam of the decode path
+            for mid, mt, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = _decode_one(bytes(payload), mt)
+                recs.append({"media_id": mid, "media_type": mt, **d})
             yield pd.DataFrame(recs)
 
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)

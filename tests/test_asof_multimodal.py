@@ -85,15 +85,29 @@ def test_asof_nullable_right_cols_stay_coherent(spark):
 
 
 def test_media_decode_shapes(spark, sf_smoke):
+    """Decoded metadata must equal the REAL header fields of the
+    synthesized payloads — exact doc_id formulas, not ranges (the old
+    >= 64 stub assertions died with the sha256 pseudo-decode)."""
     decoded = decode_media(media_table(spark, sf_smoke))
     rows = decoded.collect()
     assert len(rows) == 500
-    for r in rows[:20]:
+    for r in rows:
+        did = r.media_id
         assert len(r.feature) == 8
-        if r.media_type.startswith("image/"):
-            assert r.width >= 64 and r.height >= 64 and r.n_frames == 1
+        k = did % 3
+        if k == 0:
+            assert r.media_type == "image/x-portable-pixmap"
+            assert (r.width, r.height) == (4 * (2 + did % 17), 2 * (1 + did % 5))
+            assert r.n_frames == 1 and r.duration_ms == 0
+        elif k == 1:
+            assert r.media_type == "image/png"
+            assert (r.width, r.height) == (8 * (3 + did % 13), 2 * (2 + did % 7))
+            assert r.n_frames == 1 and r.duration_ms == 0
         else:
-            assert r.duration_ms > 0 and r.n_frames >= 1
+            assert r.media_type == "audio/wav"
+            assert r.duration_ms == 250 * (1 + did % 8)
+            assert r.n_frames == 1 + did % 8
+            assert r.width == 0 and r.height == 0
 
 
 def test_media_decode_deterministic(spark, sf_smoke):
@@ -114,24 +128,170 @@ def test_frame_sample_counts(spark, sf_smoke):
     assert bad == 0
 
 
-def test_real_decoder_seam_guard(monkeypatch, spark, sf_smoke):
-    """The _HAVE_REAL_DECODERS branch must fail LOUDLY (decode is not
-    wired) rather than silently emitting stub features when a real
-    image library appears in the environment."""
+def test_media_dispatch_contract():
+    """Every payload media_table synthesizes must carry a magic the
+    REAL decoders recognize — _fake_decode stays unreachable from
+    synthesized corpora. Pins the encode/dispatch seam so a future
+    encoder change can't silently route real media through the
+    sha256 pseudo path."""
     from distributed_stream_processing_spark.sources import multimodal as mm
 
-    monkeypatch.setattr(mm, "_HAVE_REAL_DECODERS", True)
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media_table(spark, sf_smoke))
+    for did in range(64):
+        mt, payload = mm._synth_payload(did)
+        real = (
+            payload[:2] == b"P6"
+            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+        )
+        assert real, f"doc_id={did} ({mt}) would fall to _fake_decode"
+        assert mt in mm.MEDIA_TYPES
 
 
-def test_real_decoder_environment():
-    """Skipped in this container (no PIL): when PIL exists, the flag
-    must flip and the loud-failure contract above applies for real."""
-    pytest.importorskip("PIL")
-    from distributed_stream_processing_spark.sources import multimodal as mm
+# ---- PNG round-trip property tests: encode with a generic test
+# encoder across ALL color types _decode_png claims (gray, RGB,
+# palette, gray+alpha, RGBA) and ALL filter types (None/Sub/Up/
+# Average/Paeth), then check the decoder recovers the exact expected
+# RGB raster (via the shared 8-chunk feature).
 
-    assert mm._HAVE_REAL_DECODERS is True
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _encode_png_generic(width, height, color, samples, plte=None, filters=None):
+    """Test-only PNG encoder for any 8-bit color type with a chosen
+    per-row filter sequence (includes Average, which the fixture
+    encoder never emits)."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    assert len(samples) == stride * height
+    filters = filters or [0] * height
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    lines, prev = [], bytes(stride)
+    for y in range(height):
+        line = samples[y * stride : (y + 1) * stride]
+        ftype = filters[y % len(filters)]
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b"")
+
+
+def _expected_rgb(color, samples):
+    ch = _PNG_CHANNELS[color]
+    if color == 2:
+        return bytes(samples)
+    if color == 0:
+        return bytes(v for v in samples for _ in range(3))
+    if color == 4:
+        return bytes(v for i in range(0, len(samples), 2) for v in (samples[i],) * 3)
+    if color == 6:
+        return b"".join(bytes(samples[i : i + 3]) for i in range(0, len(samples), 4))
+    raise AssertionError("palette handled separately")
+
+
+@pytest.mark.parametrize("color", [0, 2, 4, 6])
+@pytest.mark.parametrize(
+    "filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]
+)
+def test_png_roundtrip_color_and_filter_types(color, filters):
+    from distributed_stream_processing_spark.sources.multimodal import (
+        _decode_png,
+        _raster_feature,
+    )
+
+    w, h = 8, 10
+    ch = _PNG_CHANNELS[color]
+    samples = bytes((13 * i + 7 * (i // (w * ch))) % 256 for i in range(w * h * ch))
+    payload = _encode_png_generic(w, h, color, samples, filters=filters)
+    d = _decode_png(payload)
+    assert (d["width"], d["height"], d["n_frames"], d["duration_ms"]) == (w, h, 1, 0)
+    assert d["feature"] == _raster_feature(_expected_rgb(color, samples))
+
+
+@pytest.mark.parametrize("filters", [[0], [2], [0, 1, 2, 3, 4]])
+def test_png_roundtrip_palette(filters):
+    from distributed_stream_processing_spark.sources.multimodal import (
+        _decode_png,
+        _raster_feature,
+    )
+
+    w, h = 6, 8
+    plte = bytes((i * 37) % 256 for i in range(4 * 3))  # 4 entries
+    samples = bytes((i * 3) % 4 for i in range(w * h))
+    payload = _encode_png_generic(w, h, 3, samples, plte=plte, filters=filters)
+    d = _decode_png(payload)
+    expected = b"".join(plte[3 * v : 3 * v + 3] for v in samples)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["feature"] == _raster_feature(expected)
+
+
+def test_png_malformed_inputs_raise():
+    from distributed_stream_processing_spark.sources.multimodal import _decode_png
+
+    w, h = 4, 4
+    samples = bytes(range(w * h))
+    # palette index 5 with only a 4-entry PLTE -> loud error
+    plte = bytes(12)
+    bad = bytes(v if v < 4 else 5 for v in samples)
+    payload = _encode_png_generic(w, h, 3, bad, plte=plte)
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(payload)
+    # missing PLTE entirely
+    payload = _encode_png_generic(w, h, 3, bytes(w * h))
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(payload)
+    # truncated raster
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" + bytes(12))  # 1 of 4 scanlines
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(payload)
 
 
 def _ppm_bytes(w=4, h=2):
