@@ -295,8 +295,8 @@ def main() -> None:
     spread: dict[str, float] = {}
     # controller regime of the benched semi-stream pipelines:
     # "measured/total" batches (batch 0 is the designed estimate — it
-    # primes the SQL-metric baseline), read from each pipeline's
-    # last_controller after its timed runs (VERDICT r7 task 6)
+    # primes the SQL-metric baseline), read from the controller each
+    # pipeline attaches to its result (VERDICT r7 task 6)
     ctl: dict[str, str] = {}
     import gc as _gc
 
@@ -332,18 +332,9 @@ def main() -> None:
             file=sys.stderr,
         )
         if name.startswith(("q33", "q48")):
-            from distributed_stream_processing_spark.operators import (
-                semi_stream_join as ssj,
-            )
-            from distributed_stream_processing_spark.operators import (
-                semi_stream_similarity as sss_mod,
-            )
-
-            c = (
-                ssj.last_controller
-                if name.startswith("q33")
-                else sss_mod.last_controller
-            )
+            # per-invocation controller carried on the result DataFrame
+            # (not a module global, so pipelines can't cross-report)
+            c = getattr(df, "_controller", None)
             if c is not None and c.history:
                 n_meas = sum(1 for t in c.history if t.measured)
                 ctl[name.split("_")[0]] = f"{n_meas}/{len(c.history)}"

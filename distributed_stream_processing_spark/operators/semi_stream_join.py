@@ -255,12 +255,6 @@ def replay_in_batches(
     ]
 
 
-# controller of the most recent run_semi_stream_join pipeline —
-# read by bench.py to publish the measured/estimated regime split
-# (VERDICT r7 task 6); diagnostics only, never control flow
-last_controller: AdaptiveCacheController | None = None
-
-
 def run_semi_stream_join(
     stream_table: DataFrame,
     store: DataFrame,
@@ -282,8 +276,6 @@ def run_semi_stream_join(
         controller=controller or AdaptiveCacheController(),
         admit_below_freq=admit_below_freq,
     )
-    global last_controller
-    last_controller = j.controller
     outs = []
     for batch_id, batch in replay_in_batches(
         stream_table, n_batches, bucket_col or key
@@ -292,4 +284,8 @@ def run_semi_stream_join(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
+    # per-invocation diagnostics seam (bench.py publishes the
+    # measured/estimated regime split): carried on the result, not a
+    # module global, so interleaved pipelines can't cross-report
+    result._controller = j.controller
     return result

@@ -460,12 +460,6 @@ class SemiStreamSimilarityJoin:
         return out
 
 
-# controller of the most recent run_semi_stream_similarity pipeline —
-# read by bench.py to publish the measured/estimated regime split
-# (VERDICT r7 task 6); diagnostics only, never control flow
-last_controller: AdaptiveCacheController | None = None
-
-
 def run_semi_stream_similarity(
     stream_table: DataFrame,
     stored: DataFrame,
@@ -484,8 +478,6 @@ def run_semi_stream_similarity(
         controller=controller or AdaptiveCacheController(),
         artifacts=artifacts,
     )
-    global last_controller
-    last_controller = j.controller
     outs = []
     for b in range(n_batches):
         batch = stream_table.filter(F.pmod(F.col("id"), F.lit(n_batches)) == b)
@@ -493,6 +485,10 @@ def run_semi_stream_similarity(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # per-invocation diagnostics seam (bench.py publishes the
+    # measured/estimated regime split): carried on the result, not a
+    # module global, so interleaved pipelines can't cross-report
+    out._controller = j.controller
     return out
 
 

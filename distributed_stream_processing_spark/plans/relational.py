@@ -117,7 +117,7 @@ def q02_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q56/q57/q58) and the DP-segmenter gate (q59) inside the driver's
 # 50-row correctness card. The functions remain for the hit/miss
 # partition unit test below.
-def q03_cache_hit_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retired_q03_cache_hit_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache-hit detection = left semi join (ref cogroup filter streaming.scala:235)."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem
@@ -132,7 +132,7 @@ def q03_cache_hit_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q04_cache_miss_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retired_q04_cache_miss_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache-miss detection = left anti join (ref subtractByKey streaming.scala:283,304)."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem
@@ -147,7 +147,7 @@ def q04_cache_miss_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retired_q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct missed keys shipped to the remote store, one batched
     lookup per partition in the reference (streaming.scala:306,343-377)."""
     cat = _cat(spark, sf_dir)
@@ -168,7 +168,7 @@ def q05_missed_keys_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator (q55, plans/stream_plans.py — W4 was the last pytest-only
 # streaming component). The function remains for the
 # cache-transparency unit test.
-def q06_hit_union_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retired_q06_hit_union_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _cat(spark, sf_dir)
     li, part = cat.lineitem, cat.part
     cache = cache_side(cat)

@@ -44,12 +44,12 @@ def test_hit_miss_partition(spark, specs, sf_smoke):
     # q03/q04 retired from the registry card (round 7) but the
     # semi/anti partition invariant stays pinned here
     from distributed_stream_processing_spark.plans.relational import (
-        q03_cache_hit_semi,
-        q04_cache_miss_anti,
+        _retired_q03_cache_hit_semi,
+        _retired_q04_cache_miss_anti,
     )
 
-    hit = q03_cache_hit_semi(spark, sf_smoke).count()
-    miss = q04_cache_miss_anti(spark, sf_smoke).count()
+    hit = _retired_q03_cache_hit_semi(spark, sf_smoke).count()
+    miss = _retired_q04_cache_miss_anti(spark, sf_smoke).count()
     total = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").count()
     assert hit + miss == total
     assert hit > 0 and miss > 0  # fixture guarantees both paths exercised
@@ -58,10 +58,10 @@ def test_hit_miss_partition(spark, specs, sf_smoke):
 def test_cache_transparency(spark, specs, sf_smoke):
     """DS-Join invariant: hit∪miss output == plain join regardless of cache."""
     from distributed_stream_processing_spark.plans.relational import (
-        q06_hit_union_miss,
+        _retired_q06_hit_union_miss,
     )
 
-    union = q06_hit_union_miss(spark, sf_smoke).drop("src", "p_retailprice")
+    union = _retired_q06_hit_union_miss(spark, sf_smoke).drop("src", "p_retailprice")
     plain = specs["q02_stream_enrich_join"].fn(spark, sf_smoke).select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
