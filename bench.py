@@ -300,7 +300,13 @@ def main() -> None:
     ctl: dict[str, str] = {}
     import gc as _gc
 
-    for name in HEADLINE:
+    # dev-loop subset filter (comma-separated name prefixes); the
+    # driver never sets it, so the published protocol is unchanged
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [
+        n for n in HEADLINE if not only or n.startswith(tuple(only.split(",")))
+    ]
+    for name in headline:
         # block hygiene between queries: localCheckpoint blocks (batch
         # outputs, state swaps) are freed by the ContextCleaner only
         # after JVM GC notices the dropped RDDs, and accumulation
@@ -341,6 +347,19 @@ def main() -> None:
                 print(
                     f"#   controller regime: {n_meas}/{len(c.history)} "
                     "batches on the measured split",
+                    file=sys.stderr,
+                )
+            else:
+                # the seam is a dynamic attribute — any wrapping of the
+                # pipeline result (select/cache/checkpoint) drops it
+                # silently, and the ctl split would vanish from the
+                # bench JSON with no signal (ADVICE r9). Publish the
+                # loss instead of omitting the key.
+                ctl[name.split("_")[0]] = "MISSING"
+                print(
+                    f"# WARNING {name}: diagnostics seam (_controller) "
+                    "missing or empty — the plan result was wrapped "
+                    "after run_semi_stream_* attached it",
                     file=sys.stderr,
                 )
 

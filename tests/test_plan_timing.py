@@ -41,6 +41,7 @@ def _timings(spark, n_store=60_000, n_batch=20_000):
     j.process_batch(batch, 1)
     # batch 2: same keys, now cached -> zero misses (hit-heavy)
     j.process_batch(batch, 2)
+    j.flush_attribution()  # attribution is deferred past batch end
     miss_heavy, hit_heavy = j.controller.history[1], j.controller.history[2]
     return miss_heavy, hit_heavy
 
@@ -281,6 +282,7 @@ def test_attributor_survives_aqe_pruned_fetch_branch(spark):
         j = SemiStreamJoin(store=store, key="k")
         j.process_batch(batch, 0)  # primes the baseline; misses all
         j.process_batch(batch, 1)  # same keys cached -> zero misses
+        j.flush_attribution()
         t = j.controller.history[1]
         try:
             assert t.n_miss == 0
