@@ -122,6 +122,91 @@ def _scheme_audit(spark, d: str) -> dict:
         store.rep_store.unpersist()
 
 
+def _q48_100x(spark, d100: str) -> dict:
+    """One steady-state batch of the semi-stream similarity pipeline
+    against a 100x store (350k stored docs, the dedup_100x corpus)
+    with the HEADLINE's per-batch probe volume (~500 docs): the
+    reference's own scaling claim is that its cached design's
+    advantage grows with DB size while per-batch query volume stays
+    fixed (DSim-Join/README.md:14), so this is the axis a 100x audit
+    must measure. The store build is timed separately (it is the
+    amortized one-time cost); the published batch_s is batch 1 —
+    batch 0 primes cache state, JIT, and the attributor baseline."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_similarity as sss,
+    )
+
+    t = Fraction(3, 4)
+    docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
+    base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    stored = base.filter(F.col("id") % 10 >= 3)  # ~350k docs
+    # two probe batches of ~500 docs each (the sf0.1 headline's
+    # per-batch volume), disjoint ids from the stream split
+    probes = [
+        base.filter((F.col("id") % 10 < 3) & (F.col("id") % 1000 == k))
+        for k in (0, 1)
+    ]
+    # the index build is the amortized one-time cost (the reference
+    # holds its signature collection in a durable store and never
+    # re-indexes per run) — persist it beside the fixture so only the
+    # FIRST bench run on a host pays the ~146s build; later runs load
+    # parquet (~15s) and the section fits the budget
+    store_path = os.path.join(d100, "q48store")
+    t0 = time.monotonic()
+    if os.path.isdir(os.path.join(store_path, "sigs")):
+        j = sss.load_similarity_store(spark, store_path, t)
+        j.sig_store.count()
+        built = False
+    else:
+        store = sss.build_similarity_store(stored, t)
+        store.sig_store.count()  # materialize outside batch_s
+        j = sss.SemiStreamSimilarityJoin(
+            stored=None, threshold=t, artifacts=store
+        )
+        sss.save_similarity_store(j, store_path)
+        built = True
+    index_s = round(time.monotonic() - t0, 3)
+    try:
+        j.process_batch(probes[0], 0).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        j.flush_attribution()
+        t0 = time.monotonic()
+        out = j.process_batch(probes[1], 1)
+        n_out = out.count()
+        j.flush_attribution()
+        batch_s = round(time.monotonic() - t0, 3)
+        # deduped candidate-pair count for the steady batch's probe —
+        # the workload-growth denominator for reading batch_s (one
+        # extra job, outside the timed window)
+        probe_sigs = j._sigs(probes[1], "a", own_group_only=True)
+        n_cand = (
+            j.sig_store.join(F.broadcast(probe_sigs), sss._KEY)
+            .filter(j._pair_filter)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+            .count()
+        )
+        return {
+            "stored_docs": 350_000,
+            "probe_docs": 500,
+            ("build_s" if built else "load_s"): index_s,
+            "batch_s": batch_s,
+            "cand": n_cand,
+            "out_rows": n_out,
+        }
+    finally:
+        j.sig_store.unpersist()
+        j.rep_store.unpersist()
+        j.cache.unpersist()
+        j.lru.unpersist()
+
+
 def _run_stress(
     spark, specs, base: dict[str, float], deadline: float | None = None
 ) -> dict | None:
@@ -156,6 +241,14 @@ def _run_stress(
     # JSON line must stay under the driver's tail capture; full names
     # are in STRESS and the stderr log
     out: dict[str, dict[str, dict]] = {n.split("_")[0]: {} for n in STRESS}
+    # idle steady-state 10x ratios, judge-reproduced across r8/r9
+    # (q21 4.34, q29 3.90, q48 3.11/2.61): when a 10x point's min
+    # implies a ratio beyond 3x these, the number is far likelier to
+    # be host contention than engine behavior (r8 AND r9 both
+    # published garbage 10x ratios — 13.05 vs an idle truth of 3.11 —
+    # because BOTH min-of-2 runs were contended), so one extra run is
+    # bought within budget before publishing
+    expected_10x = {"q21": 4.5, "q29": 4.0, "q48": 3.5}
     for scale, d in dirs.items():
         for name in STRESS:
             # two runs per (query, scale), report the MIN: run 1 pays
@@ -164,6 +257,7 @@ def _run_stress(
             # either (single-run ratios swung up to 4x between clean
             # sessions), so min-of-2 measures steady-state engine
             # scaling at no extra cost over warm-up-then-time
+            q, sc = name.split("_")[0], scale.replace("stress", "")
             times = []
             for i in range(2):
                 if i == 1 and time.monotonic() > deadline:
@@ -174,12 +268,32 @@ def _run_stress(
                     "noop"
                 ).save()
                 times.append(time.monotonic() - t0)
+            # contention tripwire (VERDICT r9 task 2): a 10x min whose
+            # implied ratio exceeds 3x the idle-host expectation means
+            # every run so far was contended — buy ONE more run if the
+            # budget allows rather than publish a meaningless ratio
+            base_1x = out[q].get("1x", {}).get("min")
+            if (
+                sc == "10x"
+                and base_1x
+                and min(times) / base_1x > 3 * expected_10x.get(q, 4.0)
+                and time.monotonic() < deadline
+            ):
+                print(
+                    f"# {scale} {name}: implausible ratio "
+                    f"{min(times) / base_1x:.1f} — extra run",
+                    file=sys.stderr,
+                )
+                t0 = time.monotonic()
+                specs[name].fn(spark, d).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                times.append(time.monotonic() - t0)
             # runs array persisted in the JSON (not just stderr): when
             # the host is contended during run 2, min(cold, warm) IS
             # the cold build — r6's driver card recorded 26.75s where
             # an idle re-run gave 8.14s, with nothing in the JSON to
             # say so. A [cold, spiky] pair is now self-diagnosing.
-            q, sc = name.split("_")[0], scale.replace("stress", "")
             out[q][sc] = {
                 "min": round(min(times), 3),
                 "runs": [round(x, 2) for x in times],
@@ -189,6 +303,29 @@ def _run_stress(
                 f"(runs {out[q][sc]['runs']})",
                 file=sys.stderr,
             )
+    # calibration probe (VERDICT r9 task 2): re-time the cheapest 1x
+    # point after the 10x timings. The 1x min was measured minutes
+    # earlier; if the SAME work now takes >2x, the host got contended
+    # somewhere inside the stress window and the whole section's
+    # numbers are suspect — publish contended=true so no ratio from
+    # this section is read as engine behavior
+    contended = False
+    cal_name = "q29_subseq_match_ed"
+    cal_base = out["q29"].get("1x", {}).get("min")
+    if cal_base and time.monotonic() < deadline:
+        t0 = time.monotonic()
+        specs[cal_name].fn(spark, dirs["stress1x"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        cal_t = time.monotonic() - t0
+        contended = cal_t > 2 * cal_base
+        print(
+            f"# calibration: 1x {cal_name} re-run {cal_t:.2f}s vs "
+            f"recorded min {cal_base}s -> contended={contended}",
+            file=sys.stderr,
+        )
+    else:
+        skipped.append("calibration (budget)")
     # signature-scheme audit on the sparse-vocab stress corpus: the
     # stress documents (2k-word vocab, 8-100-token docs) flip the
     # pipeline's scheme chooser to the deletion layout for the long
@@ -255,6 +392,31 @@ def _run_stress(
             print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
         except Exception as e:
             print(f"# dedup 100x skipped: {e}", file=sys.stderr)
+    # 100x semi-stream similarity posture (VERDICT r9 task 5): fixed
+    # per-batch probe volume against a 100x store — the axis the
+    # reference's own scaling claim is about
+    q48_100x = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
+        try:
+            from tools.gen_stress_sf1 import ensure_dedup_100x
+
+            d100 = ensure_dedup_100x()
+            # the point needs ~120s warm (saved store) / ~300s cold
+            # (first run on a host builds + saves the 100x index);
+            # only attempt what the remaining budget actually covers
+            need = (
+                120
+                if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
+                else 300
+            )
+            if time.monotonic() + need > deadline:
+                skipped.append("q48_100x (budget)")
+                print("# q48 100x skipped: budget", file=sys.stderr)
+            else:
+                q48_100x = _q48_100x(spark, d100)
+                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
+        except Exception as e:
+            print(f"# q48 100x skipped: {e}", file=sys.stderr)
     return {
         "queries": out,
         "data_ratio": 10.0,
@@ -272,8 +434,10 @@ def _run_stress(
         # docs), so a q48 runtime ratio of ~3 is ~30x BETTER than
         # candidate-linear scaling
         "q48_cand_1x_10x": [359707, 37431750],
+        **({"contended": True} if contended else {}),
         **({"scheme_audit": scheme_audit} if scheme_audit else {}),
         **({"dedup_100x": dedup_100x} if dedup_100x else {}),
+        **({"q48_100x": q48_100x} if q48_100x else {}),
         **({"budget_skipped": skipped} if skipped else {}),
     }
 
@@ -377,6 +541,15 @@ def main() -> None:
         "vs ~10-doc reference batches); q16=full exact 5k-doc self-join "
         "vs Dima's 13785ms index build alone; q29=index build at 100k "
         "points + probe + exact verify. See BASELINE.md.",
+        file=sys.stderr,
+    )
+    print(
+        "# r10 note: the r7->r9 q48 creep (~+1.2s) was the per-batch "
+        "plan-walk attributor — 2895 py4j round trips/0.33s per batch; "
+        "now whitelisted-walk (~0.17s) AND off the critical path "
+        "(DeferredObservation overlaps the next batch's plan build). "
+        "q48's miss-detect also lost a silent AQE-off SortMergeJoin "
+        "(bounded_broadcast on the LRU; test_plan_invariants pins it).",
         file=sys.stderr,
     )
     line = json.dumps(

@@ -61,29 +61,44 @@ def multigroup(lmin: int, lmax: int, threshold: Fraction | float) -> list[tuple[
     return groups
 
 
-def _segment_content(tokens: Column, seg: Column | int, h: int) -> Column:
+def _h_col(h: int | Column) -> Column:
+    """``h`` as a column: the signature emitters accept the segment
+    count either as a Python int (one fixed layout) or as a COLUMN
+    (data-driven layout). The column form is what keeps multi-group
+    emission inside whole-stage codegen: a per-group CASE over
+    full signature expressions grows past janino's method limits and
+    silently drops the whole Generate to interpreted eval (~100x
+    slower — the r10 100x store build spent 5 min/task in
+    CaseWhen.eval), while one expression with h read from the
+    exploded group struct stays small and uniform."""
+    return F.lit(h) if isinstance(h, int) else h
+
+
+def _segment_content(tokens: Column, seg: Column | int, h: int | Column) -> Column:
     """Sorted tokens of one hash segment, as a canonical string."""
+    hc = _h_col(h)
     return F.concat_ws(
         " ",
         F.array_sort(
-            F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg)
+            F.filter(tokens, lambda x: F.pmod(F.xxhash64(x), hc) == seg)
         ),
     )
 
 
-def segment_signatures(tokens: Column, h: int) -> Column:
+def segment_signatures(tokens: Column, h: int | Column) -> Column:
     """ARRAY<STRUCT<seg INT, sig BIGINT>>: one signature per segment
     (empty segments included — required for completeness)."""
+    hc = _h_col(h)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(h - 1)),
+        F.sequence(F.lit(0), (hc - F.lit(1)).cast("int")),
         lambda seg: F.struct(
             seg.cast("int").alias("seg"),
-            F.xxhash64(_segment_content(tokens, seg, h)).alias("sig"),
+            F.xxhash64(_segment_content(tokens, seg, hc)).alias("sig"),
         ),
     )
 
 
-def deletion_signatures(tokens: Column, h: int) -> Column:
+def deletion_signatures(tokens: Column, h: int | Column) -> Column:
     """ARRAY<STRUCT<seg INT, sig BIGINT>>: per segment, the hash of the
     segment content with each single token removed (createDeletion,
     BuildSig.scala:187-200).
@@ -103,14 +118,15 @@ def deletion_signatures(tokens: Column, h: int) -> Column:
     per-element index lambda makes empty segments contribute nothing
     (a 1..size sequence would emit a descending [1, 0] for them).
     """
+    hc = _h_col(h)
     seg_arrs = F.transform(
-        F.sequence(F.lit(0), F.lit(h - 1)),
+        F.sequence(F.lit(0), (hc - F.lit(1)).cast("int")),
         lambda seg: F.struct(
             seg.cast("int").alias("seg"),
             F.array_sort(
                 F.array_distinct(
                     F.filter(
-                        tokens, lambda x: F.pmod(F.xxhash64(x), F.lit(h)) == seg
+                        tokens, lambda x: F.pmod(F.xxhash64(x), hc) == seg
                     )
                 )
             ).alias("arr"),

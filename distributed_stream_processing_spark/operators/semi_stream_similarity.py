@@ -59,16 +59,25 @@ def _sig_exprs(
     deletion: dict | None = None,
 ):
     """Build the two Column expressions of the signature emitter — the
-    group-membership array and the per-group signature-layout CASE —
-    over a fixed input column ``tokens``.
+    group-membership struct array and the (single, group-uniform)
+    signature-layout expression — over a fixed input column
+    ``tokens``.
 
-    Constructing these is pure driver/py4j work and is EXPENSIVE
-    (~0.6-1.7s: hundreds of py4j round trips for the nested lambda
-    trees), so the streaming pipeline builds them ONCE at init and
-    reuses the immutable Column objects on every micro-batch
-    (resolution is by name at analysis time, so reuse across
-    same-schema DataFrames is sound). Building them per batch was
-    ~0.7s/batch of driver latency — a third of the r5 batch time."""
+    Constructing these is pure driver/py4j work that the streaming
+    pipeline does ONCE at init, reusing the immutable Column objects
+    on every micro-batch (resolution is by name at analysis time, so
+    reuse across same-schema DataFrames is sound). Building per batch
+    was ~0.7s/batch of driver latency — a third of the r5 batch time.
+
+    SHAPE MATTERS FOR CODEGEN: the group-varying parameters (segment
+    count h, deletion flag) ride as literal fields IN the exploded
+    membership struct, and one signature expression reads them as
+    columns — instead of a per-group CASE over full signature
+    subtrees. The CASE form grows linearly in groups x layouts, blows
+    janino's method limits, and silently drops the Generate to
+    interpreted expression eval — measured ~100x slower on the r10
+    100x fixture (5 min/task in CaseWhen.eval/ArrayTransform.eval
+    where the uniform form codegens)."""
     from distributed_stream_processing_spark.functions.signatures import (
         deletion_signatures,
         segment_signatures,
@@ -83,30 +92,40 @@ def _sig_exprs(
             lo_len = -(-t.numerator * lo // t.denominator)
             hi_len = hi * t.denominator // t.numerator
             cond = (sz >= lo_len) & (sz <= hi_len)
-        memberships.append(F.when(cond, F.lit(g)))
+        memberships.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(g).cast("int").alias("g"),
+                    F.lit(hs[g]).cast("int").alias("h"),
+                    F.lit(
+                        1 if (deletion and deletion.get(g)) else 0
+                    ).cast("int").alias("del"),
+                ),
+            )
+        )
     garr = F.array_compact(F.array(*memberships))
 
-    def layout(g: int):
-        segs = F.transform(
-            segment_signatures(F.col("tokens"), hs[g]),
-            lambda s: F.struct(
-                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
-            ),
-        )
-        if not (deletion and deletion.get(g)):
-            return segs
+    h = F.col("gm.h")
+    segs = F.transform(
+        segment_signatures(F.col("tokens"), h),
+        lambda s: F.struct(
+            s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
+        ),
+    )
+    if deletion and any(deletion.values()):
         dels = F.transform(
-            deletion_signatures(F.col("tokens"), hs[g]),
+            deletion_signatures(F.col("tokens"), h),
             lambda s: F.struct(
                 s.seg.alias("seg"), s.sig.alias("sig"), F.lit(1).alias("kind")
             ),
         )
-        return F.concat(segs, dels)
-
-    sig_case = F.when(F.col("g") == 0, layout(0))
-    for g in range(1, len(groups)):
-        sig_case = sig_case.when(F.col("g") == g, layout(g))
-    return garr, sig_case
+        sig_expr = F.when(F.col("gm.del") == 1, F.concat(segs, dels)).otherwise(
+            segs
+        )
+    else:
+        sig_expr = segs
+    return garr, sig_expr
 
 
 def _emit_sigs(
@@ -126,21 +145,26 @@ def _emit_sigs(
     signatures kind=1, same completeness trade as
     dima_similarity_join's scheme="deletion").
 
-    ONE scan of ``df``: each record explodes over its compatible group
-    ids and a CASE on g picks that group's signature layout (a
-    per-group filter+union would re-scan the corpus once per group
-    per side — 6x read amplification at 100 TB for nothing; CASE
-    branches evaluate lazily per row). Pass ``exprs`` (from
-    ``_sig_exprs``) to skip the costly per-call expression build."""
-    garr, sig_case = exprs or _sig_exprs(own_group_only, groups, hs, t, deletion)
+    ONE scan of ``df``: each record explodes over its compatible
+    group structs (g, h, del) and a single group-uniform expression
+    reads the layout parameters from the struct (a per-group
+    filter+union would re-scan the corpus once per group per side —
+    6x read amplification at 100 TB for nothing; a per-group CASE
+    over signature subtrees falls out of codegen — see _sig_exprs).
+    Pass ``exprs`` (from ``_sig_exprs``) to skip the costly per-call
+    expression build."""
+    garr, sig_expr = exprs or _sig_exprs(own_group_only, groups, hs, t, deletion)
     base = df.select(
         F.col("id").alias(f"{prefix}_id"),
         F.size("tokens").alias(f"{prefix}_sz"),
         F.col("tokens"),
-        F.explode(garr).alias("g"),
+        F.explode(garr).alias("gm"),
     )
     return base.select(
-        f"{prefix}_id", f"{prefix}_sz", "g", F.explode(sig_case).alias("s")
+        f"{prefix}_id",
+        f"{prefix}_sz",
+        F.col("gm.g").alias("g"),
+        F.explode(sig_expr).alias("s"),
     ).select(
         f"{prefix}_id",
         f"{prefix}_sz",
@@ -343,8 +367,19 @@ class SemiStreamSimilarityJoin:
         probe_keys = probe.select(*_KEY).distinct()
         # the LRU holds exactly the keys whose store rows are already
         # cached OR known absent from the store (negative caching:
-        # keys with no store rows are not refetched every batch)
-        missed_keys = probe_keys.join(self.lru, _KEY, "left_anti")
+        # keys with no store rows are not refetched every batch).
+        # This miss-detect is re-planned statically inside the state
+        # checkpoint branch (lazy_local_checkpoint), where the
+        # checkpointed LRU has unknown stats — unhinted it compiles
+        # to a sort-merge join (caught by test_plan_invariants), so
+        # the LRU side goes through the same tracked-row-count gate
+        # as the eviction sets: broadcast when small, shuffled hash
+        # join when not
+        missed_keys = probe_keys.join(
+            bounded_broadcast(self.lru.select(*_KEY), self._lru_rows),
+            _KEY,
+            "left_anti",
+        )
         fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
 
         hit = self.cache.join(F.broadcast(probe), _KEY)

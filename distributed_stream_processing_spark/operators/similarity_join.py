@@ -364,6 +364,15 @@ def choose_signature_schemes(
                     F.struct(
                         F.lit(g).cast("int").alias("g"),
                         F.lit(mode).cast("int").alias("mode"),
+                        # the (g, mode) segment count rides IN the
+                        # struct so ONE signature expression serves
+                        # every combination — a per-(g, mode) CASE
+                        # over signature subtrees grows past janino's
+                        # method limits and drops this scan to
+                        # interpreted eval (~100x; see _sig_exprs)
+                        F.lit(h_eq[g] if mode == 0 else h_del[g])
+                        .cast("int")
+                        .alias("h"),
                     ),
                 )
             )
@@ -372,18 +381,10 @@ def choose_signature_schemes(
         F.col("tokens"),
         F.explode(F.array_compact(F.array(*memberships))).alias("gm"),
     )
-    sig_case = None
-    for g in range(len(groups)):
-        for mode, h in ((0, h_eq[g]), (1, h_del[g])):
-            cond = (F.col("gm.g") == g) & (F.col("gm.mode") == mode)
-            arr = segment_signatures(F.col("tokens"), h)
-            sig_case = (
-                F.when(cond, arr) if sig_case is None else sig_case.when(cond, arr)
-            )
     u = base.select(
         F.col("gm.g").alias("g"),
         F.col("gm.mode").alias("mode"),
-        F.explode(sig_case).alias("s"),
+        F.explode(segment_signatures(F.col("tokens"), F.col("gm.h"))).alias("s"),
         "sz",
     )
     freq = u.groupBy("g", "mode", "s.seg", "s.sig").agg(
@@ -636,29 +637,13 @@ def dima_similarity_join(
         hs = {g: h_del[g] if group_deletion[g] else h_eq[g] for g in group_deletion}
     any_deletion = any(group_deletion.values())
 
-    def sig_col(h: int, with_deletion: bool):
-        """ARRAY<STRUCT<seg,sig,kind>>: kind 0 = segment, 1 = deletion."""
-        segs = F.transform(
-            segment_signatures(F.col("tokens"), h),
-            lambda s: F.struct(
-                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
-            ),
-        )
-        if not with_deletion:
-            return segs
-        dels = F.transform(
-            deletion_signatures(F.col("tokens"), h),
-            lambda s: F.struct(
-                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(1).alias("kind")
-            ),
-        )
-        return F.concat(segs, dels)
-
     def sigs(df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
-        # ONE scan: explode over compatible group ids, CASE on g picks
-        # the group's signature layout (per-group filter+union would
-        # re-scan the corpus once per group per side — see _emit_sigs
-        # in semi_stream_similarity for the same shape)
+        # ONE scan: explode over compatible group structs (g, h, del);
+        # a single group-uniform expression reads the layout from the
+        # struct (per-group filter+union would re-scan the corpus once
+        # per group per side, and a per-group CASE over signature
+        # subtrees falls out of codegen — see _sig_exprs in
+        # semi_stream_similarity for the same shape)
         sz = F.size("tokens")
         memberships = []
         for g, (lo, hi) in enumerate(groups):
@@ -668,25 +653,48 @@ def dima_similarity_join(
                 lo_len = -(-t.numerator * lo // t.denominator)  # ceil(t*lo)
                 hi_len = hi * t.denominator // t.numerator  # floor(hi/t)
                 cond = (sz >= lo_len) & (sz <= hi_len)
-            memberships.append(F.when(cond, F.lit(g)))
+            memberships.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(g).cast("int").alias("g"),
+                        F.lit(hs[g]).cast("int").alias("h"),
+                        F.lit(1 if group_deletion[g] else 0)
+                        .cast("int")
+                        .alias("del"),
+                    ),
+                )
+            )
         base = df.select(
             F.col("id").alias(f"{prefix}_id"),
             sz.alias(f"{prefix}_sz"),
             F.col("tokens"),
-            F.explode(F.array_compact(F.array(*memberships))).alias("g"),
+            F.explode(F.array_compact(F.array(*memberships))).alias("gm"),
         )
-        sig_case = F.when(
-            F.col("g") == 0, sig_col(hs[0], group_deletion[0])
+        h = F.col("gm.h")
+        segs = F.transform(
+            segment_signatures(F.col("tokens"), h),
+            lambda s: F.struct(
+                s.seg.alias("seg"), s.sig.alias("sig"), F.lit(0).alias("kind")
+            ),
         )
-        for g in range(1, len(groups)):
-            sig_case = sig_case.when(
-                F.col("g") == g, sig_col(hs[g], group_deletion[g])
+        if any_deletion:
+            dels = F.transform(
+                deletion_signatures(F.col("tokens"), h),
+                lambda s: F.struct(
+                    s.seg.alias("seg"), s.sig.alias("sig"), F.lit(1).alias("kind")
+                ),
             )
+            sig_expr = F.when(
+                F.col("gm.del") == 1, F.concat(segs, dels)
+            ).otherwise(segs)
+        else:
+            sig_expr = segs
         return base.select(
             f"{prefix}_id",
             f"{prefix}_sz",
-            "g",
-            F.explode(sig_case).alias("s"),
+            F.col("gm.g").alias("g"),
+            F.explode(sig_expr).alias("s"),
         ).select(
             f"{prefix}_id",
             f"{prefix}_sz",

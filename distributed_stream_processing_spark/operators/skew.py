@@ -52,9 +52,13 @@ def bounded_broadcast(
     key untouched for `window` batches, which after a workload shift
     can be the entire cache; at cluster scale forcing that through a
     driver-collected broadcast is an OOM (ADVICE r6). When the bound
-    is unknown (None) or above ``max_rows`` the join is left unhinted,
-    which static planning compiles to a shuffled sort-merge join —
-    slower, but correct at any size.
+    is unknown (None) or above ``max_rows``, the fallback is a
+    SHUFFLE_HASH hint rather than no hint at all: static planning
+    compiles an unhinted unknown-stats join to a sort-merge join
+    (both sides shuffled AND sorted — r10's plan-invariant tests
+    caught exactly that on q48's miss-detect), while a shuffled hash
+    join shuffles the same bytes, builds per-partition hash tables on
+    this (key-set) side, and skips both sorts. Correct at any size.
 
     ``max_rows`` defaults to ~1M keys: eviction sets are narrow key
     rows (a long, or the 3-int signature key), so 1M rows is tens of
@@ -62,7 +66,7 @@ def bounded_broadcast(
     """
     if approx_rows is not None and approx_rows <= max_rows:
         return F.broadcast(df)
-    return df
+    return df.hint("shuffle_hash")
 
 
 def fan_out(df: DataFrame) -> DataFrame:

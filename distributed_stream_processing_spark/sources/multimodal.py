@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -278,8 +279,6 @@ def _decode_png(payload: bytes) -> dict:
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up — no intra-row dependency: vectorize
-            import numpy as np
-
             line = bytearray(
                 (
                     np.frombuffer(bytes(line), dtype=np.uint8)

@@ -46,13 +46,19 @@ def test_hit_miss_partition(spark, specs, sf_smoke):
     from distributed_stream_processing_spark.plans.relational import (
         _retired_q03_cache_hit_semi,
         _retired_q04_cache_miss_anti,
+        _retired_q05_missed_keys_distinct,
     )
 
     hit = _retired_q03_cache_hit_semi(spark, sf_smoke).count()
-    miss = _retired_q04_cache_miss_anti(spark, sf_smoke).count()
+    miss_df = _retired_q04_cache_miss_anti(spark, sf_smoke)
+    miss = miss_df.count()
     total = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").count()
     assert hit + miss == total
     assert hit > 0 and miss > 0  # fixture guarantees both paths exercised
+    # the remote-lookup key set is the DISTINCT projection of the
+    # misses (ref ships one batched lookup per partition)
+    missed_keys = _retired_q05_missed_keys_distinct(spark, sf_smoke)
+    assert missed_keys.count() == miss_df.select("l_partkey").distinct().count()
 
 
 def test_cache_transparency(spark, specs, sf_smoke):

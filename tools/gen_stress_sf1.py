@@ -35,6 +35,16 @@ BASE_DIR = "/root/repo/.stressdata"
 SCALES = {"stress1x": 1, "stress10x": 10}
 N_DOCS, N_EVENTS, N_VECS = 5_000, 100_000, 2_000  # 1x = the sf0.1 shape
 
+# pyarrow's default writes ONE row group per table; Spark splits
+# parquet by byte ranges but cannot split inside a row group, so a
+# single-row-group 100 MB file gives 24 empty tasks and one task
+# holding every row — the whole scan-side pipeline (signature
+# emission, LSH shingling) ran single-threaded on the 100x fixtures
+# (r10 finding: a 350k-doc store build pinned one core for ~6 min
+# while 31 idled). Bounded row groups make the fixture behave like
+# real warehouse data, where files/row groups are sized for splits.
+ROW_GROUP_ROWS = 20_000
+
 _BASE = (
     "batch part spark line column order small sort fast value scan hash "
     "slow group agg filter query big key window row table stream merge "
@@ -70,7 +80,7 @@ def gen_documents(path: str, rng: np.random.RandomState, n: int) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=ROW_GROUP_ROWS)
 
 
 def gen_events(path: str, rng: np.random.RandomState, n: int) -> None:
@@ -92,7 +102,7 @@ def gen_events(path: str, rng: np.random.RandomState, n: int) -> None:
             ),
         }
     )
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=ROW_GROUP_ROWS)
 
 
 def gen_embeddings(path: str, rng: np.random.RandomState, n: int) -> None:
@@ -108,7 +118,7 @@ def gen_embeddings(path: str, rng: np.random.RandomState, n: int) -> None:
             "label": pa.array(rng.randint(0, 16, size=n), pa.int32()),
         }
     )
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=ROW_GROUP_ROWS)
 
 
 def ensure_dedup_100x(base_dir: str = BASE_DIR) -> str:
