@@ -90,12 +90,14 @@ class SemiStreamJoin:
         state; return the enriched output (hit ∪ miss-fetched).
 
         The previous batch's attribution walk (background, diagnostics
-        only) is joined HERE, before this batch reads
-        ``controller.window`` — the controller sees exactly the same
-        history at the same decision points as the old synchronous
-        flow. Callers that read ``controller.history`` directly after
-        a bare process_batch must call :meth:`flush_attribution`."""
-        self._deferred.flush()
+        only) is joined just before this batch reads
+        ``controller.window`` — the latest point that preserves the
+        synchronous flow's semantics (same history at the same
+        decision points), so the walk genuinely overlaps THIS batch's
+        driver-side plan construction (hit/miss/fetch/output) even for
+        back-to-back callers like run_semi_stream_join (ADVICE r10).
+        Callers that read ``controller.history`` directly after a bare
+        process_batch must call :meth:`flush_attribution`."""
         k = self.key
         cache, lru = self.cache, self.lru
 
@@ -133,6 +135,9 @@ class SemiStreamJoin:
             .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
         )
         admitted = fetched
+        # join the previous batch's background walk NOW — the first
+        # controller read of this batch; everything above overlapped it
+        self._deferred.flush()
         window = self.controller.window
         stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
         new_freq = None

@@ -351,12 +351,14 @@ class SemiStreamSimilarityJoin:
         similar pairs vs the stored corpus, through the cache.
 
         The previous batch's attribution walk (background diagnostics,
-        DeferredObservation) is joined HERE, before this batch reads
-        ``controller.window`` — same controller history at the same
-        decision points as the synchronous flow. Callers reading
+        DeferredObservation) is joined just before this batch reads
+        ``controller.window`` — the latest point that preserves the
+        synchronous flow's semantics, so the walk genuinely overlaps
+        THIS batch's driver-side plan construction (probe signatures,
+        miss detect, verify) even for back-to-back callers like
+        run_semi_stream_similarity (ADVICE r10). Callers reading
         ``controller.history`` after a bare process_batch must call
         :meth:`flush_attribution`."""
-        self._deferred.flush()
         t = self.threshold
         # the probe side (one micro-batch of signatures) is the small
         # side of every join below — broadcast it so the cached
@@ -374,7 +376,7 @@ class SemiStreamSimilarityJoin:
         # to a sort-merge join (caught by test_plan_invariants), so
         # the LRU side goes through the same tracked-row-count gate
         # as the eviction sets: broadcast when small, shuffled hash
-        # join when not
+        # join in the mid tier, spillable SMJ above the SHJ row bound
         missed_keys = probe_keys.join(
             bounded_broadcast(self.lru.select(*_KEY), self._lru_rows),
             _KEY,
@@ -422,7 +424,10 @@ class SemiStreamSimilarityJoin:
         # stale ⊆ prior-LRU keys (this batch's keys are never stale):
         # the tracked LRU row count gates the broadcast hint — after a
         # workload shift stale can be cache-sized, and these joins are
-        # planned AQE-off with no runtime fallback (ADVICE r6)
+        # planned AQE-off with no runtime fallback (ADVICE r6).
+        # The previous batch's background walk is joined NOW — the
+        # first controller read; everything above overlapped it.
+        self._deferred.flush()
         stale = bounded_broadcast(
             new_lru.filter(
                 F.col("last_seen") < batch_id - self.controller.window

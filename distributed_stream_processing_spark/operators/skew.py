@@ -41,9 +41,13 @@ def salted_join(
 
 
 def bounded_broadcast(
-    df: DataFrame, approx_rows: int | None, max_rows: int = 1_000_000
+    df: DataFrame,
+    approx_rows: int | None,
+    max_rows: int = 1_000_000,
+    shj_max_rows: int = 64_000_000,
 ) -> DataFrame:
-    """Broadcast hint gated on a driver-known row bound.
+    """Broadcast hint gated on a driver-known row bound, with a
+    three-tier fallback ladder.
 
     The semi-stream state plans are compiled AQE-off (see
     streaming/checkpoint.lazy_local_checkpoint), so a broadcast hint
@@ -51,22 +55,33 @@ def bounded_broadcast(
     huge. Eviction key sets are usually tiny, but stale = every cached
     key untouched for `window` batches, which after a workload shift
     can be the entire cache; at cluster scale forcing that through a
-    driver-collected broadcast is an OOM (ADVICE r6). When the bound
-    is unknown (None) or above ``max_rows``, the fallback is a
-    SHUFFLE_HASH hint rather than no hint at all: static planning
-    compiles an unhinted unknown-stats join to a sort-merge join
-    (both sides shuffled AND sorted — r10's plan-invariant tests
-    caught exactly that on q48's miss-detect), while a shuffled hash
-    join shuffles the same bytes, builds per-partition hash tables on
-    this (key-set) side, and skips both sorts. Correct at any size.
+    driver-collected broadcast is an OOM (ADVICE r6). The ladder:
 
-    ``max_rows`` defaults to ~1M keys: eviction sets are narrow key
-    rows (a long, or the 3-int signature key), so 1M rows is tens of
-    MB serialized — inside executor broadcast capacity with margin.
+    * rows <= ``max_rows``: broadcast. ~1M narrow key rows (a long,
+      or the 3-int signature key) is tens of MB serialized — inside
+      executor broadcast capacity with margin.
+    * rows <= ``shj_max_rows``: SHUFFLE_HASH hint. Static planning
+      compiles an unhinted unknown-stats join to a sort-merge join
+      (both sides shuffled AND sorted — r10's plan-invariant tests
+      caught exactly that on q48's miss-detect); a shuffled hash join
+      shuffles the same bytes, builds per-partition hash tables on
+      this (key-set) side, and skips both sorts. The hash table CANNOT
+      SPILL, so this tier is itself row-bounded (ADVICE r10): 64M
+      narrow key rows / shuffle-partition count ≈ a few hundred MB of
+      per-task build at the session's 32-plus partitions — resident
+      with margin, and at cluster scale partition counts grow with
+      the data.
+    * above ``shj_max_rows``, or bound unknown (None): NO hint. The
+      sort-merge join is the only strategy whose build side spills;
+      paying its sorts beats an executor OOM on a cache-sized set.
     """
-    if approx_rows is not None and approx_rows <= max_rows:
+    if approx_rows is None:
+        return df
+    if approx_rows <= max_rows:
         return F.broadcast(df)
-    return df.hint("shuffle_hash")
+    if approx_rows <= shj_max_rows:
+        return df.hint("shuffle_hash")
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:

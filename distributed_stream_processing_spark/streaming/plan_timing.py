@@ -177,11 +177,14 @@ class DeferredObservation:
     The plan walk is pure diagnostics: it reads the completed action's
     SQL metrics and feeds the caching-window controller. Nothing in it
     blocks the NEXT batch until the controller's window is read, so
-    the pipelines submit the walk here at batch end and ``flush()`` at
-    the next batch's entry (and at pipeline end) — the ~0.17 s of py4j
-    round trips overlap the next batch's driver-side plan
-    construction instead of extending the batch (VERDICT r9 task 1:
-    the attributor walk WAS the q48 headline creep).
+    the pipelines submit the walk here at batch end and ``flush()``
+    just before the next batch's FIRST controller read (its eviction
+    window), and at pipeline end — the ~0.17 s of py4j round trips
+    overlap the next batch's driver-side plan construction up to that
+    point even when batches run back-to-back (VERDICT r9 task 1: the
+    attributor walk WAS the q48 headline creep; ADVICE r10 moved the
+    flush off the batch entry, where back-to-back callers got no
+    overlap at all).
 
     Contract: at most one pending walk (submit flushes any prior one);
     ``flush()`` re-raises an exception from the background walk so

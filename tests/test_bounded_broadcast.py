@@ -29,13 +29,20 @@ def test_small_bound_broadcasts_large_bound_does_not(spark):
         spark.conf.set(k, v)
     try:
         assert "BroadcastHashJoin" in _plan(left, bounded_broadcast(keys, 100))
-        assert "BroadcastHashJoin" not in _plan(
-            left, bounded_broadcast(keys, 5_000_000)
-        )
-        # unknown bound is conservative
-        assert "BroadcastHashJoin" not in _plan(
-            left, bounded_broadcast(keys, None)
-        )
+        # mid tier: too big to broadcast, small enough for a
+        # per-partition hash build -> shuffled hash join, no sorts
+        mid = _plan(left, bounded_broadcast(keys, 5_000_000))
+        assert "BroadcastHashJoin" not in mid
+        assert "ShuffledHashJoin" in mid
+        # top tier (ADVICE r10): a build side above the SHJ row bound
+        # can OOM an executor (SHJ hash tables cannot spill) — the
+        # join must be left unhinted so the spillable sort-merge runs
+        huge = _plan(left, bounded_broadcast(keys, 500_000_000))
+        assert "SortMergeJoin" in huge
+        # unknown bound is maximally conservative: spillable SMJ
+        unknown = _plan(left, bounded_broadcast(keys, None))
+        assert "BroadcastHashJoin" not in unknown
+        assert "SortMergeJoin" in unknown
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)

@@ -265,6 +265,59 @@ def test_attributor_survives_statically_pruned_branch(spark):
     assert out["gone"] == 0.0
 
 
+def test_timed_node_whitelist_covers_all_time_metrics(spark):
+    """The _TIMED_NODE_PREFIXES whitelist cuts the walk's py4j cost by
+    skipping nodes that only carry row/size counters — but it degrades
+    SILENTLY: a Spark-version nodeName drift (or a new node kind with
+    time-typed metrics) would just be skipped and attribution would
+    quietly under-count (ADVICE r10). Walk a plan exercising the hot
+    node kinds (codegen, hash agg, shuffle + broadcast exchanges,
+    sort, broadcast/shuffled-hash joins, parquet scan) with NO filter,
+    and assert the whitelist matches every node that carried a
+    time-typed metric."""
+    import os
+    import tempfile
+
+    from distributed_stream_processing_spark.streaming import plan_timing as pt
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        spark.range(50_000).selectExpr(
+            "id as k", "id % 7 as v"
+        ).write.parquet(p)
+        scan = spark.read.parquet(p)
+        dim = spark.range(100).selectExpr("id as k", "id as label")
+        big = spark.range(200_000).selectExpr("id % 997 as k", "id as s")
+        df = (
+            scan.join(F.broadcast(dim), "k")
+            .join(big.hint("shuffle_hash"), "k")
+            .groupBy("v")
+            .agg(F.count("*").alias("n"))
+            .orderBy("v")
+        )
+        df.collect()
+        root = df._jdf.queryExecution().executedPlan()
+
+    missed: list[str] = []
+    n_timed_nodes = 0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = pt._cls(node)
+        if pt._time_metrics(node):
+            n_timed_nodes += 1
+            if not name.startswith(pt._TIMED_NODE_PREFIXES):
+                missed.append(name)
+        stack.extend(pt._children_named(node, name))
+    # the plan must actually exercise the whitelist (codegen + agg +
+    # both exchange kinds at minimum), or the assertion is vacuous
+    assert n_timed_nodes >= 4, f"plan too trivial: {n_timed_nodes} timed nodes"
+    assert not missed, (
+        f"nodes with time-typed metrics missed by _TIMED_NODE_PREFIXES: "
+        f"{sorted(set(missed))} — attribution is silently under-counting"
+    )
+
+
 def test_attributor_survives_aqe_pruned_fetch_branch(spark):
     """The q33 regression shape (VERDICT r7 #1): a zero-miss batch
     makes the miss/fetch subtrees empty at RUNTIME, AQE empty-relation

@@ -45,6 +45,25 @@ N_DOCS, N_EVENTS, N_VECS = 5_000, 100_000, 2_000  # 1x = the sf0.1 shape
 # real warehouse data, where files/row groups are sized for splits.
 ROW_GROUP_ROWS = 20_000
 
+
+def _splittable(path: str) -> bool:
+    """True when an existing fixture file has bounded row groups.
+
+    The r10 row-group fix only applies when files are (re)generated;
+    hosts carrying pre-r10 fixtures would silently keep the
+    single-row-group files and the single-threaded 100x scan
+    pathology (ADVICE r10) — so existence checks validate the layout
+    and force a regenerate when any row group exceeds the bound.
+    Unreadable/corrupt files also regenerate."""
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return False
+    return md.num_row_groups > 0 and all(
+        md.row_group(i).num_rows <= ROW_GROUP_ROWS
+        for i in range(md.num_row_groups)
+    )
+
 _BASE = (
     "batch part spark line column order small sort fast value scan hash "
     "slow group agg filter query big key window row table stream merge "
@@ -132,7 +151,7 @@ def ensure_dedup_100x(base_dir: str = BASE_DIR) -> str:
     d = os.path.join(base_dir, "stress100x")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "documents.parquet")
-    if not os.path.exists(path):
+    if not os.path.exists(path) or not _splittable(path):
         gen_documents(path, np.random.RandomState(42 + 10 * 100), N_DOCS * 100)
     return d
 
@@ -152,7 +171,7 @@ def ensure_stress(base_dir: str = BASE_DIR) -> dict[str, str]:
             )
         ):
             path = os.path.join(d, f"{tbl}.parquet")
-            if not os.path.exists(path):
+            if not os.path.exists(path) or not _splittable(path):
                 fn(path, np.random.RandomState(42 + 10 * mult + i), n1x * mult)
         out[name] = d
     return out
