@@ -45,6 +45,49 @@ STRESS = [
     "q48_semi_stream_similarity",
 ]
 
+# --- contention detection (VERDICT r10 task 1) -------------------------
+# Three consecutive rounds published contention garbage because every
+# safeguard ran AFTER the numbers it was guarding (and was the first
+# thing the budget dropped). The detectors now bracket the protocol:
+#
+# * a fixed calibration probe runs FIRST (before any headline timing,
+#   budget reserved) and LAST; each is compared against a COMMITTED
+#   idle envelope, and the last against the first (drift).
+# * each headline query's steady-run spread is compared against a
+#   committed idle spread envelope — r10 published q48=17.26 s with a
+#   25.7 s spread (vs 0.2-1.8 s idle) and nothing fired.
+# * the stress tripwire threshold drops from 3x to 2x the expected
+#   ratio, and the expected ratios are the judge-measured idle truths
+#   on the splittable r10 fixtures (old constants predated that fix).
+#
+# When ANY detector fires, ratio_10x publishes as null — the runs
+# arrays keep the raw data, but no quotable ratio exists from a
+# contended window.
+CAL_QUERY = "q29_subseq_match_ed"
+CAL_IDLE_S = 1.3  # committed idle q29@sf0.1: driver 0.80 / judge 1.24
+# committed idle steady-run spread envelopes (judge r10 idle re-runs:
+# most <=0.4 s; q48 0.20 isolated / <=1.8 full-protocol; q33/q34 carry
+# trigger/state jitter)
+IDLE_SPREAD_S = {
+    "q33_semi_stream_cached_join": 1.2,
+    "q34_stream_minute_rollup": 1.2,
+    "q48_semi_stream_similarity": 2.0,
+}
+IDLE_SPREAD_DEFAULT_S = 0.8
+# judge-measured idle 10x ratios on the splittable fixtures (r10:
+# q21 2.54 / q29 2.91 / q48 3.45); tripwire fires at 2x these
+EXPECTED_10X = {"q21": 2.6, "q29": 3.0, "q48": 3.5}
+# reserved tail budget: the q48_100x point (~120 s on a warm store) +
+# the closing calibration probe — the two pieces that three rounds of
+# contended hosts dropped first, now paid for off the top
+RESERVE_TAIL_S = 130
+
+
+def _run_noop(spark, specs, name: str, d: str) -> float:
+    t0 = time.monotonic()
+    specs[name].fn(spark, d).write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
 
 def _scheme_audit(spark, d: str) -> dict:
     """Deduped candidate-pair counts of the q48 pipeline's probe path
@@ -207,8 +250,51 @@ def _q48_100x(spark, d100: str) -> dict:
         j.lru.unpersist()
 
 
+def _dedup_100x(spark) -> dict:
+    """100x dedup posture: LSH pair generation + duplicate clustering
+    on 500k docs (100x the bench corpus, linear-output fixture) —
+    confirms near-linear LSH scaling and logs the label-propagation
+    round count (pointer jumping keeps it O(log component diameter))."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_dedup,
+    )
+    from tools.gen_stress_sf1 import ensure_dedup_100x
+
+    d100 = ensure_dedup_100x()
+    docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
+    toks = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
+    t0 = time.monotonic()
+    pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
+        eager=False
+    )
+    n_pairs = pairs.count()
+    t_pairs = round(time.monotonic() - t0, 3)
+    stats: dict = {}
+    t0 = time.monotonic()
+    clusters = duplicate_clusters(
+        docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
+    )
+    n_keep = clusters.filter("keep").count()
+    return {
+        "n_docs": 500_000,
+        "pairs_s": t_pairs,
+        "n_pairs": n_pairs,
+        "cluster_s": round(time.monotonic() - t0, 3),
+        "rounds": stats.get("rounds"),
+        "kept": n_keep,
+    }
+
+
 def _run_stress(
-    spark, specs, base: dict[str, float], deadline: float | None = None
+    spark, specs, deadline: float, skipped: list[str], reasons: list[str]
 ) -> dict | None:
     """10x scaling audit for the STRESS queries: same synthetic
     distribution at 1x (the sf0.1 shape) and 10x rows, generated
@@ -217,19 +303,14 @@ def _run_stress(
     on IDENTICAL distributions isolates engine scaling; the driver's
     own documents fixture has quadratic qualifying-pair volume, so a
     ratio against it would conflate output growth with engine
-    behavior. One timed run per point after a 1x warm-up."""
-    if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        return None
-    # soft wall-clock budget for the OPTIONAL audit work (second
-    # stress runs, 100x dedup, scheme audit): the bench must always
-    # print its JSON line inside the driver's window, so on a slow
-    # host the optional pieces degrade (marked in the output) instead
-    # of the whole bench being killed with nothing recorded
-    if deadline is None:
-        deadline = time.monotonic() + int(
-            os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420")
-        )
-    skipped: list[str] = []
+    behavior.
+
+    Timing loops ONLY — the audits (scheme, 100x points) are
+    scheduled by main() with explicit priorities, so a slow host
+    degrades the least-valuable evidence first instead of whatever
+    happened to run last (VERDICT r10 task 1/3: the r10 budget order
+    dropped the contention flag and both 100x points while still
+    publishing the contaminated numbers)."""
     try:
         from tools.gen_stress_sf1 import ensure_stress
 
@@ -241,42 +322,42 @@ def _run_stress(
     # JSON line must stay under the driver's tail capture; full names
     # are in STRESS and the stderr log
     out: dict[str, dict[str, dict]] = {n.split("_")[0]: {} for n in STRESS}
-    # idle steady-state 10x ratios, judge-reproduced across r8/r9
-    # (q21 4.34, q29 3.90, q48 3.11/2.61): when a 10x point's min
-    # implies a ratio beyond 3x these, the number is far likelier to
-    # be host contention than engine behavior (r8 AND r9 both
-    # published garbage 10x ratios — 13.05 vs an idle truth of 3.11 —
-    # because BOTH min-of-2 runs were contended), so one extra run is
-    # bought within budget before publishing
-    expected_10x = {"q21": 4.5, "q29": 4.0, "q48": 3.5}
-    for scale, d in dirs.items():
-        for name in STRESS:
-            # two runs per (query, scale), report the MIN: run 1 pays
-            # one-time costs (JIT, per-corpus memoized store builds),
-            # run 2 is steady state — and a host hiccup can spike
-            # either (single-run ratios swung up to 4x between clean
-            # sessions), so min-of-2 measures steady-state engine
-            # scaling at no extra cost over warm-up-then-time
-            q, sc = name.split("_")[0], scale.replace("stress", "")
-            times = []
-            for i in range(2):
-                if i == 1 and time.monotonic() > deadline:
-                    skipped.append(f"second run {scale}/{name}")
-                    break
-                t0 = time.monotonic()
-                specs[name].fn(spark, d).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                times.append(time.monotonic() - t0)
-            # contention tripwire (VERDICT r9 task 2): a 10x min whose
-            # implied ratio exceeds 3x the idle-host expectation means
-            # every run so far was contended — buy ONE more run if the
-            # budget allows rather than publish a meaningless ratio
-            base_1x = out[q].get("1x", {}).get("min")
+    # 1x points first (cheap, and every ratio needs its 1x); then 10x
+    # most-valuable-first (q48 is the flagship cached-pipeline scaling
+    # claim; q29 is cheap; q21's 10x is the most expensive and its
+    # idle ratio is the best-replicated) so a budget squeeze drops the
+    # right runs
+    points = [("stress1x", n) for n in STRESS] + [
+        ("stress10x", n)
+        for n in (
+            "q48_semi_stream_similarity",
+            "q29_subseq_match_ed",
+            "q21_dedup_minhash_lsh",
+        )
+    ]
+    for scale, name in points:
+        # two runs per (query, scale), report the MIN: run 1 pays
+        # one-time costs (JIT, per-corpus memoized store builds),
+        # run 2 is steady state — and a host hiccup can spike
+        # either (single-run ratios swung up to 4x between clean
+        # sessions), so min-of-2 measures steady-state engine
+        # scaling at no extra cost over warm-up-then-time
+        q, sc = name.split("_")[0], scale.replace("stress", "")
+        d = dirs[scale]
+        times = [_run_noop(spark, specs, name, d)]
+        if time.monotonic() < deadline:
+            times.append(_run_noop(spark, specs, name, d))
+        else:
+            skipped.append(f"second run {scale}/{name}")
+        # contention tripwire: a 10x min whose implied ratio exceeds
+        # 2x the judge-measured idle expectation means every run so
+        # far was contended (or the engine genuinely regressed) — buy
+        # ONE more run if the budget allows rather than publish a
+        # meaningless ratio, and flag the window if it persists
+        base_1x = out[q].get("1x", {}).get("min")
+        if sc == "10x" and base_1x:
             if (
-                sc == "10x"
-                and base_1x
-                and min(times) / base_1x > 3 * expected_10x.get(q, 4.0)
+                min(times) / base_1x > 2 * EXPECTED_10X[q]
                 and time.monotonic() < deadline
             ):
                 print(
@@ -284,147 +365,38 @@ def _run_stress(
                     f"{min(times) / base_1x:.1f} — extra run",
                     file=sys.stderr,
                 )
-                t0 = time.monotonic()
-                specs[name].fn(spark, d).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                times.append(time.monotonic() - t0)
-            # runs array persisted in the JSON (not just stderr): when
-            # the host is contended during run 2, min(cold, warm) IS
-            # the cold build — r6's driver card recorded 26.75s where
-            # an idle re-run gave 8.14s, with nothing in the JSON to
-            # say so. A [cold, spiky] pair is now self-diagnosing.
-            out[q][sc] = {
-                "min": round(min(times), 3),
-                "runs": [round(x, 2) for x in times],
-            }
-            print(
-                f"# {scale} {name}: {out[q][sc]['min']}s "
-                f"(runs {out[q][sc]['runs']})",
-                file=sys.stderr,
-            )
-    # calibration probe (VERDICT r9 task 2): re-time the cheapest 1x
-    # point after the 10x timings. The 1x min was measured minutes
-    # earlier; if the SAME work now takes >2x, the host got contended
-    # somewhere inside the stress window and the whole section's
-    # numbers are suspect — publish contended=true so no ratio from
-    # this section is read as engine behavior
-    contended = False
-    cal_name = "q29_subseq_match_ed"
-    cal_base = out["q29"].get("1x", {}).get("min")
-    if cal_base and time.monotonic() < deadline:
-        t0 = time.monotonic()
-        specs[cal_name].fn(spark, dirs["stress1x"]).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        cal_t = time.monotonic() - t0
-        contended = cal_t > 2 * cal_base
+                times.append(_run_noop(spark, specs, name, d))
+            if min(times) / base_1x > 2 * EXPECTED_10X[q]:
+                reasons.append(f"stress:{q}")
+        # runs array persisted in the JSON (not just stderr): when
+        # the host is contended during run 2, min(cold, warm) IS
+        # the cold build — r6's driver card recorded 26.75s where
+        # an idle re-run gave 8.14s, with nothing in the JSON to
+        # say so. A [cold, spiky] pair is now self-diagnosing.
+        out[q][sc] = {
+            "min": round(min(times), 3),
+            "runs": [round(x, 2) for x in times],
+        }
         print(
-            f"# calibration: 1x {cal_name} re-run {cal_t:.2f}s vs "
-            f"recorded min {cal_base}s -> contended={contended}",
+            f"# {scale} {name}: {out[q][sc]['min']}s "
+            f"(runs {out[q][sc]['runs']})",
             file=sys.stderr,
         )
-    else:
-        skipped.append("calibration (budget)")
-    # signature-scheme audit on the sparse-vocab stress corpus: the
-    # stress documents (2k-word vocab, 8-100-token docs) flip the
-    # pipeline's scheme chooser to the deletion layout for the long
-    # groups; record the flags and the measured candidate cut vs
-    # forced all-equality so the adaptive/deletion machinery is
-    # benched at scale with evidence, not assumed
-    scheme_audit = None
-    if time.monotonic() > deadline:
-        skipped.append("scheme_audit (budget)")
-        print("# scheme audit skipped: budget", file=sys.stderr)
-    else:
-        try:
-            scheme_audit = _scheme_audit(spark, dirs["stress1x"])
-            print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
-        except Exception as e:
-            print(f"# scheme audit skipped: {e}", file=sys.stderr)
-    # 100x dedup posture: LSH pair generation + duplicate clustering
-    # on 500k docs (100x the bench corpus, linear-output fixture) —
-    # confirms near-linear LSH scaling and logs the label-propagation
-    # round count (pointer jumping keeps it O(log component diameter))
-    dedup_100x = None
-    if os.environ.get("SPARK_GRAFT_SKIP_100X") or time.monotonic() > deadline:
-        if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
-            skipped.append("dedup_100x (budget)")
-            print("# dedup 100x skipped: budget", file=sys.stderr)
-    else:
-        try:
-            from fractions import Fraction
-
-            from pyspark.sql import functions as F
-
-            from distributed_stream_processing_spark.functions.text import tokens
-            from distributed_stream_processing_spark.operators.dedup import (
-                duplicate_clusters,
-                minhash_lsh_dedup,
-            )
-            from tools.gen_stress_sf1 import ensure_dedup_100x
-
-            d100 = ensure_dedup_100x()
-            docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
-            toks = docs.select(
-                F.col("doc_id").alias("id"), tokens("text").alias("tokens")
-            )
-            t0 = time.monotonic()
-            pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
-                eager=False
-            )
-            n_pairs = pairs.count()
-            t_pairs = round(time.monotonic() - t0, 3)
-            stats: dict = {}
-            t0 = time.monotonic()
-            clusters = duplicate_clusters(
-                docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
-            )
-            n_keep = clusters.filter("keep").count()
-            dedup_100x = {
-                "n_docs": 500_000,
-                "pairs_s": t_pairs,
-                "n_pairs": n_pairs,
-                "cluster_s": round(time.monotonic() - t0, 3),
-                "rounds": stats.get("rounds"),
-                "kept": n_keep,
-            }
-            print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
-        except Exception as e:
-            print(f"# dedup 100x skipped: {e}", file=sys.stderr)
-    # 100x semi-stream similarity posture (VERDICT r9 task 5): fixed
-    # per-batch probe volume against a 100x store — the axis the
-    # reference's own scaling claim is about
-    q48_100x = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
-        try:
-            from tools.gen_stress_sf1 import ensure_dedup_100x
-
-            d100 = ensure_dedup_100x()
-            # the point needs ~120s warm (saved store) / ~300s cold
-            # (first run on a host builds + saves the 100x index);
-            # only attempt what the remaining budget actually covers
-            need = (
-                120
-                if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
-                else 300
-            )
-            if time.monotonic() + need > deadline:
-                skipped.append("q48_100x (budget)")
-                print("# q48 100x skipped: budget", file=sys.stderr)
-            else:
-                q48_100x = _q48_100x(spark, d100)
-                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
-        except Exception as e:
-            print(f"# q48 100x skipped: {e}", file=sys.stderr)
+    # per-query ratio: published only when BOTH scales completed >=2
+    # runs (a single run is the cold path — the r10 q48 "8.97" was a
+    # lone cold 10x run over a warm 1x min, store build and all);
+    # main() nulls the whole dict if any contention detector fired
+    ratios: dict[str, float | None] = {}
+    for q in out:
+        p1, p10 = out[q].get("1x"), out[q].get("10x")
+        if p1 and p10 and len(p1["runs"]) >= 2 and len(p10["runs"]) >= 2:
+            ratios[q] = round(p10["min"] / p1["min"], 2)
+        else:
+            ratios[q] = None
     return {
         "queries": out,
         "data_ratio": 10.0,
-        "ratio_10x": {
-            q: round(out[q]["10x"]["min"] / out[q]["1x"]["min"], 2)
-            for q in out
-            if out[q].get("1x") and out[q].get("10x")
-        },
+        "ratio_10x": ratios,
         # workload-growth context for reading the (steady-state,
         # warmed) ratios: q21/q29 outputs grow ~linearly with the
         # corpus, but q48's signature-equality candidate set is
@@ -434,11 +406,6 @@ def _run_stress(
         # docs), so a q48 runtime ratio of ~3 is ~30x BETTER than
         # candidate-linear scaling
         "q48_cand_1x_10x": [359707, 37431750],
-        **({"contended": True} if contended else {}),
-        **({"scheme_audit": scheme_audit} if scheme_audit else {}),
-        **({"dedup_100x": dedup_100x} if dedup_100x else {}),
-        **({"q48_100x": q48_100x} if q48_100x else {}),
-        **({"budget_skipped": skipped} if skipped else {}),
     }
 
 
@@ -449,9 +416,28 @@ def main() -> None:
     specs = load_all()
     # whole-bench soft deadline: headline timings are never skipped;
     # the stress section's optional pieces degrade past it so the
-    # JSON line always lands inside the driver's window
+    # JSON line always lands inside the driver's window. The tail
+    # reserve pays for the q48_100x point + the closing calibration
+    # BEFORE the stress loops can spend that time on second runs.
     deadline = time.monotonic() + int(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540")
+    )
+    stress_deadline = deadline - RESERVE_TAIL_S
+    skipped: list[str] = []
+    reasons: list[str] = []  # contention detectors that fired
+
+    # opening calibration probe: one warm-up run (absorbs session JIT
+    # and first-scan costs), one timed run, compared to the COMMITTED
+    # idle envelope — if the host is already contended, every number
+    # below is born suspect and the flag says so up front
+    _run_noop(spark, specs, CAL_QUERY, sf_dir)
+    cal0 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
+    if cal0 > 2 * CAL_IDLE_S:
+        reasons.append("cal_start")
+    print(
+        f"# calibration open: {CAL_QUERY} {cal0:.2f}s "
+        f"(idle envelope {CAL_IDLE_S}s)",
+        file=sys.stderr,
     )
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -496,6 +482,12 @@ def main() -> None:
         steady = times[1:] if len(times) > 1 else times
         timings[name] = round(min(times), 3)
         spread[name] = round(max(steady) - min(steady), 3)
+        # headline contention check (VERDICT r10 task 1b): r10
+        # published q48 with a 25.7 s steady-run spread against a
+        # <=2 s idle envelope and nothing fired — the spread is a
+        # free, in-hand contention signal for the very number it rides
+        if spread[name] > 3 * IDLE_SPREAD_S.get(name, IDLE_SPREAD_DEFAULT_S):
+            reasons.append(f"spread:{name.split('_')[0]}")
         print(
             f"# {name}: {timings[name]}s (min of {runs}, "
             f"spread {spread[name]}s)",
@@ -527,7 +519,101 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    stress = _run_stress(spark, specs, timings, deadline=deadline)
+    # stress timing loops (the only part bounded by stress_deadline)
+    stress = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        stress = _run_stress(spark, specs, stress_deadline, skipped, reasons)
+
+    # ---- reserved tail: the evidence three contended rounds dropped ----
+    # 100x semi-stream similarity posture (VERDICT r9 task 5 / r10
+    # task 2): fixed per-batch probe volume against a 100x store — the
+    # reference's own scaling axis (DSim-Join/README.md:14)
+    q48_100x = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
+        "SPARK_GRAFT_SKIP_100X"
+    ):
+        try:
+            from tools.gen_stress_sf1 import ensure_dedup_100x
+
+            d100 = ensure_dedup_100x()
+            # ~120s warm (saved store) / ~300s cold (first run on a
+            # host builds + saves the 100x index); only attempt what
+            # the remaining budget actually covers
+            need = (
+                120
+                if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
+                else 300
+            )
+            if time.monotonic() + need > deadline:
+                skipped.append("q48_100x (budget)")
+                print("# q48 100x skipped: budget", file=sys.stderr)
+            else:
+                q48_100x = _q48_100x(spark, d100)
+                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
+        except Exception as e:
+            print(f"# q48 100x skipped: {e}", file=sys.stderr)
+
+    # closing calibration probe: same fixed work as the opening one —
+    # drift beyond 2x means the host got contended somewhere inside
+    # the protocol and no ratio from this window is engine behavior
+    cal1 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
+    if cal1 > max(2 * cal0, 2 * CAL_IDLE_S):
+        reasons.append("cal_end")
+    print(
+        f"# calibration close: {CAL_QUERY} {cal1:.2f}s "
+        f"(open {cal0:.2f}s) -> contended={sorted(set(reasons))}",
+        file=sys.stderr,
+    )
+
+    # ---- lower-priority audits, only on hosts with slack left ----
+    # signature-scheme audit on the sparse-vocab stress corpus: the
+    # stress documents (2k-word vocab, 8-100-token docs) flip the
+    # pipeline's scheme chooser to the deletion layout for the long
+    # groups; record the flags and the measured candidate cut vs
+    # forced all-equality so the adaptive/deletion machinery is
+    # benched at scale with evidence, not assumed
+    scheme_audit = None
+    dedup_100x = None
+    if stress is not None:
+        if time.monotonic() + 60 <= deadline:
+            try:
+                scheme_audit = _scheme_audit(
+                    spark, os.path.join("/root/repo/.stressdata", "stress1x")
+                )
+                print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
+            except Exception as e:
+                print(f"# scheme audit skipped: {e}", file=sys.stderr)
+        else:
+            skipped.append("scheme_audit (budget)")
+            print("# scheme audit skipped: budget", file=sys.stderr)
+        if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
+            if time.monotonic() + 90 <= deadline:
+                try:
+                    dedup_100x = _dedup_100x(spark)
+                    print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
+                except Exception as e:
+                    print(f"# dedup 100x skipped: {e}", file=sys.stderr)
+            else:
+                skipped.append("dedup_100x (budget)")
+                print("# dedup 100x skipped: budget", file=sys.stderr)
+
+    contended = sorted(set(reasons))
+    if stress is not None:
+        if contended:
+            # a contended window produces no quotable scaling number:
+            # the runs arrays stay (self-diagnosing raw data), the
+            # ratio key goes null so neither a reader nor the driver
+            # quotes garbage (r8-r10 all published contention ratios)
+            stress["ratio_10x"] = None
+        for k, v in (
+            ("scheme_audit", scheme_audit),
+            ("dedup_100x", dedup_100x),
+            ("q48_100x", q48_100x),
+        ):
+            if v is not None:
+                stress[k] = v
+        if skipped:
+            stress["budget_skipped"] = skipped
     total = round(sum(timings.values()), 3)
     # the full baseline context (workload shapes, output-bound caveats,
     # attribution notes) lives in BASELINE.md and stderr — the JSON
@@ -544,12 +630,13 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r10 note: the r7->r9 q48 creep (~+1.2s) was the per-batch "
-        "plan-walk attributor — 2895 py4j round trips/0.33s per batch; "
-        "now whitelisted-walk (~0.17s) AND off the critical path "
-        "(DeferredObservation overlaps the next batch's plan build). "
-        "q48's miss-detect also lost a silent AQE-off SortMergeJoin "
-        "(bounded_broadcast on the LRU; test_plan_invariants pins it).",
+        "# r11 note: the bench protocol is now contention-bracketed — "
+        "fixed calibration probe first+last (reserved budget), headline "
+        "spreads checked against committed idle envelopes, stress "
+        "tripwires at 2x the judge-measured idle ratios, ratio_10x "
+        "nulled when any detector fires; q48_100x + closing calibration "
+        "run from a reserved tail so budget pressure drops second stress "
+        "runs first, never the evidence (VERDICT r10 tasks 1-3).",
         file=sys.stderr,
     )
     line = json.dumps(
@@ -558,10 +645,15 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            # steady-state jitter envelope per headline, aligned with
-            # the "queries" key order (an array — 10 repeated long
-            # names would blow the line budget)
-            "spread_s": [spread[n] for n in timings],
+            # steady-state jitter envelope per headline, keyed by the
+            # query's short prefix (full names would blow the line
+            # budget; positional arrays misread one reordering away)
+            "spread_s": {n.split("_")[0]: spread[n] for n in timings},
+            # bracketing calibration probe [open, close] vs the
+            # committed CAL_IDLE_S envelope; "contended" lists every
+            # detector that fired (absent = clean window)
+            "cal": [round(cal0, 2), round(cal1, 2)],
+            **({"contended": contended} if contended else {}),
             "sf": float(sf),
             "runs": runs,
             # measured/total controller batches (batch 0 = designed

@@ -90,6 +90,66 @@ def minhash_signature(tokens_col, num_perm: int = 64, seed: int = 42):
     )
 
 
+# plan-construction memo: the MinHash fold / band-bucket / first-match
+# Columns are batch-invariant py4j trees costing ~1.0 s to build (the
+# 64-struct (a,b) literal array alone is ~0.6 s) — over a third of
+# q21's sf0.1 wall time was driver-side expression construction,
+# re-paid on every call, and its sensitivity to driver JVM state was
+# the r9->r10 "q21 headline creep" (VERDICT r10 task 3; profiled:
+# plan build 1.7 s of a 2.9 s run, no session-position effect).
+# Keyed by the layout parameters; the expressions reference input
+# columns by NAME ("tokens", "mh", "band", a_b{i}/b_b{i}), so reuse
+# across same-schema DataFrames is sound — the same contract as
+# semi_stream_similarity._sig_exprs.
+_LSH_EXPR_MEMO: dict = {}
+
+
+def _lsh_exprs(num_perm: int, bands: int, seed: int) -> dict:
+    key = (num_perm, bands, seed)
+    if key in _LSH_EXPR_MEMO:
+        return _LSH_EXPR_MEMO[key]
+    rows_per_band = num_perm // bands
+
+    def bucket_col(bnd: int) -> F.Column:
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("mh"), bnd * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        )
+
+    # first-match-band: keep a (band, bucket) match only if every
+    # earlier band bucketed the pair apart — each pair then survives
+    # in exactly one joined row, so no dropDuplicates pass is needed.
+    # Unrolled as plain column comparisons (one CASE on band) so the
+    # predicate stays inside whole-stage codegen.
+    no_earlier = F.lit(True)
+    first_match = F.when(F.col("band") == 0, F.lit(True))
+    for k in range(1, bands):
+        no_earlier = no_earlier & (F.col(f"a_b{k - 1}") != F.col(f"b_b{k - 1}"))
+        first_match = first_match.when(F.col("band") == k, no_earlier)
+    exprs = {
+        "mh": minhash_signature(F.col("tokens"), num_perm, seed),
+        "bcols": [bucket_col(i).alias(f"b{i}") for i in range(bands)],
+        "bb": F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+        "first_match": first_match.otherwise(F.lit(False)),
+    }
+    _LSH_EXPR_MEMO[key] = exprs
+    return exprs
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     threshold: Fraction | float = Fraction(4, 5),
@@ -133,7 +193,7 @@ def minhash_lsh_dedup(
     )
 
     t = Fraction(threshold).limit_denominator(1_000_000)
-    rows_per_band = num_perm // bands
+    exprs = _lsh_exprs(num_perm, bands, seed)
     grouped = collapse_group_by_tokens(df)
     gdf = grouped.select("id", "tokens")
     mapping = token_bitmask_dict(gdf)
@@ -147,30 +207,14 @@ def minhash_lsh_dedup(
     # it on 1-2 tasks (measured ~5 CPU-s on 2 cores at sf0.1).
     from distributed_stream_processing_spark.operators.skew import fan_out
 
-    mh = fan_out(gdf).select(
-        "id", minhash_signature(F.col("tokens"), num_perm, seed).alias("mh")
-    )
+    mh = fan_out(gdf).select("id", exprs["mh"].alias("mh"))
 
-    def bucket_col(bnd: int) -> F.Column:
-        return F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("mh"), bnd * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            )
-        )
-
-    bcols = [bucket_col(i).alias(f"b{i}") for i in range(bands)]
     banded = (
-        mh.select("id", *bcols)
+        mh.select("id", *exprs["bcols"])
         .select(
             "id",
             *[f"b{i}" for i in range(bands)],
-            F.explode(
-                F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket")) for i in range(bands)])
-            ).alias("bb"),
+            exprs["bb"],
         )
         .select("id", *[f"b{i}" for i in range(bands)], "bb.band", "bb.bucket")
     )
@@ -184,20 +228,12 @@ def minhash_lsh_dedup(
     b = banded.selectExpr(
         "id b_id", *[f"b{i} b_b{i}" for i in range(bands)], "band", "bucket"
     )
-    # first-match-band: keep this (band, bucket) match only if every
-    # earlier band bucketed the pair apart — each pair then survives
-    # in exactly one joined row, so no dropDuplicates pass is needed.
-    # Unrolled as plain column comparisons (one CASE on band) so the
-    # predicate stays inside whole-stage codegen.
-    no_earlier = F.lit(True)
-    first_match = F.when(F.col("band") == 0, F.lit(True))
-    for k in range(1, bands):
-        no_earlier = no_earlier & (F.col(f"a_b{k - 1}") != F.col(f"b_b{k - 1}"))
-        first_match = first_match.when(F.col("band") == k, no_earlier)
+    # first-match-band predicate (see _lsh_exprs): each pair survives
+    # in exactly one joined row, so no dropDuplicates pass is needed
     cand_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(first_match.otherwise(F.lit(False)))
+        .filter(exprs["first_match"])
         .select("a_id", "b_id")
     )
     payload = gdf.select(
