@@ -106,10 +106,22 @@ def drain_stream(
     query_name: str,
     output_mode: str,
     checkpoint: str | None = None,
+    available_now: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the final result as a batch DataFrame. Stateful operators
-    (applyInPandasWithState) require a ``checkpoint`` location."""
+    (applyInPandasWithState) require a ``checkpoint`` location.
+
+    ``available_now=True`` (default) runs with Trigger.AvailableNow:
+    the source plans ALL currently-available input up front (still
+    honoring per-trigger read limits like maxFilesPerTrigger, so the
+    micro-batch sequence is identical) and the query terminates itself
+    when that snapshot is drained. Per-trigger polling/listing waits —
+    which made the q34 bench number measure trigger pacing instead of
+    engine work, swinging 2x across hosts with sub-0.4 s spreads
+    (VERDICT r10 task 4) — never happen. Pass ``available_now=False``
+    for unbounded sources that don't support the trigger (socket,
+    rate), drained via processAllAvailable + stop instead."""
     spark = sdf.sparkSession
     w = sdf.writeStream.outputMode(output_mode).format("memory").queryName(
         query_name
@@ -117,9 +129,14 @@ def drain_stream(
     if checkpoint is not None:
         shutil.rmtree(checkpoint, ignore_errors=True)
         w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
     q = w.start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(query_name)
