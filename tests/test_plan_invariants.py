@@ -71,12 +71,44 @@ def _scan_widths(plan: str, table: str) -> list[int]:
         "q02_stream_enrich_join",
         "q07_revenue_by_customer",
         "q16_similarity_self_join",
+        "q21_dedup_minhash_lsh",
+        "q26_ann_topk",
+        "q29_subseq_match_ed",
         "q54_similarity_adaptive_scheme",
     ],
 )
 def test_no_sort_merge_join_in_headline_plan(spark, specs, name):
     plan = _plan(specs[name].fn(spark, SF))
     assert "SortMergeJoin" not in plan, f"{name} regressed to sort-merge"
+
+
+def _global_sorts(plan: str) -> list[str]:
+    """Sort nodes with the global flag set — a whole-dataset ordering
+    barrier (every row through one range-partitioned ordering)."""
+    return re.findall(r"Sort \[[^\]]*\], true,", plan)
+
+
+def test_q26_single_intended_nested_loop_no_global_sort(spark, specs):
+    """q26's one BroadcastNestedLoopJoin IS the design (tiny query set
+    broadcast-cross-scored against the corpus — zero corpus shuffle);
+    a second one, a CartesianProduct, or a global sort means the
+    top-k stopped being the partition-local rank it must be at 100x."""
+    plan = _plan(specs["q26_ann_topk"].fn(spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert not _global_sorts(plan), "q26 top-k gained a global sort"
+
+
+@pytest.mark.parametrize(
+    "name", ["q21_dedup_minhash_lsh", "q29_subseq_match_ed"]
+)
+def test_no_global_sort_or_cartesian_in_headline_plan(spark, specs, name):
+    """q29's window sorts and q21's LSH pipeline are partition-local;
+    a global sort (or a fallen-through cartesian join) is a
+    whole-dataset barrier that a 100x corpus cannot pay."""
+    plan = _plan(specs[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not _global_sorts(plan), f"{name} gained a global sort"
 
 
 @pytest.mark.parametrize(

@@ -17,23 +17,10 @@ from distributed_stream_processing_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
 
-INSPECT = [
-    "q01_pricing_summary",
-    "q02_stream_enrich_join",
-    "q07_revenue_by_customer",
-    "q08_nation_volume",
-    "q09_topk_orders_per_customer",
-    "q16_similarity_self_join",
-    "q17_similarity_stream_stored",
-    "q21_dedup_minhash_lsh",
-    "q26_ann_topk",
-    "q27_embedding_near_pairs",
-    "q29_subseq_match_ed",
-    "q36_asof_join",
-    "q41_sliding_window_rollup",
-    "q47_winnowing_candidates",
-    "q54_similarity_adaptive_scheme",
-]
+# every registered query (PLANS.md rows == the registry card,
+# VERDICT r10 task 5); queries that drain internally (semi-stream
+# pipelines, streaming sinks) show the plan of their RESULT — their
+# per-batch actions get their own section below
 
 
 def features(plan: str) -> dict:
@@ -49,6 +36,30 @@ def features(plan: str) -> dict:
     }
 
 
+def _captured_batch_plans(spark, specs, name: str) -> list[str]:
+    """Run a semi-stream pipeline and capture each micro-batch's
+    combined-action executed plan at the attribution seam — the only
+    place the per-batch plan is reachable (same mechanism as
+    tests/test_plan_invariants.py)."""
+    from distributed_stream_processing_spark.streaming.plan_timing import (
+        PlanTimeAttributor,
+    )
+
+    plans: list[str] = []
+    orig = PlanTimeAttributor.attribute
+
+    def capture(self, df, *a, **k):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return None
+
+    PlanTimeAttributor.attribute = capture
+    try:
+        specs[name].fn(spark, SF_DIR)
+    finally:
+        PlanTimeAttributor.attribute = orig
+    return plans
+
+
 def main() -> None:
     spark = get_spark("explain_plans")
     specs = load_all()
@@ -58,22 +69,41 @@ def main() -> None:
         "pushdown | scan col counts |"
     )
     print("|---|---|---|---|---|---|---|")
-    # q08 left the registry card (round 7) but stays in the plan audit
-    from distributed_stream_processing_spark.plans.relational import (
-        q08_nation_volume,
-    )
-
-    extra = {"q08_nation_volume": q08_nation_volume}
-    for name in INSPECT:
-        fn = specs[name].fn if name in specs else extra[name]
-        df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name in specs:
+        try:
+            df = specs[name].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | |")
+            continue
         f = features(plan)
         print(
             f"| {name} | {f['broadcast_hash_joins']} | {f['sort_merge_joins']} "
             f"| {f['nested_loop_joins']} | {f['exchanges']} "
             f"| {'yes' if f['pushed_filters'] else '-'} | {f['scan_widths']} |"
         )
+    # the semi-stream pipelines' plans only exist per batch, INSIDE
+    # process_batch (the static rows above can't see them); capture
+    # every batch's one combined action through the attribution seam
+    print(
+        "\n## Per-batch combined actions (semi-stream pipelines)\n\n"
+        "| pipeline batch | broadcast HJ | shuffled HJ | sort-merge | "
+        "left-semi fetch | in-memory store scan |"
+    )
+    print("|---|---|---|---|---|---|")
+    for name in (
+        "q33_semi_stream_cached_join",
+        "q48_semi_stream_similarity",
+    ):
+        for i, plan in enumerate(_captured_batch_plans(spark, specs, name)):
+            print(
+                f"| {name.split('_')[0]} batch {i} "
+                f"| {plan.count('BroadcastHashJoin')} "
+                f"| {plan.count('ShuffledHashJoin')} "
+                f"| {plan.count('SortMergeJoin')} "
+                f"| {'yes' if 'LeftSemi' in plan else '-'} "
+                f"| {'yes' if ('InMemoryTableScan' in plan or 'TableCacheQueryStage' in plan) else '-'} |"
+            )
     print(
         "\nNotes: q26's nested-loop is the intended broadcast cross-score "
         "(queries × corpus); every dimension join is broadcast; lineitem "
@@ -83,7 +113,28 @@ def main() -> None:
         "per-corpus payload table broadcasts under the 64 MB threshold "
         "at test scale; at 100 TB it becomes a shuffled hash join on the "
         "deduped pair ids, never on signature rows). No sort-merge join "
-        "appears in any registered plan."
+        "appears in any registered plan or per-batch action.\n\n"
+        "State-plan join ladder (operators/skew.bounded_broadcast): the "
+        "per-batch state plans compile AQE-off (lazy_local_checkpoint), "
+        "so joins against checkpointed state (unknown stats) carry "
+        "explicit hints gated on driver-tracked row counts — broadcast "
+        "when the set is provably small, SHUFFLE_HASH in the mid tier "
+        "(same shuffle bytes as sort-merge, no sorts), and UNHINTED "
+        "(spillable sort-merge) above the hash-build bound or when the "
+        "bound is unknown, because a shuffled-hash build side cannot "
+        "spill. Unhinted unknown-stats joins otherwise compile to "
+        "sort-merge — the silent q48 miss-detect SMJ that "
+        "tests/test_plan_invariants.py now pins against.\n\n"
+        "Width of compute-heavy stages over bytes-small inputs (the "
+        "MinHash fold, the prefix join's candidate generation) is kept "
+        "by the session's "
+        "`spark.sql.adaptive.coalescePartitions.minPartitionSize=64k` "
+        "floor rather than explicit repartitions, so those exchanges "
+        "stay AQE-managed and skew-join splitting still applies "
+        "(round 6; see session.py). q21's remaining extra exchanges are "
+        "the round-robin `fan_out` before the signature fold (not on a "
+        "join key — no skew impact) plus the band-bucket join's own "
+        "exchange."
     )
     sys.stdout.flush()
 
