@@ -102,28 +102,39 @@ def _feature_bytes(feature_col) -> F.Column:
 # decoded features, so the oracle reproduces the REAL decode results —
 # header dims, duration, per-chunk band-mean / RMS features — without
 # touching any payload bytes:
-#   k = doc_id % 3 -> {0: PPM, 1: PNG, 2: WAV}
+#   k = doc_id % 4 -> {0: PPM, 1: PNG, 2: WAV, 3: JPEG}
 #   PPM dims  w = 4*(2+id%17), h = 2*(1+id%5)
 #   PNG dims  w = 8*(3+id%13), h = 2*(2+id%7)
+#   JPEG dims w = 8*(2+id%9),  h = 16*(1+id%4)
 #   WAV       duration_ms = 250*(1+id%8), n_frames = 1+id%8
-#   image feature bytes  [a x4, b x4],     a = id%256,    b = (id*7)%256
+#   PPM/PNG feature bytes [a x4, b x4], a = id%256, b = (id*7)%256
+#   JPEG feature bytes    [a x4, b x4], a = 2*(id%128), b = 2*((id*7)%128)
+#     (even levels + flat quant -> jpeg.py's bit-exact contract)
 #   audio feature bytes  [m1+64 x4, m2+64 x4], m1 = id%97, m2 = (id*5)%97
 _DUCK_MEDIA_CTE = """
     m AS (
-      SELECT doc_id, doc_id % 3 AS k,
-             CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-pixmap'
-                  WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-             CASE doc_id % 3 WHEN 0 THEN 4 * (2 + doc_id % 17)
-                  WHEN 1 THEN 8 * (3 + doc_id % 13) ELSE 0 END AS width,
-             CASE doc_id % 3 WHEN 0 THEN 2 * (1 + doc_id % 5)
-                  WHEN 1 THEN 2 * (2 + doc_id % 7) ELSE 0 END AS height,
-             CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames,
-             CASE WHEN doc_id % 3 = 2 THEN 250 * (1 + doc_id % 8) ELSE 0 END AS duration_ms,
-             CASE WHEN doc_id % 3 = 2
+      SELECT doc_id, doc_id % 4 AS k,
+             CASE doc_id % 4 WHEN 0 THEN 'image/x-portable-pixmap'
+                  WHEN 1 THEN 'image/png'
+                  WHEN 3 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+             CASE doc_id % 4 WHEN 0 THEN 4 * (2 + doc_id % 17)
+                  WHEN 1 THEN 8 * (3 + doc_id % 13)
+                  WHEN 3 THEN 8 * (2 + doc_id % 9) ELSE 0 END AS width,
+             CASE doc_id % 4 WHEN 0 THEN 2 * (1 + doc_id % 5)
+                  WHEN 1 THEN 2 * (2 + doc_id % 7)
+                  WHEN 3 THEN 16 * (1 + doc_id % 4) ELSE 0 END AS height,
+             CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames,
+             CASE WHEN doc_id % 4 = 2 THEN 250 * (1 + doc_id % 8) ELSE 0 END AS duration_ms,
+             CASE doc_id % 4 WHEN 2
                   THEN concat_ws(',', (doc_id % 97) + 64, (doc_id % 97) + 64,
                                  (doc_id % 97) + 64, (doc_id % 97) + 64,
                                  ((doc_id * 5) % 97) + 64, ((doc_id * 5) % 97) + 64,
                                  ((doc_id * 5) % 97) + 64, ((doc_id * 5) % 97) + 64)
+                  WHEN 3
+                  THEN concat_ws(',', 2 * (doc_id % 128), 2 * (doc_id % 128),
+                                 2 * (doc_id % 128), 2 * (doc_id % 128),
+                                 2 * ((doc_id * 7) % 128), 2 * ((doc_id * 7) % 128),
+                                 2 * ((doc_id * 7) % 128), 2 * ((doc_id * 7) % 128))
                   ELSE concat_ws(',', doc_id % 256, doc_id % 256,
                                  doc_id % 256, doc_id % 256,
                                  (doc_id * 7) % 256, (doc_id * 7) % 256,
@@ -149,8 +160,9 @@ _DUCK_MEDIA_CTE = """
     """,
     doc=(
         "Multimodal pipeline: REAL encoded binary payloads (PPM/PNG/"
-        "WAV) -> mapInPandas real decode (header parse, PNG inflate+"
-        "unfilter, PCM RMS) -> typed metadata + 8-dim features. The "
+        "JPEG/WAV) -> mapInPandas real decode (header parse, PNG "
+        "inflate+unfilter, JPEG Huffman+IDCT, PCM RMS) -> typed "
+        "metadata + 8-dim features. The "
         "synthesized pixel/sample content yields dyadic-exact features, "
         "so the oracle reproduces the decode results from doc_id "
         "arithmetic alone (serialized to bytes — arrays crash the gate)."

@@ -196,10 +196,13 @@ def encode_jpeg_baseline(
     gray: bool = True,
     quant: list[int] | None = None,
     subsample_420: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal REAL baseline encoder. ``raster``: w*h gray bytes when
     ``gray`` else w*h*3 RGB. Color uses YCbCr, 4:4:4 by default,
-    4:2:0 with ``subsample_420`` (w, h must then be even)."""
+    4:2:0 with ``subsample_420`` (w, h must then be even).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many MCUs (exercises the decoder's restart path)."""
     q = np.array(quant or QUANT_FLAT16, dtype=np.float64)[
         np.argsort(ZIGZAG)
     ].reshape(8, 8)
@@ -254,6 +257,8 @@ def encode_jpeg_baseline(
         dht += bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
         dht += bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS)
     seg(0xC4, dht)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     # SOS
     sos = bytes([ncomp])
     for i in range(ncomp):
@@ -281,8 +286,16 @@ def encode_jpeg_baseline(
         padded.append(pp)
     preds = [0] * ncomp
     zz_idx = np.array(ZIGZAG)
+    n_mcu, rst_n = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn, reset DC predictors
+                w.flush()
+                w.out.extend(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * ncomp
+            n_mcu += 1
             for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
                 dc_codes = dc_luma if ci == 0 else dc_chroma
                 for by in range(vs):

@@ -7,12 +7,14 @@ decoders — no image/audio library needed:
 * ``image/x-portable-pixmap`` — binary PPM (P6) header parse + raster
 * ``image/png`` — full PNG: chunk walk, zlib inflate, per-scanline
   unfilter (None/Sub/Up/Average/Paeth), palette/gray/alpha expansion
+* ``image/jpeg`` — baseline JPEG (SOF0, Huffman, restart markers,
+  sampling factors up to 2) via the pure-numpy codec in ``jpeg.py``
 * ``audio/wav`` — RIFF/WAVE chunk walk, 8/16-bit PCM
 
-Payloads whose magic bytes match none of these (e.g. a jpeg, which
-would need a DCT decoder this engine deliberately does not advertise)
-fall to a deterministic sha256-derived pseudo-decode so unknown bytes
-still flow through the pipeline reproducibly instead of erroring.
+Payloads whose magic bytes match none of these (arbitrary bytes, or a
+format outside the advertised set) fall to a deterministic
+sha256-derived pseudo-decode so unknown bytes still flow through the
+pipeline reproducibly instead of erroring.
 
 ``media_table`` synthesizes REAL encoded payloads (doc_id-seeded
 pixel/sample content) so the driver gates verify actual decoding —
@@ -29,8 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_stream_processing_spark.catalog import Catalog
+from distributed_stream_processing_spark.sources.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
 
-MEDIA_TYPES = ("image/x-portable-pixmap", "image/png", "audio/wav")
+MEDIA_TYPES = (
+    "image/x-portable-pixmap",
+    "image/png",
+    "image/jpeg",
+    "audio/wav",
+)
 
 DECODED_SCHEMA = (
     "media_id long, media_type string, width int, height int, "
@@ -121,18 +132,34 @@ def _synth_payload(doc_id: int) -> tuple[str, bytes]:
     so the decoded feature is an exact dyadic rational (reproducible
     bit-for-bit through float32 and by the DuckDB oracle):
 
-    * images: two horizontal pixel bands of levels a=doc_id%256 and
+    * PPM/PNG: two horizontal pixel bands of levels a=doc_id%256 and
       b=(doc_id*7)%256; raster length is a multiple of 8 with the band
       boundary on the chunk grid, so feature = [a...x4, b...x4] scaled
+    * JPEG: same two-band shape but grayscale with EVEN levels
+      a=2*(doc_id%128), b=2*((doc_id*7)%128), w a multiple of 8 and h
+      a multiple of 16 — every 8x8 tile is constant, so with the flat
+      quant table (DC step 16) the baseline encode->decode round-trip
+      is bit-exact (jpeg.py's exactness contract); rows with
+      doc_id % 8 == 3 also carry restart markers (DRI interval 2) so
+      the fixture corpus exercises the decoder's RSTn path for real
     * audio: two constant-amplitude halves 256*(doc_id%97) and
       256*((doc_id*5)%97) -> per-chunk RMS m/128, an exact float
     """
-    k = doc_id % 3
+    k = doc_id % 4
     if k == 2:
         m1, m2 = doc_id % 97, (doc_id * 5) % 97
         n = 2000 * (1 + doc_id % 8)  # 250ms * (1 + doc_id%8) at 8 kHz
         samples = [256 * m1] * (n // 2) + [256 * m2] * (n // 2)
         return "audio/wav", _encode_wav(samples, 8000)
+    if k == 3:
+        a, b = 2 * (doc_id % 128), 2 * ((doc_id * 7) % 128)
+        w, h = 8 * (2 + doc_id % 9), 16 * (1 + doc_id % 4)
+        half = w * (h // 2)
+        gray = bytes([a]) * half + bytes([b]) * half
+        rst = 2 if doc_id % 8 == 3 else 0
+        return "image/jpeg", encode_jpeg_baseline(
+            w, h, gray, gray=True, restart_interval=rst
+        )
     a, b = doc_id % 256, (doc_id * 7) % 256
     if k == 0:
         w, h = 4 * (2 + doc_id % 17), 2 * (1 + doc_id % 5)
@@ -147,8 +174,9 @@ def _synth_payload(doc_id: int) -> tuple[str, bytes]:
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an opaque-binary media table from the documents
-    corpus: REAL encoded payloads (PPM / PNG / WAV, deterministic
-    doc_id-seeded content), media_type cycling with doc_id % 3."""
+    corpus: REAL encoded payloads (PPM / PNG / WAV / JPEG,
+    deterministic doc_id-seeded content), media_type cycling with
+    doc_id % 4."""
     docs = Catalog(spark, sf_dir).documents
 
     def gen(batches):
@@ -375,6 +403,24 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+def _decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline-JPEG decode via the pure-numpy codec (jpeg.py):
+    marker walk, Huffman entropy decode (restart markers, byte
+    stuffing), dequantize + IDCT, chroma upsample, YCbCr->RGB. The
+    8-dim feature is the shared raster chunk-mean, so it is a property
+    of the PIXELS — identical content in PPM/PNG/JPEG containers
+    yields the identical feature (bit-exact under jpeg.py's
+    even-level/flat-quant contract)."""
+    d = decode_jpeg_baseline(payload)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_frames": 1,
+        "duration_ms": 0,
+        "feature": _raster_feature(d["raster"]),
+    }
+
+
 def _fake_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic pseudo-decode: metadata + an 8-dim feature vector
     derived from the payload digest (reproducible everywhere)."""
@@ -401,14 +447,16 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
 
 def _decode_one(payload: bytes, media_type: str) -> dict:
     """Magic-byte dispatch (how real decoders dispatch): every
-    ADVERTISED format — PPM P6, PNG, RIFF/WAVE PCM — gets a REAL
-    pure-stdlib decode; unrecognized payloads (a jpeg, arbitrary
+    ADVERTISED format — PPM P6, PNG, baseline JPEG, RIFF/WAVE PCM —
+    gets a REAL pure-python decode; unrecognized payloads (arbitrary
     bytes) fall to the deterministic sha256 pseudo-decode so unknown
     media still flows through the pipeline reproducibly."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     return _fake_decode(payload, media_type)

@@ -94,7 +94,7 @@ def test_media_decode_shapes(spark, sf_smoke):
     for r in rows:
         did = r.media_id
         assert len(r.feature) == 8
-        k = did % 3
+        k = did % 4
         if k == 0:
             assert r.media_type == "image/x-portable-pixmap"
             assert (r.width, r.height) == (4 * (2 + did % 17), 2 * (1 + did % 5))
@@ -103,6 +103,14 @@ def test_media_decode_shapes(spark, sf_smoke):
             assert r.media_type == "image/png"
             assert (r.width, r.height) == (8 * (3 + did % 13), 2 * (2 + did % 7))
             assert r.n_frames == 1 and r.duration_ms == 0
+        elif k == 3:
+            assert r.media_type == "image/jpeg"
+            assert (r.width, r.height) == (8 * (2 + did % 9), 16 * (1 + did % 4))
+            assert r.n_frames == 1 and r.duration_ms == 0
+            # bit-exact contract: feature bytes are the two EVEN levels
+            a, b = 2 * (did % 128), 2 * ((did * 7) % 128)
+            got = [round(f * 128 + 128) for f in r.feature]
+            assert got == [a] * 4 + [b] * 4
         else:
             assert r.media_type == "audio/wav"
             assert r.duration_ms == 250 * (1 + did % 8)
@@ -141,6 +149,7 @@ def test_media_dispatch_contract():
         real = (
             payload[:2] == b"P6"
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or payload[:2] == b"\xff\xd8"
             or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
         )
         assert real, f"doc_id={did} ({mt}) would fall to _fake_decode"
@@ -352,10 +361,19 @@ def test_real_decode_through_spark_pipeline(spark):
     plumbing as the stub — mixed real/stub payloads in one frame."""
     from distributed_stream_processing_spark.sources.multimodal import decode_media
 
+    from distributed_stream_processing_spark.sources.jpeg import (
+        encode_jpeg_baseline,
+    )
+
     rows = [
         (1, "image/x-portable-pixmap", bytearray(_ppm_bytes(6, 4))),
         (2, "audio/wav", bytearray(_wav_bytes(n=4000, rate=8000))),
-        (3, "image/jpeg", bytearray(b"not a real jpeg")),  # stub path
+        # unknown magic: deterministic sha256 pseudo-decode path
+        (3, "image/unknown-format", bytearray(b"not a known payload")),
+        # real baseline JPEG: decoded via the pure-numpy codec
+        (4, "image/jpeg", bytearray(
+            encode_jpeg_baseline(16, 16, bytes([100]) * 256, gray=True)
+        )),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, media_type string, payload binary"
@@ -364,3 +382,6 @@ def test_real_decode_through_spark_pipeline(spark):
     assert (got[1].width, got[1].height) == (6, 4)
     assert got[2].duration_ms == 500 and got[2].n_frames == 2
     assert got[3].width != 0  # stub image metadata still flows
+    assert (got[4].width, got[4].height) == (16, 16)
+    # constant even level 100 round-trips bit-exactly -> feature bytes 100
+    assert [round(f * 128 + 128) for f in got[4].feature] == [100] * 8

@@ -1,0 +1,144 @@
+"""Baseline JPEG codec round-trip tests (sources/jpeg.py).
+
+The codec is the real decode path behind image/jpeg in MEDIA_TYPES
+(multimodal.py magic dispatch FF D8), so these tests pin both the
+exactness contract the multimodal fixtures rely on and the lossy
+paths (noise, color, 4:2:0, restart markers) a foreign file would
+exercise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from distributed_stream_processing_spark.sources.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+
+
+def _gray_of(decoded: dict) -> np.ndarray:
+    rgb = np.frombuffer(decoded["raster"], np.uint8).reshape(
+        decoded["height"], decoded["width"], 3
+    )
+    # gray JPEG replicates Y into all three channels
+    assert (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all()
+    return rgb[..., 0]
+
+
+def test_gray_exactness_contract_bit_exact():
+    """Constant 8x8 tiles of EVEN levels + flat quant (DC step 16)
+    round-trip bit-exactly — the contract the multimodal fixture
+    oracle (q37) derives features from."""
+    rng = np.random.RandomState(7)
+    w, h = 32, 48
+    tiles = 2 * rng.randint(0, 128, size=(h // 8, w // 8))
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(np.uint8)
+    payload = encode_jpeg_baseline(w, h, img.tobytes(), gray=True)
+    d = decode_jpeg_baseline(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert (_gray_of(d) == img).all()
+
+
+def test_gray_exactness_with_restart_markers():
+    """Same contract through the DRI/RSTn path: byte-aligned restarts
+    with DC predictor resets must not perturb the bit-exact decode."""
+    rng = np.random.RandomState(11)
+    w, h = 40, 24  # 5x3 = 15 MCUs -> interval 2 exercises 7 restarts
+    tiles = 2 * rng.randint(0, 128, size=(h // 8, w // 8))
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(np.uint8)
+    payload = encode_jpeg_baseline(
+        w, h, img.tobytes(), gray=True, restart_interval=2
+    )
+    # the stream must really carry a DRI segment and RST markers
+    assert b"\xff\xdd" in payload
+    assert any(bytes([0xFF, 0xD0 + n]) in payload for n in range(8))
+    d = decode_jpeg_baseline(payload)
+    assert (_gray_of(d) == img).all()
+
+
+@pytest.mark.parametrize("restart_interval", [0, 1, 3])
+def test_gray_noise_roundtrip_bounded_error(restart_interval):
+    """Arbitrary gray content: lossy but bounded (flat table of 16 ->
+    per-coefficient quantization error <= 8; spatial error stays
+    small). Exercises every (run,size) AC symbol class end-to-end."""
+    rng = np.random.RandomState(3)
+    w, h = 48, 32
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    payload = encode_jpeg_baseline(
+        w, h, img.tobytes(), gray=True, restart_interval=restart_interval
+    )
+    d = decode_jpeg_baseline(payload)
+    err = np.abs(_gray_of(d).astype(float) - img.astype(float))
+    assert err.mean() < 8.0 and err.max() <= 64.0
+
+
+def test_gray_odd_dimensions_cropped():
+    """Non-multiple-of-8 dims: encoder pads by edge replication, the
+    decoder crops back to the SOF dims."""
+    w, h = 21, 13
+    img = np.tile(np.arange(w, dtype=np.uint8) * 3 % 200, (h, 1))
+    payload = encode_jpeg_baseline(w, h, img.tobytes(), gray=True)
+    d = decode_jpeg_baseline(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert len(d["raster"]) == w * h * 3
+    err = np.abs(_gray_of(d).astype(float) - img.astype(float))
+    assert err.mean() < 8.0
+
+
+@pytest.mark.parametrize("subsample_420", [False, True])
+def test_color_roundtrip(subsample_420):
+    """Smooth color content through YCbCr 4:4:4 and 4:2:0: decode
+    error small (judge smoke measured ~2.0 for 4:4:4)."""
+    w, h = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (xx * 5 + 30) % 200 + 20,
+            (yy * 4 + 60) % 180 + 30,
+            ((xx + yy) * 3 + 90) % 160 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    payload = encode_jpeg_baseline(
+        w, h, rgb.tobytes(), gray=False, subsample_420=subsample_420
+    )
+    d = decode_jpeg_baseline(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    got = np.frombuffer(d["raster"], np.uint8).reshape(h, w, 3).astype(float)
+    err = np.abs(got - rgb.astype(float))
+    # 4:2:0's nearest-neighbor chroma upsample costs extra at edges
+    assert err.mean() < (6.0 if subsample_420 else 4.0)
+
+
+def test_non_baseline_streams_raise_loudly():
+    base = encode_jpeg_baseline(16, 16, bytes(256), gray=True)
+    # rewrite SOF0 (FFC0) to progressive (FFC2)
+    i = base.index(b"\xff\xc0")
+    prog = base[:i] + b"\xff\xc2" + base[i + 2 :]
+    with pytest.raises(ValueError, match="progressive|non-baseline"):
+        decode_jpeg_baseline(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x89PNG\r\n\x1a\n")
+    # 12-bit precision guard
+    j = base.index(b"\xff\xc0")
+    seglen = struct.unpack(">H", base[j + 2 : j + 4])[0]
+    body = bytearray(base[j + 4 : j + 2 + seglen])
+    body[0] = 12
+    twelve = base[: j + 4] + bytes(body) + base[j + 2 + seglen :]
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg_baseline(twelve)
+
+
+def test_decoder_skips_appn_and_com_segments():
+    """Foreign files carry APPn/COM metadata before SOF — the marker
+    walk must skip them (JFIF header is the canonical case)."""
+    base = encode_jpeg_baseline(16, 16, bytes([42]) * 256, gray=True)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    annotated = base[:2] + app0 + com + base[2:]
+    d = decode_jpeg_baseline(annotated)
+    assert (_gray_of(d) == 42).all()
