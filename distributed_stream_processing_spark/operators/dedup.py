@@ -100,11 +100,22 @@ def minhash_signature(tokens_col, num_perm: int = 64, seed: int = 42):
 # Keyed by the layout parameters; the expressions reference input
 # columns by NAME ("tokens", "mh", "band", a_b{i}/b_b{i}), so reuse
 # across same-schema DataFrames is sound — the same contract as
-# semi_stream_similarity._sig_exprs.
+# semi_stream_similarity._sig_exprs. Columns hold py4j handles into
+# the ACTIVE JVM, so the memo is invalidated whenever the
+# SparkContext changes (a stop()+recreate in one Python process would
+# otherwise serve dead JVM references — ADVICE r11).
 _LSH_EXPR_MEMO: dict = {}
+_LSH_MEMO_APP: list = [None]
 
 
 def _lsh_exprs(num_perm: int, bands: int, seed: int) -> dict:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    if app != _LSH_MEMO_APP[0]:
+        _LSH_EXPR_MEMO.clear()
+        _LSH_MEMO_APP[0] = app
     key = (num_perm, bands, seed)
     if key in _LSH_EXPR_MEMO:
         return _LSH_EXPR_MEMO[key]

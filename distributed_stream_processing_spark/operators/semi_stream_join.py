@@ -90,19 +90,30 @@ class SemiStreamJoin:
         state; return the enriched output (hit ∪ miss-fetched).
 
         The previous batch's attribution walk (background, diagnostics
-        only) is joined just before this batch reads
-        ``controller.window`` — the latest point that preserves the
-        synchronous flow's semantics (same history at the same
-        decision points), so the walk genuinely overlaps THIS batch's
-        driver-side plan construction (hit/miss/fetch/output) even for
-        back-to-back callers like run_semi_stream_join (ADVICE r10).
-        Callers that read ``controller.history`` directly after a bare
-        process_batch must call :meth:`flush_attribution`."""
+        only) is joined just before this batch launches its FIRST job
+        (the AQE-planned output localCheckpoint, whose stages execute
+        at call time) — the latest point that keeps the walk's
+        accumulator reads race-free from this batch's execution while
+        still overlapping the previous batch's tail and this batch's
+        hit/miss plan construction (ADVICE r10/r11). Callers that read
+        ``controller.history`` directly after a bare process_batch
+        must call :meth:`flush_attribution`."""
         k = self.key
         cache, lru = self.cache, self.lru
 
         hit = batch.join(cache, k, "inner")
         miss = batch.join(cache, k, "left_anti")
+
+        # join the previous batch's background walk NOW — before this
+        # batch's FIRST job. The output localCheckpoint below is
+        # planned with AQE on, which executes its shuffle stages as
+        # real jobs at call time; those jobs update the shared
+        # cached-relation SQL-metric accumulators the walk reads, so
+        # flushing any later races the walk against this batch's
+        # execution and contaminates the deltas the controller
+        # consumes (ADVICE r11). The walk still overlaps the previous
+        # batch's tail + this batch's hit/miss plan construction.
+        self._deferred.flush()
 
         t0 = time.monotonic()
         missed_keys = miss.select(k).distinct()
@@ -135,9 +146,8 @@ class SemiStreamJoin:
             .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
         )
         admitted = fetched
-        # join the previous batch's background walk NOW — the first
-        # controller read of this batch; everything above overlapped it
-        self._deferred.flush()
+        # first controller read of this batch — the walk was joined
+        # above (pre-job), so the window reflects the previous batch
         window = self.controller.window
         stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
         new_freq = None
