@@ -74,13 +74,15 @@ IDLE_SPREAD_S = {
     "q48_semi_stream_similarity": 2.0,
 }
 IDLE_SPREAD_DEFAULT_S = 0.8
-# judge-measured idle 10x ratios on the splittable fixtures (r10:
-# q21 2.54 / q29 2.91 / q48 3.45); tripwire fires at 2x these
-EXPECTED_10X = {"q21": 2.6, "q29": 3.0, "q48": 3.5}
-# reserved tail budget: the q48_100x point (~120 s on a warm store) +
-# the closing calibration probe — the two pieces that three rounds of
-# contended hosts dropped first, now paid for off the top
-RESERVE_TAIL_S = 130
+# judge-measured idle 10x ratios on the splittable fixtures (r11:
+# q21 1.66 / q29 1.19 / q48 2.20); tripwire fires at 2x these
+EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
+# reserved tail budget: the q48_100x point (~90 s on a warm store) +
+# dedup_100x (~85 s) + the closing calibration — the pieces that
+# contended hosts historically dropped first, now paid for off the top
+RESERVE_TAIL_S = 220
+# reserved for the closing calibration subprocess at the very end
+CAL_CLOSE_RESERVE_S = 45
 
 
 def _run_noop(spark, specs, name: str, d: str) -> float:
@@ -100,6 +102,68 @@ def _gc_level(spark) -> None:
 
     _gc.collect()
     spark.sparkContext._jvm.System.gc()
+
+
+def _probe(spark, specs, sf_dir: str) -> float:
+    """Per-window contention probe: min of two timed CAL_QUERY runs in
+    the warm session (min filters a transient hiccup; persistent
+    contention — or a genuinely degraded session, whose state the
+    bracketed timings also ran under — still shows). ~3 s per call."""
+    _gc_level(spark)
+    return min(
+        _run_noop(spark, specs, CAL_QUERY, sf_dir),
+        _run_noop(spark, specs, CAL_QUERY, sf_dir),
+    )
+
+
+def _probe_bad(p: float) -> bool:
+    return p > 2 * CAL_IDLE_S
+
+
+def _closing_cal(sf_dir: str) -> tuple[float | None, str]:
+    """Closing calibration in a FRESH subprocess session, so the probe
+    measures the HOST — not the parent session's accumulated scar
+    tissue (r11's closing probe read 3.51 s vs 1.58 s open on a
+    possibly-idle host and the drift was unattributable; VERDICT r11
+    task 2). Returns (seconds, mode); seconds is None if the
+    subprocess failed (caller falls back to the in-session probe)."""
+    import subprocess
+
+    code = (
+        "import sys,time;"
+        f"sys.path.insert(0,{REPO!r});"
+        "from distributed_stream_processing_spark.plans import load_all;"
+        "from distributed_stream_processing_spark.session import get_spark;"
+        "spark=get_spark('bench-cal');specs=load_all();"
+        f"fn=specs[{CAL_QUERY!r}].fn;d={sf_dir!r};"
+        "fn(spark,d).write.mode('overwrite').format('noop').save();"
+        "ts=[];\n"
+        "for _ in range(2):\n"
+        "    t0=time.monotonic()\n"
+        "    fn(spark,d).write.mode('overwrite').format('noop').save()\n"
+        "    ts.append(time.monotonic()-t0)\n"
+        "print('CAL_S=%.3f'%min(ts))"
+    )
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="8g")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=150,
+            env=env,
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("CAL_S="):
+                return float(ln.split("=", 1)[1]), "fresh"
+        print(
+            f"# closing-cal subprocess gave no CAL_S (rc={r.returncode}): "
+            f"{(r.stderr or '')[-200:]}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# closing-cal subprocess failed: {e}", file=sys.stderr)
+    return None, "insession"
 
 
 def _scheme_audit(spark, d: str) -> dict:
@@ -186,8 +250,11 @@ def _q48_100x(spark, d100: str) -> dict:
     advantage grows with DB size while per-batch query volume stays
     fixed (DSim-Join/README.md:14), so this is the axis a 100x audit
     must measure. The store build is timed separately (it is the
-    amortized one-time cost); the published batch_s is batch 1 —
-    batch 0 primes cache state, JIT, and the attributor baseline."""
+    amortized one-time cost); the published batch_s is the MIN of two
+    steady batches (VERDICT r11 task 3: a single batch is one host
+    hiccup away from garbage — r11 published 45.7 s vs judge idle
+    19.1 s) — batch 0 primes cache state, JIT, and the attributor
+    baseline."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -201,11 +268,12 @@ def _q48_100x(spark, d100: str) -> dict:
     docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
     base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
     stored = base.filter(F.col("id") % 10 >= 3)  # ~350k docs
-    # two probe batches of ~500 docs each (the sf0.1 headline's
-    # per-batch volume), disjoint ids from the stream split
+    # three probe batches of ~500 docs each (the sf0.1 headline's
+    # per-batch volume), disjoint ids from the stream split: one
+    # warm-up + two timed steady batches
     probes = [
         base.filter((F.col("id") % 10 < 3) & (F.col("id") % 1000 == k))
-        for k in (0, 1)
+        for k in (0, 1, 2)
     ]
     # the index build is the amortized one-time cost (the reference
     # holds its signature collection in a durable store and never
@@ -232,11 +300,13 @@ def _q48_100x(spark, d100: str) -> dict:
             "noop"
         ).save()
         j.flush_attribution()
-        t0 = time.monotonic()
-        out = j.process_batch(probes[1], 1)
-        n_out = out.count()
-        j.flush_attribution()
-        batch_s = round(time.monotonic() - t0, 3)
+        batch_runs, n_out = [], 0
+        for b in (1, 2):
+            t0 = time.monotonic()
+            out = j.process_batch(probes[b], b)
+            n_out = out.count()
+            j.flush_attribution()
+            batch_runs.append(round(time.monotonic() - t0, 3))
         # deduped candidate-pair count for the steady batch's probe —
         # the workload-growth denominator for reading batch_s (one
         # extra job, outside the timed window)
@@ -252,7 +322,8 @@ def _q48_100x(spark, d100: str) -> dict:
             "stored_docs": 350_000,
             "probe_docs": 500,
             ("build_s" if built else "load_s"): index_s,
-            "batch_s": batch_s,
+            "batch_s": min(batch_runs),
+            "batch_runs": batch_runs,
             "cand": n_cand,
             "out_rows": n_out,
         }
@@ -307,7 +378,12 @@ def _dedup_100x(spark) -> dict:
 
 
 def _run_stress(
-    spark, specs, deadline: float, skipped: list[str], reasons: list[str]
+    spark,
+    specs,
+    sf_dir: str,
+    deadline: float,
+    skipped: list[str],
+    reasons: list[str],
 ) -> dict | None:
     """10x scaling audit for the STRESS queries: same synthetic
     distribution at 1x (the sf0.1 shape) and 10x rows, generated
@@ -348,6 +424,15 @@ def _run_stress(
             "q21_dedup_minhash_lsh",
         )
     ]
+    # per-window contention attribution (VERDICT r11 task 3): a short
+    # calibration probe brackets every stress point, so one contended
+    # window nulls only ITS query's ratio instead of the whole block
+    # (r9-r11 nulled everything whenever any tail detector fired).
+    # A point's window is bad when either bracketing probe exceeds the
+    # committed envelope.
+    win_bad: set[str] = set()
+    p_prev = _probe(spark, specs, sf_dir)
+    print(f"# stress window probe: {p_prev:.2f}s", file=sys.stderr)
     for scale, name in points:
         # two runs per (query, scale), report the MIN: run 1 pays
         # one-time costs (JIT, per-corpus memoized store builds),
@@ -402,17 +487,30 @@ def _run_stress(
             f"(runs {out[q][sc]['runs']})",
             file=sys.stderr,
         )
+        p_next = _probe(spark, specs, sf_dir)
+        if _probe_bad(p_prev) or _probe_bad(p_next):
+            win_bad.add(f"{q}_{sc}")
+        print(f"# stress window probe: {p_next:.2f}s", file=sys.stderr)
+        p_prev = p_next
     # per-query ratio: published only when BOTH scales completed >=2
     # runs (a single run is the cold path — the r10 q48 "8.97" was a
-    # lone cold 10x run over a warm 1x min, store build and all);
-    # main() nulls the whole dict if any contention detector fired
+    # lone cold 10x run over a warm 1x min, store build and all) AND
+    # both scales' probe windows were clean AND the tripwire did not
+    # fire for this query; other queries' clean ratios survive
     ratios: dict[str, float | None] = {}
     for q in out:
         p1, p10 = out[q].get("1x"), out[q].get("10x")
-        if p1 and p10 and len(p1["runs"]) >= 2 and len(p10["runs"]) >= 2:
+        clean = (
+            f"{q}_1x" not in win_bad
+            and f"{q}_10x" not in win_bad
+            and f"stress:{q}" not in reasons
+        )
+        if clean and p1 and p10 and len(p1["runs"]) >= 2 and len(p10["runs"]) >= 2:
             ratios[q] = round(p10["min"] / p1["min"], 2)
         else:
             ratios[q] = None
+    if win_bad:
+        reasons.extend(sorted(f"win:{w}" for w in win_bad))
     return {
         "queries": out,
         "data_ratio": 10.0,
@@ -542,13 +640,23 @@ def main() -> None:
     # stress timing loops (the only part bounded by stress_deadline)
     stress = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        stress = _run_stress(spark, specs, stress_deadline, skipped, reasons)
+        stress = _run_stress(
+            spark, specs, sf_dir, stress_deadline, skipped, reasons
+        )
 
-    # ---- reserved tail: the evidence three contended rounds dropped ----
+    # ---- reserved tail: EVERY published timing runs before the
+    # closing calibration (ADVICE r11: the tail audits used to run
+    # outside the bracket), each 100x point probe-bracketed so a
+    # contended window nulls ITS quotable numbers, not the block's.
+    # The closing calibration's own budget is reserved throughout.
+    def _tail_budget_ok(need: float) -> bool:
+        return time.monotonic() + need <= deadline - CAL_CLOSE_RESERVE_S
+
     # 100x semi-stream similarity posture (VERDICT r9 task 5 / r10
     # task 2): fixed per-batch probe volume against a 100x store — the
     # reference's own scaling axis (DSim-Join/README.md:14)
     q48_100x = None
+    dedup_100x = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
         "SPARK_GRAFT_SKIP_100X"
     ):
@@ -556,79 +664,108 @@ def main() -> None:
             from tools.gen_stress_sf1 import ensure_dedup_100x
 
             d100 = ensure_dedup_100x()
-            # ~120s warm (saved store) / ~300s cold (first run on a
-            # host builds + saves the 100x index); only attempt what
-            # the remaining budget actually covers
+            # ~90s warm (saved store, two timed batches) / ~300s cold
+            # (first run on a host builds + saves the 100x index);
+            # only attempt what the remaining budget actually covers
             need = (
-                120
+                90
                 if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
                 else 300
             )
-            if time.monotonic() + need > deadline:
+            if not _tail_budget_ok(need + 90):  # + dedup_100x's slot
                 skipped.append("q48_100x (budget)")
                 print("# q48 100x skipped: budget", file=sys.stderr)
             else:
-                _gc_level(spark)  # shed the stress sweep's block debt
+                p_a = _probe(spark, specs, sf_dir)
                 q48_100x = _q48_100x(spark, d100)
+                p_b = _probe(spark, specs, sf_dir)
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    # contended window: raw runs stay, the quotable
+                    # steady-batch number goes null
+                    q48_100x["batch_s"] = None
+                    reasons.append("win:q48_100x")
                 print(f"# q48 100x: {q48_100x}", file=sys.stderr)
         except Exception as e:
             print(f"# q48 100x skipped: {e}", file=sys.stderr)
 
-    # closing calibration probe: same fixed work as the opening one —
-    # drift beyond 2x means the host got contended somewhere inside
-    # the protocol and no ratio from this window is engine behavior.
-    # GC first: the probe must measure the HOST, not the session's
-    # accumulated block debt (6.2 s vs 1.0 s open on an idle host
-    # before this — a guaranteed false 'cal_end' every run)
-    _gc_level(spark)
-    cal1 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
-    if cal1 > max(2 * cal0, 2 * CAL_IDLE_S):
-        reasons.append("cal_end")
-    print(
-        f"# calibration close: {CAL_QUERY} {cal1:.2f}s "
-        f"(open {cal0:.2f}s) -> contended={sorted(set(reasons))}",
-        file=sys.stderr,
-    )
+        # dedup posture at 100x (VERDICT r11 task 4: budget-skipped
+        # every round since creation — now in the reserved tail, above
+        # the scheme audit in priority)
+        if _tail_budget_ok(90):
+            try:
+                p_a = _probe(spark, specs, sf_dir)
+                dedup_100x = _dedup_100x(spark)
+                p_b = _probe(spark, specs, sf_dir)
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    dedup_100x["pairs_s_raw"] = dedup_100x.pop("pairs_s")
+                    dedup_100x["cluster_s_raw"] = dedup_100x.pop("cluster_s")
+                    dedup_100x["pairs_s"] = None
+                    dedup_100x["cluster_s"] = None
+                    reasons.append("win:dedup_100x")
+                print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
+            except Exception as e:
+                print(f"# dedup 100x skipped: {e}", file=sys.stderr)
+        else:
+            skipped.append("dedup_100x (budget)")
+            print("# dedup 100x skipped: budget", file=sys.stderr)
 
-    # ---- lower-priority audits, only on hosts with slack left ----
     # signature-scheme audit on the sparse-vocab stress corpus: the
     # stress documents (2k-word vocab, 8-100-token docs) flip the
     # pipeline's scheme chooser to the deletion layout for the long
     # groups; record the flags and the measured candidate cut vs
-    # forced all-equality so the adaptive/deletion machinery is
-    # benched at scale with evidence, not assumed
+    # forced all-equality. The counts are DETERMINISTIC on the fixed
+    # fixture (no timings), so the result is computed once per host
+    # and cached beside the fixture (ADVICE r11: also fixes the
+    # duplicated path literal — the directory comes from BASE_DIR).
     scheme_audit = None
-    dedup_100x = None
     if stress is not None:
-        if time.monotonic() + 60 <= deadline:
+        from tools.gen_stress_sf1 import BASE_DIR
+
+        cache_path = os.path.join(BASE_DIR, "scheme_audit.json")
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                scheme_audit = json.load(f)
+            print(f"# scheme audit (cached): {scheme_audit}", file=sys.stderr)
+        elif _tail_budget_ok(60):
             try:
                 scheme_audit = _scheme_audit(
-                    spark, os.path.join("/root/repo/.stressdata", "stress1x")
+                    spark, os.path.join(BASE_DIR, "stress1x")
                 )
+                with open(cache_path, "w") as f:
+                    json.dump(scheme_audit, f)
                 print(f"# scheme audit: {scheme_audit}", file=sys.stderr)
             except Exception as e:
                 print(f"# scheme audit skipped: {e}", file=sys.stderr)
         else:
             skipped.append("scheme_audit (budget)")
             print("# scheme audit skipped: budget", file=sys.stderr)
-        if not os.environ.get("SPARK_GRAFT_SKIP_100X"):
-            if time.monotonic() + 90 <= deadline:
-                try:
-                    dedup_100x = _dedup_100x(spark)
-                    print(f"# dedup 100x: {dedup_100x}", file=sys.stderr)
-                except Exception as e:
-                    print(f"# dedup 100x skipped: {e}", file=sys.stderr)
-            else:
-                skipped.append("dedup_100x (budget)")
-                print("# dedup 100x skipped: budget", file=sys.stderr)
+
+    # closing calibration: fresh SUBPROCESS session, so it measures
+    # the HOST against the committed idle envelope — the parent
+    # session's accumulated state (the r11 cal_end ambiguity) cannot
+    # move it. Runs LAST: every published timing is now inside the
+    # bracket. Falls back to the in-session probe (drift rule) if the
+    # subprocess fails.
+    cal1, cal_mode = _closing_cal(sf_dir)
+    if cal1 is not None:
+        if cal1 > 2 * CAL_IDLE_S:
+            reasons.append("cal_end")
+    else:
+        _gc_level(spark)
+        cal1 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
+        if cal1 > max(2 * cal0, 2 * CAL_IDLE_S):
+            reasons.append("cal_end")
+    print(
+        f"# calibration close ({cal_mode}): {CAL_QUERY} {cal1:.2f}s "
+        f"(open {cal0:.2f}s) -> contended={sorted(set(reasons))}",
+        file=sys.stderr,
+    )
 
     contended = sorted(set(reasons))
     if stress is not None:
-        if contended:
-            # a contended window produces no quotable scaling number:
-            # the runs arrays stay (self-diagnosing raw data), the
-            # ratio key goes null so neither a reader nor the driver
-            # quotes garbage (r8-r10 all published contention ratios)
+        if "cal_start" in reasons:
+            # the whole run started on a contended host — no window
+            # was clean, including the per-point probes themselves
             stress["ratio_10x"] = None
         for k, v in (
             ("scheme_audit", scheme_audit),
@@ -655,13 +792,15 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r11 note: the bench protocol is now contention-bracketed — "
-        "fixed calibration probe first+last (reserved budget), headline "
-        "spreads checked against committed idle envelopes, stress "
-        "tripwires at 2x the judge-measured idle ratios, ratio_10x "
-        "nulled when any detector fires; q48_100x + closing calibration "
-        "run from a reserved tail so budget pressure drops second stress "
-        "runs first, never the evidence (VERDICT r10 tasks 1-3).",
+        "# r12 note: contention is now attributed PER WINDOW — short "
+        "probes bracket every stress point and both 100x audits, so a "
+        "contended window nulls only its own quotable number (win:* "
+        "flags) while clean windows' ratios publish; the closing "
+        "calibration runs in a FRESH subprocess session (host-only "
+        "measure, no session scar tissue) AFTER all published timings; "
+        "q48_100x batch_s is min-of-2; dedup_100x moved into the "
+        "reserved tail; the scheme audit (deterministic counts) is "
+        "computed once per host and cached (VERDICT r11 tasks 2-4).",
         file=sys.stderr,
     )
     line = json.dumps(
@@ -675,9 +814,12 @@ def main() -> None:
             # budget; positional arrays misread one reordering away)
             "spread_s": {n.split("_")[0]: spread[n] for n in timings},
             # bracketing calibration probe [open, close] vs the
-            # committed CAL_IDLE_S envelope; "contended" lists every
-            # detector that fired (absent = clean window)
+            # committed CAL_IDLE_S envelope; close is measured in a
+            # fresh subprocess session (host-only) unless cal_fallback;
+            # "contended" lists every detector that fired (absent =
+            # clean window)
             "cal": [round(cal0, 2), round(cal1, 2)],
+            **({"cal_fallback": True} if cal_mode == "insession" else {}),
             **({"contended": contended} if contended else {}),
             "sf": float(sf),
             "runs": runs,

@@ -121,15 +121,21 @@ def test_attributor_differences_persistent_cache_metrics(spark):
     attr = PlanTimeAttributor()
     primer = run_once(attr)  # first call records the baseline only
     assert primer is None
+    # the baseline now holds the cumulative metrics of the priming
+    # action — dominated by the ~15+ CPU-s sha2 cache build the
+    # steady-state deltas must NOT re-attribute
+    build_s = sum(attr._last.values())
+    assert build_s > 5.0  # sanity: the build really was measured
     first = run_once(attr)
     second = run_once(attr)
     assert first is not None and second is not None
-    # the ~15+ CPU-s cache-build cost was absorbed by the priming
-    # call; steady-state deltas only carry per-action scan work
-    # (loose bound: scans are contention-sensitive but stay far
-    # below the sha2 build they must not re-attribute)
-    assert first["heavy"] < 10.0
-    assert second["heavy"] < 10.0
+    # RELATIVE bound (VERDICT r11 task 5: the old absolute 10 s bound
+    # failed under a concurrent Spark session): steady-state deltas
+    # carry only per-action scan work, which must stay well below the
+    # build cost measured under the SAME load — both sides inflate
+    # together when the host is contended, so the ratio is load-robust
+    assert first["heavy"] < 0.5 * build_s
+    assert second["heavy"] < 0.5 * build_s
     big.unpersist()
 
 
