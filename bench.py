@@ -77,10 +77,14 @@ IDLE_SPREAD_DEFAULT_S = 0.8
 # judge-measured idle 10x ratios on the splittable fixtures (r11:
 # q21 1.66 / q29 1.19 / q48 2.20); tripwire fires at 2x these
 EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
-# reserved tail budget: the q48_100x point (~90 s on a warm store) +
-# dedup_100x (~85 s) + the closing calibration — the pieces that
-# contended hosts historically dropped first, now paid for off the top
-RESERVE_TAIL_S = 220
+# reserved tail budget: dedup_100x (~60-90 s) + the q48_100x point
+# (~160-190 s measured warm: 40 s store load + a slow first timed
+# batch + the steady batch) + the closing calibration — the pieces
+# that contended hosts historically dropped first, paid for off the
+# top. dedup runs FIRST in the tail: it is the cheaper, more
+# predictable point and the one the budget had squeezed out in every
+# round since its creation (VERDICT r11 task 4).
+RESERVE_TAIL_S = 280
 # reserved for the closing calibration subprocess at the very end
 CAL_CLOSE_RESERVE_S = 45
 
@@ -108,12 +112,27 @@ def _probe(spark, specs, sf_dir: str) -> float:
     """Per-window contention probe: min of two timed CAL_QUERY runs in
     the warm session (min filters a transient hiccup; persistent
     contention — or a genuinely degraded session, whose state the
-    bracketed timings also ran under — still shows). ~3 s per call."""
+    bracketed timings also ran under — still shows). A bad reading is
+    re-probed ONCE after GC + a short settle: the ContextCleaner frees
+    a big audit's blocks in asynchronous bursts that can stall both
+    runs of one probe on an otherwise idle host (measured: 1.08 /
+    4.81 / 0.81 s across three consecutive post-dedup probes), and a
+    cleaner burst is session lifecycle, not window contention.
+    ~3 s per call, ~8 s when the retry fires."""
     _gc_level(spark)
-    return min(
+    p = min(
         _run_noop(spark, specs, CAL_QUERY, sf_dir),
         _run_noop(spark, specs, CAL_QUERY, sf_dir),
     )
+    if _probe_bad(p):
+        _gc_level(spark)
+        time.sleep(2)
+        p = min(
+            p,
+            _run_noop(spark, specs, CAL_QUERY, sf_dir),
+            _run_noop(spark, specs, CAL_QUERY, sf_dir),
+        )
+    return p
 
 
 def _probe_bad(p: float) -> bool:
@@ -270,10 +289,15 @@ def _q48_100x(spark, d100: str) -> dict:
     stored = base.filter(F.col("id") % 10 >= 3)  # ~350k docs
     # three probe batches of ~500 docs each (the sf0.1 headline's
     # per-batch volume), disjoint ids from the stream split: one
-    # warm-up + two timed steady batches
+    # warm-up + two timed steady batches. The generator plants exact
+    # dups at ids ≡ 1 (mod 500) copying id+17 (a stored id), so both
+    # TIMED batches use ≡1/≡501 (mod 1000): every probe doc has a
+    # stored match — the same verified-output volume batch 1 has
+    # always published (≡2 would verify zero pairs and undercount the
+    # steady batch's output work)
     probes = [
         base.filter((F.col("id") % 10 < 3) & (F.col("id") % 1000 == k))
-        for k in (0, 1, 2)
+        for k in (0, 1, 501)
     ]
     # the index build is the amortized one-time cost (the reference
     # holds its signature collection in a durable store and never
@@ -307,20 +331,31 @@ def _q48_100x(spark, d100: str) -> dict:
             n_out = out.count()
             j.flush_attribution()
             batch_runs.append(round(time.monotonic() - t0, 3))
+        assert n_out > 0, "steady probe batch verified no pairs (fixture drift?)"
         # deduped candidate-pair count for the steady batch's probe —
-        # the workload-growth denominator for reading batch_s (one
-        # extra job, outside the timed window)
-        probe_sigs = j._sigs(probes[1], "a", own_group_only=True)
-        n_cand = (
-            j.sig_store.join(F.broadcast(probe_sigs), sss._KEY)
-            .filter(j._pair_filter)
-            .select("a_id", "b_id")
-            .dropDuplicates(["a_id", "b_id"])
-            .count()
-        )
+        # the workload-growth denominator for reading batch_s. It is
+        # DETERMINISTIC on the fixed fixture, so it is computed once
+        # per host and cached beside the store (one extra job on the
+        # first run only, outside the timed window either way)
+        cand_cache = os.path.join(store_path, "cand.json")
+        if os.path.exists(cand_cache):
+            with open(cand_cache) as f:
+                n_cand = json.load(f)["cand"]
+        else:
+            probe_sigs = j._sigs(probes[1], "a", own_group_only=True)
+            n_cand = (
+                j.sig_store.join(F.broadcast(probe_sigs), sss._KEY)
+                .filter(j._pair_filter)
+                .select("a_id", "b_id")
+                .dropDuplicates(["a_id", "b_id"])
+                .count()
+            )
+            with open(cand_cache, "w") as f:
+                json.dump({"cand": n_cand}, f)
+        # stored_docs=350k / probe_docs=500 are protocol constants —
+        # documented in BASELINE.md's 100x table, not repeated here
+        # (the JSON line has a hard byte budget)
         return {
-            "stored_docs": 350_000,
-            "probe_docs": 500,
             ("build_s" if built else "load_s"): index_s,
             "batch_s": min(batch_runs),
             "batch_runs": batch_runs,
@@ -367,13 +402,14 @@ def _dedup_100x(spark) -> dict:
         docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
     )
     n_keep = clusters.filter("keep").count()
+    assert n_keep > 0
+    # n_docs=500k is a protocol constant (BASELINE.md); kept is
+    # implied by n_pairs on the star-ish fixture — byte budget
     return {
-        "n_docs": 500_000,
         "pairs_s": t_pairs,
         "n_pairs": n_pairs,
         "cluster_s": round(time.monotonic() - t0, 3),
         "rounds": stats.get("rounds"),
-        "kept": n_keep,
     }
 
 
@@ -537,14 +573,15 @@ def main() -> None:
     # JSON line always lands inside the driver's window. The tail
     # reserve pays for the q48_100x point + the closing calibration
     # BEFORE the stress loops can spend that time on second runs.
-    # 660 s: the full idle protocol measures ~620 s (cal 5 + headline
-    # ~105 + stress min-of-2 loops ~390 + q48_100x 120) — the old 540
-    # could not fit min-of-2 everywhere AND the reserved tail, so one
-    # of them always dropped. r10's ~650 s wall run was captured fine
-    # by the driver; the deadline is soft (the JSON line always
-    # prints), it only decides what optional work is attempted.
+    # 780 s: the full idle r12 protocol measures ~720 s without the
+    # dedup point (cal ~25 + headline ~105 + stress loops ~350 incl.
+    # the per-window probes + q48_100x ~190 + fresh-session closing
+    # cal ~25) — 660 always squeezed dedup_100x out. r10/r11 ~650 s
+    # driver runs and this round's 718 s validation were captured
+    # fine; the deadline is soft (the JSON line always prints), it
+    # only decides what optional work is attempted.
     deadline = time.monotonic() + int(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "660")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780")
     )
     stress_deadline = deadline - RESERVE_TAIL_S
     skipped: list[str] = []
@@ -660,42 +697,19 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
         "SPARK_GRAFT_SKIP_100X"
     ):
-        try:
-            from tools.gen_stress_sf1 import ensure_dedup_100x
-
-            d100 = ensure_dedup_100x()
-            # ~90s warm (saved store, two timed batches) / ~300s cold
-            # (first run on a host builds + saves the 100x index);
-            # only attempt what the remaining budget actually covers
-            need = (
-                90
-                if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
-                else 300
-            )
-            if not _tail_budget_ok(need + 90):  # + dedup_100x's slot
-                skipped.append("q48_100x (budget)")
-                print("# q48 100x skipped: budget", file=sys.stderr)
-            else:
-                p_a = _probe(spark, specs, sf_dir)
-                q48_100x = _q48_100x(spark, d100)
-                p_b = _probe(spark, specs, sf_dir)
-                if _probe_bad(p_a) or _probe_bad(p_b):
-                    # contended window: raw runs stay, the quotable
-                    # steady-batch number goes null
-                    q48_100x["batch_s"] = None
-                    reasons.append("win:q48_100x")
-                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
-        except Exception as e:
-            print(f"# q48 100x skipped: {e}", file=sys.stderr)
-
-        # dedup posture at 100x (VERDICT r11 task 4: budget-skipped
-        # every round since creation — now in the reserved tail, above
-        # the scheme audit in priority)
+        # dedup posture at 100x FIRST (VERDICT r11 task 4: budget-
+        # skipped every round since creation — it is the cheaper,
+        # more predictable tail point, so it no longer queues behind
+        # q48_100x's variable store-load/first-batch costs)
         if _tail_budget_ok(90):
             try:
                 p_a = _probe(spark, specs, sf_dir)
                 dedup_100x = _dedup_100x(spark)
                 p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# dedup_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
                 if _probe_bad(p_a) or _probe_bad(p_b):
                     dedup_100x["pairs_s_raw"] = dedup_100x.pop("pairs_s")
                     dedup_100x["cluster_s_raw"] = dedup_100x.pop("cluster_s")
@@ -708,6 +722,39 @@ def main() -> None:
         else:
             skipped.append("dedup_100x (budget)")
             print("# dedup 100x skipped: budget", file=sys.stderr)
+
+        try:
+            from tools.gen_stress_sf1 import ensure_dedup_100x
+
+            d100 = ensure_dedup_100x()
+            # ~190s warm (saved store: ~40s load + a slow first timed
+            # batch + the steady batch) / ~400s cold (first run on a
+            # host builds + saves the 100x index); only attempt what
+            # the remaining budget actually covers
+            need = (
+                190
+                if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
+                else 400
+            )
+            if not _tail_budget_ok(need):
+                skipped.append("q48_100x (budget)")
+                print("# q48 100x skipped: budget", file=sys.stderr)
+            else:
+                p_a = _probe(spark, specs, sf_dir)
+                q48_100x = _q48_100x(spark, d100)
+                p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# q48_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    # contended window: raw runs stay, the quotable
+                    # steady-batch number goes null
+                    q48_100x["batch_s"] = None
+                    reasons.append("win:q48_100x")
+                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
+        except Exception as e:
+            print(f"# q48 100x skipped: {e}", file=sys.stderr)
 
     # signature-scheme audit on the sparse-vocab stress corpus: the
     # stress documents (2k-word vocab, 8-100-token docs) flip the
@@ -767,6 +814,12 @@ def main() -> None:
             # the whole run started on a contended host — no window
             # was clean, including the per-point probes themselves
             stress["ratio_10x"] = None
+        if scheme_audit is not None:
+            # del_groups is deterministic and lives in the cache file
+            # + stderr; the JSON line carries only the headline counts
+            scheme_audit = {
+                k: v for k, v in scheme_audit.items() if k != "del_groups"
+            }
         for k, v in (
             ("scheme_audit", scheme_audit),
             ("dedup_100x", dedup_100x),
@@ -789,6 +842,15 @@ def main() -> None:
         "vs ~10-doc reference batches); q16=full exact 5k-doc self-join "
         "vs Dima's 13785ms index build alone; q29=index build at 100k "
         "points + probe + exact verify. See BASELINE.md.",
+        file=sys.stderr,
+    )
+    print(
+        "# r12 plan-build audit (VERDICT r11 task 7, tools/"
+        "prof_plan_build.py): q54 warm fn() 1.5s / q47 1.1s at sf0.1, "
+        "but 5 real Spark jobs each (store/group stats collection) "
+        "dominate — py4j expression construction is not the q21-class "
+        "bottleneck there, and neither query is in the headline/stress "
+        "loops, so no memo added.",
         file=sys.stderr,
     )
     print(

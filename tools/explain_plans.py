@@ -36,6 +36,47 @@ def features(plan: str) -> dict:
     }
 
 
+def plan_texts(df) -> tuple[str, str]:
+    """(per_run, cached) node text of the EXECUTED plan.
+
+    ``executedPlan().toString()`` is the wrong thing to count features
+    on: inner AdaptiveSparkPlans print their Initial plan next to the
+    Final one (double-counting every exchange), and InMemoryRelation
+    prints its full build plan — work that executed ONCE at cache
+    time, not per run (r11 read q59 as '27 exchanges / 18 scans' when
+    its per-run plan has 3 exchanges and 2 cached-index scans; VERDICT
+    r11 task 6 chased a plan shape that never executes). This walks
+    the final executed tree only, descends AQE stages to their final
+    plans, does NOT re-expand ReusedExchange (it executes once), and
+    routes InMemoryTableScan's cached build subtree into the separate
+    ``cached`` text."""
+    root = df._jdf.queryExecution().executedPlan()
+    per_run: list[str] = []
+    cached: list[str] = []
+    stack = [(root, False)]
+    while stack:
+        node, in_cache = stack.pop()
+        name = node.nodeName()
+        buf = cached if in_cache else per_run
+        # scans carry PushedFilters/ReadSchema in their simpleString
+        buf.append(node.simpleString(25) if name.startswith("Scan") else name)
+        if name == "AdaptiveSparkPlan":
+            stack.append((node.executedPlan(), in_cache))
+            continue
+        if name.endswith("QueryStage"):
+            stack.append((node.plan(), in_cache))
+            continue
+        if name == "ReusedExchange":
+            continue
+        if name == "InMemoryTableScan":
+            stack.append((node.relation().cachedPlan(), True))
+            continue
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append((ch.apply(i), in_cache))
+    return "\n".join(per_run), "\n".join(cached)
+
+
 def _captured_batch_plans(spark, specs, name: str) -> list[str]:
     """Run a semi-stream pipeline and capture each micro-batch's
     combined-action executed plan at the attribution seam — the only
@@ -65,22 +106,29 @@ def main() -> None:
     specs = load_all()
     print("# PLANS — physical-plan quality of headline queries (sf0.01)\n")
     print(
-        "| query | broadcast HJ | sort-merge | nested-loop | exchanges | "
-        "pushdown | scan col counts |"
+        "Counts cover PER-RUN work only (final AQE plans; cached-build "
+        "subtrees — executed once at cache time — are the separate "
+        "`cached exch` column).\n"
     )
-    print("|---|---|---|---|---|---|---|")
+    print(
+        "| query | broadcast HJ | sort-merge | nested-loop | exchanges | "
+        "pushdown | scan col counts | cached exch |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for name in specs:
         try:
             df = specs[name].fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            per_run, cached_txt = plan_texts(df)
         except Exception as e:
-            print(f"| {name} | ERROR: {type(e).__name__} | | | | | |")
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | |")
             continue
-        f = features(plan)
+        f = features(per_run)
+        cached_exch = cached_txt.count("Exchange")
         print(
             f"| {name} | {f['broadcast_hash_joins']} | {f['sort_merge_joins']} "
             f"| {f['nested_loop_joins']} | {f['exchanges']} "
-            f"| {'yes' if f['pushed_filters'] else '-'} | {f['scan_widths']} |"
+            f"| {'yes' if f['pushed_filters'] else '-'} | {f['scan_widths']} "
+            f"| {cached_exch or '-'} |"
         )
     # the semi-stream pipelines' plans only exist per batch, INSIDE
     # process_batch (the static rows above can't see them); capture
