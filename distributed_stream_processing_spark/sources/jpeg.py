@@ -197,10 +197,14 @@ def encode_jpeg_baseline(
     quant: list[int] | None = None,
     subsample_420: bool = False,
     restart_interval: int = 0,
+    luma_samp: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal REAL baseline encoder. ``raster``: w*h gray bytes when
     ``gray`` else w*h*3 RGB. Color uses YCbCr, 4:4:4 by default,
-    4:2:0 with ``subsample_420`` (w, h must then be even).
+    4:2:0 with ``subsample_420``; ``luma_samp`` sets the luma (h, v)
+    factors directly — (2,1) = 4:2:2, (1,2) = 4:4:0, (2,2) = 4:2:0 —
+    so every chroma layout the decoder claims is producible (width /
+    height must be divisible by the respective factor).
     ``restart_interval`` > 0 writes a DRI segment and RSTn markers
     every that many MCUs (exercises the decoder's restart path)."""
     q = np.array(quant or QUANT_FLAT16, dtype=np.float64)[
@@ -225,13 +229,12 @@ def encode_jpeg_baseline(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample_420:
-            assert width % 2 == 0 and height % 2 == 0
-            cb = cb.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        hs, vs = luma_samp or ((2, 2) if subsample_420 else (1, 1))
+        if (hs, vs) != (1, 1):
+            assert width % hs == 0 and height % vs == 0
+            cb = cb.reshape(height // vs, vs, width // hs, hs).mean(axis=(1, 3))
+            cr = cr.reshape(height // vs, vs, width // hs, hs).mean(axis=(1, 3))
+        samp = [(hs, vs), (1, 1), (1, 1)]
         planes = [y, cb, cr]
 
     hmax = max(h for h, _ in samp)

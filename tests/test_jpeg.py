@@ -89,10 +89,12 @@ def test_gray_odd_dimensions_cropped():
     assert err.mean() < 8.0
 
 
-@pytest.mark.parametrize("subsample_420", [False, True])
-def test_color_roundtrip(subsample_420):
-    """Smooth color content through YCbCr 4:4:4 and 4:2:0: decode
-    error small (judge smoke measured ~2.0 for 4:4:4)."""
+@pytest.mark.parametrize(
+    "luma_samp", [(1, 1), (2, 2), (2, 1), (1, 2)]
+)  # 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 — every layout the decoder claims
+def test_color_roundtrip(luma_samp):
+    """Smooth color content through every advertised chroma layout:
+    decode error small (judge smoke measured ~2.0 for 4:4:4)."""
     w, h = 32, 32
     yy, xx = np.mgrid[0:h, 0:w]
     rgb = np.stack(
@@ -104,14 +106,14 @@ def test_color_roundtrip(subsample_420):
         axis=2,
     ).astype(np.uint8)
     payload = encode_jpeg_baseline(
-        w, h, rgb.tobytes(), gray=False, subsample_420=subsample_420
+        w, h, rgb.tobytes(), gray=False, luma_samp=luma_samp
     )
     d = decode_jpeg_baseline(payload)
     assert (d["width"], d["height"]) == (w, h)
     got = np.frombuffer(d["raster"], np.uint8).reshape(h, w, 3).astype(float)
     err = np.abs(got - rgb.astype(float))
-    # 4:2:0's nearest-neighbor chroma upsample costs extra at edges
-    assert err.mean() < (6.0 if subsample_420 else 4.0)
+    # subsampling's nearest-neighbor chroma upsample costs extra
+    assert err.mean() < (4.0 if luma_samp == (1, 1) else 6.0)
 
 
 def test_non_baseline_streams_raise_loudly():
@@ -131,6 +133,39 @@ def test_non_baseline_streams_raise_loudly():
     twelve = base[: j + 4] + bytes(body) + base[j + 2 + seglen :]
     with pytest.raises(ValueError, match="12-bit"):
         decode_jpeg_baseline(twelve)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tiles_w=st.integers(1, 6),
+        tiles_h=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def test_exactness_contract_property(tiles_w, tiles_h, seed, rst):
+        """PROPERTY: any grid of constant even-level 8x8 tiles, any
+        restart interval -> bit-exact round-trip (the contract the
+        q37 oracle's doc_id arithmetic relies on)."""
+        rng = np.random.RandomState(seed)
+        tiles = 2 * rng.randint(0, 128, size=(tiles_h, tiles_w))
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        payload = encode_jpeg_baseline(
+            tiles_w * 8,
+            tiles_h * 8,
+            img.tobytes(),
+            gray=True,
+            restart_interval=rst,
+        )
+        assert (_gray_of(decode_jpeg_baseline(payload)) == img).all()
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
 
 
 def test_decoder_skips_appn_and_com_segments():
