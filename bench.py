@@ -490,20 +490,29 @@ def _run_stress(
             times.append(_run_noop(spark, specs, name, d))
         else:
             skipped.append(f"second run {scale}/{name}")
-        # contention tripwire: a 10x min whose implied ratio exceeds
-        # 2x the judge-measured idle expectation means every run so
-        # far was contended (or the engine genuinely regressed) — buy
-        # ONE more run if the budget allows rather than publish a
-        # meaningless ratio, and flag the window if it persists
+        # steady-state convergence for the 10x points: q48's 10x pays
+        # a one-time store build on run 1 AND a bimodal warm-up tail
+        # (isolated fresh-session sequences measured 82/69/31/30 and
+        # 103/22/21 — run 2 is sometimes still 2-3x steady), so a
+        # fixed min-of-2 publishes a cold number and trips the wire on
+        # an idle host. Buy up to TWO more runs while the last two
+        # runs disagree by >30% or the implied ratio is implausible
+        # (>2x the judge-measured idle expectation), budget allowing;
+        # flag the window only if it STAYS implausible.
         base_1x = out[q].get("1x", {}).get("min")
         if sc == "10x" and base_1x:
-            if (
-                min(times) / base_1x > 2 * EXPECTED_10X[q]
+            while (
+                len(times) < 4
                 and time.monotonic() < deadline
+                and (
+                    min(times) / base_1x > 2 * EXPECTED_10X[q]
+                    or abs(times[-1] - times[-2]) > 0.3 * min(times[-2:])
+                )
             ):
                 print(
-                    f"# {scale} {name}: implausible ratio "
-                    f"{min(times) / base_1x:.1f} — extra run",
+                    f"# {scale} {name}: not steady (ratio "
+                    f"{min(times) / base_1x:.1f}, last runs "
+                    f"{times[-2]:.1f}/{times[-1]:.1f}) — extra run",
                     file=sys.stderr,
                 )
                 times.append(_run_noop(spark, specs, name, d))
