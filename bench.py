@@ -86,7 +86,9 @@ EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
 # round since its creation (VERDICT r11 task 4).
 RESERVE_TAIL_S = 280
 # reserved for the closing calibration subprocess at the very end
-CAL_CLOSE_RESERVE_S = 45
+# (quiesce + one ~25 s subprocess, twice when the first reading is
+# bad)
+CAL_CLOSE_RESERVE_S = 65
 
 
 def _run_noop(spark, specs, name: str, d: str) -> float:
@@ -580,8 +582,9 @@ def main() -> None:
     # whole-bench soft deadline: headline timings are never skipped;
     # the stress section's optional pieces degrade past it so the
     # JSON line always lands inside the driver's window. The tail
-    # reserve pays for the q48_100x point + the closing calibration
-    # BEFORE the stress loops can spend that time on second runs.
+    # reserve pays for dedup_100x + the q48_100x point + the closing
+    # calibration BEFORE the stress loops can spend that time on
+    # extra runs.
     # 780 s: the full idle r12 protocol measures ~720 s without the
     # dedup point (cal ~25 + headline ~105 + stress loops ~350 incl.
     # the per-window probes + q48_100x ~190 + fresh-session closing
@@ -800,9 +803,25 @@ def main() -> None:
     # the HOST against the committed idle envelope — the parent
     # session's accumulated state (the r11 cal_end ambiguity) cannot
     # move it. Runs LAST: every published timing is now inside the
-    # bracket. Falls back to the in-session probe (drift rule) if the
+    # bracket. The parent is quiesced first (GC + settle) because its
+    # ContextCleaner draining the 100x audits' blocks IS host load
+    # the subprocess would otherwise read as contention; a bad
+    # reading gets ONE retry after a longer settle before flagging.
+    # Falls back to the in-session probe (drift rule) if the
     # subprocess fails.
+    _gc_level(spark)
+    time.sleep(3)
     cal1, cal_mode = _closing_cal(sf_dir)
+    if cal1 is not None and cal1 > 2 * CAL_IDLE_S:
+        print(
+            f"# closing cal read {cal1:.2f}s — settling + one retry",
+            file=sys.stderr,
+        )
+        _gc_level(spark)
+        time.sleep(10)
+        cal_retry, mode2 = _closing_cal(sf_dir)
+        if cal_retry is not None:
+            cal1, cal_mode = min(cal1, cal_retry), mode2
     if cal1 is not None:
         if cal1 > 2 * CAL_IDLE_S:
             reasons.append("cal_end")
