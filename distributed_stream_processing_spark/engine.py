@@ -289,6 +289,62 @@ class Engine:
     def asof_join(self, left, right, key, left_ts, right_ts, right_cols):
         return asof_join(left, right, key, left_ts, right_ts, right_cols)
 
+    # ---- multimodal columns (training-data extension) ----
+
+    def decode_media(self, media: DataFrame, batch_hint: int = 256) -> DataFrame:
+        """Decode + feature-extract opaque binary media payloads
+        (columns: media_id, media_type, payload) — magic-byte dispatch
+        to the REAL pure-python decoders (PPM / PNG / baseline JPEG /
+        RIFF-WAVE PCM), deterministic pseudo-decode for unknown bytes.
+        Returns (media_id, media_type, width, height, n_frames,
+        duration_ms, feature array<float>)."""
+        from distributed_stream_processing_spark.sources.multimodal import (
+            decode_media,
+        )
+
+        return decode_media(media, batch_hint)
+
+    def frame_sample(self, decoded: DataFrame, every_n: int = 4) -> DataFrame:
+        """Every n-th frame of multi-frame media (JVM-side explode)."""
+        from distributed_stream_processing_spark.sources.multimodal import (
+            frame_sample,
+        )
+
+        return frame_sample(decoded, every_n)
+
+    def resize_plan(self, decoded: DataFrame, max_dim: int = 64) -> DataFrame:
+        """Aspect-preserving resize geometry for image media (pure
+        column arithmetic; pixel resampling belongs in the decode UDF
+        slot)."""
+        from distributed_stream_processing_spark.sources.multimodal import (
+            resize_media,
+        )
+
+        return resize_media(decoded, max_dim)
+
+    # ---- text profiling (training-data extension) ----
+
+    def text_profile(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Per-document language guess, quality score, and token
+        counts — pure column expressions (whole-stage codegen), the
+        q23/q24/q25 surface as one call."""
+        from distributed_stream_processing_spark.functions.text_analysis import (
+            lang_guess,
+            quality_score,
+            regex_token_count,
+            ws_token_count,
+        )
+
+        return df.select(
+            F.col(id_col),
+            lang_guess(text_col).alias("lang_guess"),
+            quality_score(text_col).alias("quality_score"),
+            ws_token_count(text_col).alias("ws_tokens"),
+            regex_token_count(text_col).alias("regex_tokens"),
+        )
+
     # ---- result sinks (S11: saveAsTextFile parity) ----
 
     def save(

@@ -139,3 +139,39 @@ def test_engine_repetition_signals(eng, spark, sf_smoke):
         assert 0.0 <= r.distinct_token_frac <= 1.0
         assert 0.0 <= r.top_bigram_frac <= 1.0
         assert 0.0 <= r.dup_trigram_frac <= 1.0
+
+
+def test_engine_multimodal_pipeline(eng, spark, sf_smoke):
+    """decode_media / frame_sample / resize_plan via the facade —
+    the whole multimodal surface reachable from one Engine object."""
+    from distributed_stream_processing_spark.sources.multimodal import (
+        media_table,
+    )
+
+    media = media_table(spark, sf_smoke)
+    decoded = eng.decode_media(media)
+    assert {"media_id", "media_type", "width", "height", "feature"} <= set(
+        decoded.columns
+    )
+    n = decoded.count()
+    assert n == 500
+    frames = eng.frame_sample(decoded, every_n=4)
+    assert frames.filter("frame_no % 4 != 0").count() == 0
+    rs = eng.resize_plan(decoded, max_dim=64)
+    bad = rs.filter("new_width > 64 OR new_height > 64").count()
+    assert bad == 0
+    # non-image rows are excluded from the resize plan
+    assert rs.filter("media_type NOT LIKE 'image/%'").count() == 0
+
+
+def test_engine_text_profile(eng, spark, sf_smoke):
+    docs = Catalog(spark, sf_smoke).documents
+    out = eng.text_profile(docs)
+    assert set(out.columns) == {
+        "doc_id", "lang_guess", "quality_score", "ws_tokens", "regex_tokens",
+    }
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.ws_tokens >= 0 and r.regex_tokens >= 0
+        assert 0.0 <= r.quality_score <= 1.0
