@@ -84,11 +84,12 @@ EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
 # top. dedup runs FIRST in the tail: it is the cheaper, more
 # predictable point and the one the budget had squeezed out in every
 # round since its creation (VERDICT r11 task 4).
-RESERVE_TAIL_S = 280
-# reserved for the closing calibration subprocess at the very end
-# (quiesce + one ~25 s subprocess, twice when the first reading is
-# bad)
-CAL_CLOSE_RESERVE_S = 65
+RESERVE_TAIL_S = 360
+# reserved for the closing calibration at the very end: quiesce + one
+# ~25 s subprocess, twice when the first reading is bad (the
+# subprocess itself is capped at 60 s so a hung Spark startup can't
+# eat minutes of the driver's capture window)
+CAL_CLOSE_RESERVE_S = 80
 
 
 def _run_noop(spark, specs, name: str, d: str) -> float:
@@ -171,7 +172,9 @@ def _closing_cal(sf_dir: str) -> tuple[float | None, str]:
             [sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            timeout=150,
+            # a healthy probe takes ~22 s incl. session startup; a
+            # hung startup must not eat the driver's capture window
+            timeout=60,
             env=env,
         )
         for ln in r.stdout.splitlines():
@@ -326,14 +329,19 @@ def _q48_100x(spark, d100: str) -> dict:
             "noop"
         ).save()
         j.flush_attribution()
-        batch_runs, n_out = [], 0
+        batch_runs, n_outs = [], []
         for b in (1, 2):
             t0 = time.monotonic()
             out = j.process_batch(probes[b], b)
-            n_out = out.count()
+            n_outs.append(out.count())
             j.flush_attribution()
             batch_runs.append(round(time.monotonic() - t0, 3))
-        assert n_out > 0, "steady probe batch verified no pairs (fixture drift?)"
+        # EVERY timed batch must verify pairs (both probe sets carry
+        # the planted exact dups) — a zero means fixture drift and the
+        # published batch_s would be timing a match-free workload
+        assert min(n_outs) > 0, (
+            f"timed probe batch verified no pairs (fixture drift?): {n_outs}"
+        )
         # deduped candidate-pair count for the steady batch's probe —
         # the workload-growth denominator for reading batch_s. It is
         # DETERMINISTIC on the fixed fixture, so it is computed once
@@ -356,13 +364,16 @@ def _q48_100x(spark, d100: str) -> dict:
                 json.dump({"cand": n_cand}, f)
         # stored_docs=350k / probe_docs=500 are protocol constants —
         # documented in BASELINE.md's 100x table, not repeated here
-        # (the JSON line has a hard byte budget)
+        # (the JSON line has a hard byte budget). cand is batch 1's
+        # probe; the two timed probe sets are symmetric (500 planted
+        # exact dups each), so it describes both batches' workload —
+        # out_rows (min over the batches) pins that symmetry.
         return {
             ("build_s" if built else "load_s"): index_s,
             "batch_s": min(batch_runs),
             "batch_runs": batch_runs,
             "cand": n_cand,
-            "out_rows": n_out,
+            "out_rows": min(n_outs),
         }
     finally:
         j.sig_store.unpersist()
@@ -706,8 +717,14 @@ def main() -> None:
     # reference's own scaling axis (DSim-Join/README.md:14)
     q48_100x = None
     dedup_100x = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.environ.get(
-        "SPARK_GRAFT_SKIP_100X"
+    # the 100x audits publish inside the sf1_stress JSON section, so
+    # when the stress fixtures themselves failed (stress is None)
+    # there is nowhere to attach their results — don't burn ~5 min of
+    # audit work that would be silently discarded
+    if (
+        stress is not None
+        and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
+        and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
         # dedup posture at 100x FIRST (VERDICT r11 task 4: budget-
         # skipped every round since creation — it is the cheaper,

@@ -22,6 +22,7 @@ from distributed_stream_processing_spark.operators.subsequence_match import (
     znorm_d2_sql,
 )
 from distributed_stream_processing_spark.plans.registry import query
+from distributed_stream_processing_spark.session import session_key
 
 QSTART, QLEN = 1000, 100
 EPS_ED = 575.0
@@ -63,7 +64,7 @@ _QUERY_MEMO: dict[tuple[int, str], tuple[list[float], int]] = {}
 
 
 def _query_values(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _QUERY_MEMO:
         s = series_df(spark, sf_dir)
         n = s.count()
@@ -91,7 +92,7 @@ _INDEX_MEMO: dict[tuple[int, str, tuple[int, ...]], DataFrame] = {}
 def shared_index(
     spark: SparkSession, sf_dir: str, widths: tuple[int, ...] = (100,)
 ) -> DataFrame:
-    key = (id(spark), sf_dir, widths)
+    key = (session_key(spark), sf_dir, widths)
     if key not in _INDEX_MEMO:
         _INDEX_MEMO[key] = build_kv_index(
             series_df(spark, sf_dir), widths, value_scale=100

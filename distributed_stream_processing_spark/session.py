@@ -55,3 +55,15 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity of the session's SparkContext for memo keys.
+
+    Module-level memos holding JVM handles (DataFrames, Columns) must
+    not key by ``id(spark)``: a stop()+recreate in one Python process
+    can recycle the id and serve dead py4j references (and even
+    without recycling, stale entries never invalidate). applicationId
+    is unique per context lifetime (ADVICE r11 on dedup's expression
+    memo — this is the shared helper for every such site)."""
+    return spark.sparkContext.applicationId

@@ -58,8 +58,16 @@ def plan_texts(df) -> tuple[str, str]:
         node, in_cache = stack.pop()
         name = node.nodeName()
         buf = cached if in_cache else per_run
-        # scans carry PushedFilters/ReadSchema in their simpleString
-        buf.append(node.simpleString(25) if name.startswith("Scan") else name)
+        # scans carry PushedFilters/ReadSchema in their simpleString;
+        # ReusedExchange executes no per-run shuffle work, and its
+        # literal name would inflate the substring-based exchange
+        # count — record it under a non-matching label
+        if name.startswith("Scan"):
+            buf.append(node.simpleString(25))
+        elif name == "ReusedExchange":
+            buf.append("ReusedXchg")
+        else:
+            buf.append(name)
         if name == "AdaptiveSparkPlan":
             stack.append((node.executedPlan(), in_cache))
             continue
