@@ -756,12 +756,13 @@ def main() -> None:
             from tools.gen_stress_sf1 import ensure_dedup_100x
 
             d100 = ensure_dedup_100x()
-            # ~190s warm (saved store: ~40s load + a slow first timed
-            # batch + the steady batch) / ~400s cold (first run on a
-            # host builds + saves the 100x index); only attempt what
-            # the remaining budget actually covers
+            # ~130s warm (saved store ~10-30s load + two timed batches
+            # ~20-45s each; the cand count is cached after the first
+            # run) / ~400s cold (first run on a host builds + saves
+            # the 100x index); only attempt what the remaining budget
+            # actually covers
             need = (
-                190
+                130
                 if os.path.isdir(os.path.join(d100, "q48store", "sigs"))
                 else 400
             )

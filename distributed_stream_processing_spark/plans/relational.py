@@ -394,22 +394,17 @@ def q14_length_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q51_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-           round(quantile_cont(l_quantity, 0.5), 4)       AS qty_p50
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc=(
-        "Exact interpolated percentiles per group (percentile / "
-        "quantile_cont agree on linear interpolation); the approximate "
-        "path at scale is percentile_approx."
-    ),
-)
+# q51_percentiles was retired in round 12 to free its card slot for
+# q60_stream_watermark_late_data (the W3 watermark/late-data gate —
+# real engine capability vs a plain built-in): exact interpolated
+# percentiles are pure `F.percentile` / DuckDB `quantile_cont` with no
+# custom engine code on the path, and the card holds only the first
+# 50 registered queries (tests/test_registry_window.py). The function
+# remains callable (and pytest-covered) for the API surface.
 def q51_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile /
+    quantile_cont agree on linear interpolation); the approximate
+    path at scale is percentile_approx."""
     li = _cat(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),

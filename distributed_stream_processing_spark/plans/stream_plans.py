@@ -90,6 +90,74 @@ def q34_stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q60_stream_watermark_late_data",
+    oracle="""
+    WITH stats AS (SELECT max(ts) AS maxts, count(*) AS n FROM events),
+    kept AS (
+      SELECT ts, value FROM events, stats
+      WHERE NOT (event_id % 101 = 7 AND event_id < n // 4)
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws_epoch,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+      FROM kept GROUP BY 1
+    )
+    SELECT ws_epoch, n_events, value_cents
+    FROM agg, stats
+    WHERE ws_epoch + 300 <= epoch(maxts) - 600
+    """,
+    doc=(
+        "W3 watermark/late-data END-TO-END (the capability the "
+        "reference lacks — it is processing-time only): events "
+        "replayed as 4 TIME-ORDERED micro-batches with a deterministic "
+        "late subset (first-quarter rows, event_id % 101 == 7) moved "
+        "into the last batch, far behind the 10-minute watermark the "
+        "on-time batches advanced. Append-mode 5-minute tumbling "
+        "windows must (a) DROP the late rows and (b) emit exactly the "
+        "windows finalized by the final watermark — both reproduced "
+        "in DuckDB from the same arithmetic (late set from event_id, "
+        "watermark = max ts - 10 min, emission = window end <= "
+        "watermark). Exact integer-cents sums, no float order slack."
+    ),
+)
+def q60_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.sources.stream import (
+        stage_time_ordered_late,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    glob = stage_time_ordered_late(spark, sf_dir, f"wm_late_{tag}")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            "n_events",
+            "value_cents",
+        )
+    )
+    return drain_stream(
+        agg,
+        f"wm_late_{tag}",
+        "append",
+        checkpoint=f"/root/repo/.tmp/streams/ckpt_wm_late_{tag}",
+    )
+
+
+@query(
     "q55_stream_user_totals_stateful",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,45 @@ def stage_stream_files(
         .parquet(path)
     )
     return path
+
+
+def stage_time_ordered_late(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 4,
+    late_mod: int = 101,
+    late_rem: int = 7,
+) -> str:
+    """Stage events as ``n_files`` TIME-ORDERED parquet file groups
+    (event_id order == ts order in the fixture), with a deterministic
+    LATE subset — first-quarter rows with
+    ``event_id % late_mod == late_rem`` — moved into the LAST file:
+    the replay shape watermark semantics need (on-time batches advance
+    the watermark, then genuinely late rows arrive behind it).
+
+    The file source orders new files by MODIFICATION TIME, not path,
+    so each group's files get strictly increasing mtimes; returns the
+    glob to readStream."""
+    ev = Catalog(spark, sf_dir).events.select("event_id", "ts", "value")
+    n = ev.count()
+    q = max(1, n // n_files)
+    path = f"{_SCRATCH}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    late = (F.col("event_id") % late_mod == late_rem) & (F.col("event_id") < q)
+    bucket = F.least(F.lit(n_files - 1), F.floor(F.col("event_id") / q))
+    for k in range(n_files):
+        part = ev.filter((bucket == k) & ~late)
+        if k == n_files - 1:
+            part = part.unionByName(ev.filter(late))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{path}/f{k}")
+    base = time.time() - 10 * n_files
+    for k in range(n_files):
+        d = f"{path}/f{k}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (base + 10 * k, base + 10 * k))
+    return f"{path}/f*"
 
 
 def read_events_stream(

@@ -29,6 +29,7 @@ def test_newest_gates_on_card():
         "q57_dedup_spans",
         "q58_repetition_signals",
         "q59_subseq_match_dp",
+        "q60_stream_watermark_late_data",
     ):
         assert name in specs, f"{name} missing from registry"
         assert specs[name].oracle, f"{name} must carry an exact oracle"

@@ -87,3 +87,30 @@ def test_q01_pushdown(spark, specs, sf_smoke):
     df = specs["q01_pricing_summary"].fn(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_percentiles_match_numpy(spark, sf_smoke):
+    """q51's function stays API-covered after its card retirement
+    (round 12, slot freed for the q60 watermark gate): exact
+    interpolated percentiles must match numpy's linear interpolation."""
+    import numpy as np
+
+    from distributed_stream_processing_spark.catalog import Catalog
+    from distributed_stream_processing_spark.plans.relational import (
+        q51_percentiles,
+    )
+
+    out = {r.l_returnflag: r for r in q51_percentiles(spark, sf_smoke).collect()}
+    li = Catalog(spark, sf_smoke).lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, ([], []))
+        by_flag[r.l_returnflag][0].append(r.l_extendedprice)
+        by_flag[r.l_returnflag][1].append(r.l_quantity)
+    assert set(out) == set(by_flag)
+    for flag, (prices, qtys) in by_flag.items():
+        assert out[flag].p50 == round(float(np.percentile(prices, 50)), 4)
+        assert out[flag].p95 == round(float(np.percentile(prices, 95)), 4)
+        assert out[flag].qty_p50 == round(float(np.percentile(qtys, 50)), 4)
