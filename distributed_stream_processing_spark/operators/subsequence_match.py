@@ -121,15 +121,24 @@ def sliding_stats(
 
 
 def _index_runs(
-    series: DataFrame, w: int, value_scale: int | None, chunk: int = 8192
+    series: DataFrame,
+    widths: tuple[int, ...],
+    value_scale: int | None,
+    chunk: int = 8192,
 ) -> DataFrame:
-    """(mr, pos_start, pos_end) runs of equal grid-rounded mean,
-    detected PER CHUNK inside the overlap-replicated applyInPandas —
-    runs that span a chunk boundary come out split and are re-joined
-    by the caller's merge_intervals pass. No stage ever holds the
-    whole series in one task (the round-1 W.partitionBy(lit(w))
-    single-partition Window is gone)."""
-    n_copy = w - 1
+    """(w, mr, pos_start, pos_end) runs of equal grid-rounded mean for
+    EVERY width in one pass: the series is scanned twice total (owned
+    rows + a max(widths)-1 overlap replication) and shuffled ONCE by
+    chunk, and the per-chunk numpy kernel emits all widths' runs —
+    before r12 each width paid its own 2 scans + shuffle, which is
+    2k scans of the series for k widths, the wrong shape for a 100 TB
+    build (A5-A7, IndexBuilder.java:62-302 builds per width too but
+    over a local file). Runs that span a chunk boundary come out
+    split and are re-joined by the caller's merge_intervals pass. No
+    stage ever holds the whole series in one task (the round-1
+    W.partitionBy(lit(w)) single-partition Window is gone)."""
+    widths = tuple(sorted(set(widths)))
+    n_copy = max(widths) - 1
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos")
@@ -137,34 +146,54 @@ def _index_runs(
         val = pdf["value"].to_numpy(dtype=np.float64)
         base = int(pdf["chunk_id"].iloc[0]) * chunk
         hi = base + chunk
-        empty = pd.DataFrame({"mr": [], "pos_start": [], "pos_end": []}).astype(
-            {"pos_start": "int64", "pos_end": "int64"}
-        )
-        if len(val) < w:
-            return empty
-        starts = pos[: len(val) - w + 1]
-        own = (starts >= base) & (starts < hi) & (pos[w - 1 :] == starts + w - 1)
-        if not own.any():
-            return empty
         if value_scale is not None:
             vi = np.rint(val * value_scale).astype(np.int64)
             ci = np.concatenate(([0], np.cumsum(vi)))
-            s1i = (ci[w:] - ci[:-w])[own]
-            mr = np.floor(s1i / float(value_scale * w * _GRID)) * _GRID
         else:
             c1 = np.concatenate(([0.0], np.cumsum(val)))
-            mean = ((c1[w:] - c1[:-w]) / w)[own]
-            mr = np.floor(mean / _GRID) * _GRID
-        st = starts[own]
-        brk = np.flatnonzero((mr[1:] != mr[:-1]) | (st[1:] != st[:-1] + 1)) + 1
-        seg = np.concatenate(([0], brk, [len(st)]))
-        return pd.DataFrame(
-            {
-                "mr": mr[seg[:-1]],
-                "pos_start": st[seg[:-1]],
-                "pos_end": st[seg[1:] - 1],
-            }
-        )
+        frames = []
+        for w in widths:
+            if len(val) < w:
+                continue
+            starts = pos[: len(val) - w + 1]
+            # a start is owned by this chunk and contiguous through
+            # its window; the overlap replication is sized for the
+            # LARGEST width, which only adds tail rows smaller widths
+            # ignore (their non-owned starts are masked out)
+            own = (
+                (starts >= base)
+                & (starts < hi)
+                & (pos[w - 1 :] == starts + w - 1)
+            )
+            if not own.any():
+                continue
+            if value_scale is not None:
+                s1i = (ci[w:] - ci[:-w])[own]
+                mr = np.floor(s1i / float(value_scale * w * _GRID)) * _GRID
+            else:
+                mean = ((c1[w:] - c1[:-w]) / w)[own]
+                mr = np.floor(mean / _GRID) * _GRID
+            st = starts[own]
+            brk = (
+                np.flatnonzero((mr[1:] != mr[:-1]) | (st[1:] != st[:-1] + 1))
+                + 1
+            )
+            seg = np.concatenate(([0], brk, [len(st)]))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "w": np.full(len(seg) - 1, w, dtype=np.int32),
+                        "mr": mr[seg[:-1]],
+                        "pos_start": st[seg[:-1]],
+                        "pos_end": st[seg[1:] - 1],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"w": [], "mr": [], "pos_start": [], "pos_end": []}
+            ).astype({"w": "int32", "pos_start": "int64", "pos_end": "int64"})
+        return pd.concat(frames, ignore_index=True)
 
     owned = series.select(
         F.col("pos").cast("bigint").alias("pos"),
@@ -184,7 +213,8 @@ def _index_runs(
         owned.unionByName(spill)
         .groupBy("chunk_id")
         .applyInPandas(
-            per_chunk, schema="mr double, pos_start long, pos_end long"
+            per_chunk,
+            schema="w int, mr double, pos_start long, pos_end long",
         )
     )
 
@@ -199,6 +229,9 @@ def build_kv_index(
     re-derived as per-chunk run detection + a distributed
     merge_intervals pass that re-joins boundary-spanning runs; the
     merge shuffles by (w, mr) — many small groups, never one task).
+    ALL widths build from ONE scan+shuffle pass (r12): 2 series scans
+    total instead of 2 per width — the build shape that holds when
+    the series is 100 TB.
 
     With ``value_scale`` set, mr comes from the exact integer window
     sum — floor(sum_scaled / (scale*w*GRID)) * GRID — so the grid
@@ -208,21 +241,12 @@ def build_kv_index(
         merge_intervals,
     )
 
-    parts = []
-    for w in widths:
-        runs = _index_runs(series, w, value_scale).withColumn(
-            "w", F.lit(w).cast("int")
-        )
-        # within-chunk runs are maximal, so only integer-adjacent
-        # same-mr runs (chunk boundaries) can merge under gap=1
-        merged = merge_intervals(
-            runs, ["w", "mr"], "pos_start", "pos_end", merge_gap=1
-        ).drop("n_merged")
-        parts.append(merged.select("w", "mr", "pos_start", "pos_end"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    runs = _index_runs(series, widths, value_scale)
+    # within-chunk runs are maximal, so only integer-adjacent same-mr
+    # runs (chunk boundaries) can merge under gap=1
+    return merge_intervals(
+        runs, ["w", "mr"], "pos_start", "pos_end", merge_gap=1
+    ).drop("n_merged").select("w", "mr", "pos_start", "pos_end")
 
 
 def save_kv_index(index: DataFrame, path: str, mode: str = "overwrite") -> None:
