@@ -86,10 +86,11 @@ EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
 # round since its creation (VERDICT r11 task 4).
 RESERVE_TAIL_S = 360
 # reserved for the closing calibration at the very end: quiesce + one
-# ~25 s subprocess, twice when the first reading is bad (the
-# subprocess itself is capped at 60 s so a hung Spark startup can't
-# eat minutes of the driver's capture window)
-CAL_CLOSE_RESERVE_S = 80
+# ~25 s subprocess, twice when the first reading is bad; the worst
+# case is two subprocesses each at their 60 s cap plus settles
+# (~135 s), and under-reserving here pushes the JSON line toward the
+# edge of the driver's capture window — the one unacceptable failure
+CAL_CLOSE_RESERVE_S = 140
 
 
 def _run_noop(spark, specs, name: str, d: str) -> float:

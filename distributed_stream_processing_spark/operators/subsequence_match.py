@@ -139,6 +139,15 @@ def _index_runs(
     W.partitionBy(lit(w)) single-partition Window is gone)."""
     widths = tuple(sorted(set(widths)))
     n_copy = max(widths) - 1
+    if n_copy > chunk:
+        # the overlap replication reaches exactly ONE chunk back, so a
+        # window spanning >1 boundary would silently fail the
+        # contiguity mask and its runs would be MISSING from the index
+        # (breaking the probe's exactness guarantee) — refuse loudly
+        raise ValueError(
+            f"index width {max(widths)} exceeds the chunk overlap bound "
+            f"(chunk={chunk}); raise chunk= to at least width-1"
+        )
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos")

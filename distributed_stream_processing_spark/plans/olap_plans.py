@@ -11,7 +11,10 @@ from distributed_stream_processing_spark.catalog import Catalog
 from distributed_stream_processing_spark.functions.text import tokens
 from distributed_stream_processing_spark.operators.similarity_search import ivf_topk
 from distributed_stream_processing_spark.plans.registry import query
-from distributed_stream_processing_spark.session import session_key
+from distributed_stream_processing_spark.session import (
+    evict_stale_sessions,
+    session_key,
+)
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -111,7 +114,9 @@ def q48_semi_stream_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
     stream = base.filter(F.col("id") % 10 < 3)
     stored = base.filter(F.col("id") % 10 >= 3)
-    key = (session_key(spark), sf_dir)
+    sk = session_key(spark)
+    evict_stale_sessions(_SIM_STORE_MEMO, sk)
+    key = (sk, sf_dir)
     if key not in _SIM_STORE_MEMO:
         _SIM_STORE_MEMO[key] = build_similarity_store(stored, Fraction(3, 4))
     return run_semi_stream_similarity(

@@ -22,7 +22,10 @@ from distributed_stream_processing_spark.operators.subsequence_match import (
     znorm_d2_sql,
 )
 from distributed_stream_processing_spark.plans.registry import query
-from distributed_stream_processing_spark.session import session_key
+from distributed_stream_processing_spark.session import (
+    evict_stale_sessions,
+    session_key,
+)
 
 QSTART, QLEN = 1000, 100
 EPS_ED = 575.0
@@ -60,11 +63,13 @@ def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CsvTester.java:30-45), so re-paying its count+collect on every bench
 # run measured fixture IO, not the operator — ~0.44 s of q29's ~1.2 s
 # headline was this (VERDICT r6 task 6)
-_QUERY_MEMO: dict[tuple[int, str], tuple[list[float], int]] = {}
+_QUERY_MEMO: dict[tuple[str, str], tuple[list[float], int]] = {}
 
 
 def _query_values(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
-    key = (session_key(spark), sf_dir)
+    sk = session_key(spark)
+    evict_stale_sessions(_QUERY_MEMO, sk)
+    key = (sk, sf_dir)
     if key not in _QUERY_MEMO:
         s = series_df(spark, sf_dir)
         n = s.count()
@@ -86,13 +91,15 @@ def _query_values(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
 # serves both. Keyed per (session, sf_dir); cache() stands in for the
 # reference's on-disk index file — save_kv_index/load_kv_index are the
 # durable twin (tests/test_subsequence_match.py round-trip).
-_INDEX_MEMO: dict[tuple[int, str, tuple[int, ...]], DataFrame] = {}
+_INDEX_MEMO: dict[tuple[str, str, tuple[int, ...]], DataFrame] = {}
 
 
 def shared_index(
     spark: SparkSession, sf_dir: str, widths: tuple[int, ...] = (100,)
 ) -> DataFrame:
-    key = (session_key(spark), sf_dir, widths)
+    sk = session_key(spark)
+    evict_stale_sessions(_INDEX_MEMO, sk)
+    key = (sk, sf_dir, widths)
     if key not in _INDEX_MEMO:
         _INDEX_MEMO[key] = build_kv_index(
             series_df(spark, sf_dir), widths, value_scale=100

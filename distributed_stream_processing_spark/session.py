@@ -67,3 +67,13 @@ def session_key(spark: SparkSession) -> str:
     is unique per context lifetime (ADVICE r11 on dedup's expression
     memo — this is the shared helper for every such site)."""
     return spark.sparkContext.applicationId
+
+
+def evict_stale_sessions(memo: dict, current_key: str) -> None:
+    """Drop memo entries belonging to DEAD contexts: keys are tuples
+    whose first element is a session_key. Without this, a long-lived
+    Python process that stops and recreates sessions accumulates one
+    set of dead py4j handles per context lifetime."""
+    for k in list(memo):
+        if k[0] != current_key:
+            del memo[k]

@@ -56,19 +56,28 @@ def stage_time_ordered_late(
     The file source orders new files by MODIFICATION TIME, not path,
     so each group's files get strictly increasing mtimes; returns the
     glob to readStream."""
-    ev = Catalog(spark, sf_dir).events.select("event_id", "ts", "value")
-    n = ev.count()
-    q = max(1, n // n_files)
-    path = f"{_SCRATCH}/{name}"
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    late = (F.col("event_id") % late_mod == late_rem) & (F.col("event_id") < q)
-    bucket = F.least(F.lit(n_files - 1), F.floor(F.col("event_id") / q))
-    for k in range(n_files):
-        part = ev.filter((bucket == k) & ~late)
-        if k == n_files - 1:
-            part = part.unionByName(ev.filter(late))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{path}/f{k}")
+    # cache for the staging loop: the count + n_files filtered writes
+    # otherwise re-scan the events table once each (n_files+1 scans —
+    # the build-shape lesson from build_kv_index applies to staging
+    # too)
+    ev = Catalog(spark, sf_dir).events.select("event_id", "ts", "value").cache()
+    try:
+        n = ev.count()
+        q = max(1, n // n_files)
+        path = f"{_SCRATCH}/{name}"
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        late = (F.col("event_id") % late_mod == late_rem) & (
+            F.col("event_id") < q
+        )
+        bucket = F.least(F.lit(n_files - 1), F.floor(F.col("event_id") / q))
+        for k in range(n_files):
+            part = ev.filter((bucket == k) & ~late)
+            if k == n_files - 1:
+                part = part.unionByName(ev.filter(late))
+            part.coalesce(1).write.mode("overwrite").parquet(f"{path}/f{k}")
+    finally:
+        ev.unpersist()
     base = time.time() - 10 * n_files
     for k in range(n_files):
         d = f"{path}/f{k}"
