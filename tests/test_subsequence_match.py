@@ -473,3 +473,33 @@ def test_t11_early_stop_keeps_results_exact(spark, series):
         ).collect()
     }
     assert cut == full and len(full) > 0
+
+
+def test_index_mr_values_match_numpy(spark, series):
+    """The one-pass multi-width kernel's grid assignment must equal a
+    global numpy reference per width (positions are covered by
+    test_index_covers_all_positions; this pins the VALUES — exact
+    integer window sums, floor to the 0.25 grid)."""
+    df, arr = series
+    idx = build_kv_index(df, widths=(25, 50), value_scale=100)
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        _GRID,
+    )
+
+    vi = np.rint(arr * 100).astype(np.int64)
+    ci = np.concatenate(([0], np.cumsum(vi)))
+    for w in (25, 50):
+        want = np.floor((ci[w:] - ci[:-w]) / float(100 * w * _GRID)) * _GRID
+        got = np.empty(N - w + 1)
+        for r in idx.filter(F.col("w") == w).collect():
+            got[r.pos_start : r.pos_end + 1] = r.mr
+        assert (got == want).all()
+
+
+def test_index_width_exceeding_chunk_overlap_raises(spark, series):
+    df, _ = series
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk overlap bound"):
+        # default chunk=8192: a width of 8194 spans two boundaries
+        build_kv_index(df, widths=(25, 8194), value_scale=100).count()
