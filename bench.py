@@ -74,9 +74,13 @@ IDLE_SPREAD_S = {
     "q48_semi_stream_similarity": 2.0,
 }
 IDLE_SPREAD_DEFAULT_S = 0.8
-# judge-measured idle 10x ratios on the splittable fixtures (r11:
-# q21 1.66 / q29 1.19 / q48 2.20); tripwire fires at 2x these
-EXPECTED_10X = {"q21": 2.0, "q29": 1.6, "q48": 2.6}
+# expected idle 10x ratios on the splittable fixtures: the center of
+# the r12 validated clean-window ranges (q21 1.73-3.02 / q29
+# 1.13-2.15 / q48 2.01-3.52 across five full-protocol runs; judge r11
+# idle truths 1.66 / 1.19 / 2.20 sit at the low ends). The tripwire
+# fires at 2x these — comfortably above every clean reading, well
+# below genuine contention (r11 contended q48 computed 7.7).
+EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 2.8}
 # reserved tail budget: dedup_100x (~60-90 s) + the q48_100x point
 # (~160-190 s measured warm: 40 s store load + a slow first timed
 # batch + the steady batch) + the closing calibration — the pieces
