@@ -296,8 +296,11 @@ class Engine:
         (columns: media_id, media_type, payload) — magic-byte dispatch
         to the REAL pure-python decoders (PPM / PNG / baseline JPEG /
         RIFF-WAVE PCM), deterministic pseudo-decode for unknown bytes.
-        Returns (media_id, media_type, width, height, n_frames,
-        duration_ms, feature array<float>)."""
+        Recognized-but-corrupt payloads never raise: they take the
+        pseudo-decode fallback with decode_ok=false (one bad file in a
+        100 TB corpus must be countable, not fatal). Returns (media_id,
+        media_type, width, height, n_frames, duration_ms,
+        feature array<float>, decode_ok boolean)."""
         from distributed_stream_processing_spark.sources.multimodal import (
             decode_media,
         )
@@ -313,9 +316,14 @@ class Engine:
         return frame_sample(decoded, every_n)
 
     def resize_plan(self, decoded: DataFrame, max_dim: int = 64) -> DataFrame:
-        """Aspect-preserving resize geometry for image media (pure
-        column arithmetic; pixel resampling belongs in the decode UDF
-        slot)."""
+        """GEOMETRY ONLY — no pixel resampling. Computes the
+        aspect-preserving integer target dimensions (new_width,
+        new_height with max side == max_dim, never upscaled) as pure
+        column arithmetic. Actual pixel resampling belongs in the
+        decode UDF slot with an image library (PIL), which this
+        container intentionally lacks; a user needing resampled bytes
+        plugs a Pandas UDF consuming (payload, new_width, new_height).
+        """
         from distributed_stream_processing_spark.sources.multimodal import (
             resize_media,
         )

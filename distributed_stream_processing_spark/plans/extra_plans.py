@@ -155,7 +155,8 @@ _DUCK_MEDIA_CTE = """
            CAST(height AS BIGINT) AS height,
            CAST(n_frames AS BIGINT) AS n_frames,
            CAST(duration_ms AS BIGINT) AS duration_ms,
-           feature_bytes
+           feature_bytes,
+           TRUE AS decode_ok
     FROM m
     """,
     doc=(
@@ -165,7 +166,10 @@ _DUCK_MEDIA_CTE = """
         "metadata + 8-dim features. The "
         "synthesized pixel/sample content yields dyadic-exact features, "
         "so the oracle reproduces the decode results from doc_id "
-        "arithmetic alone (serialized to bytes — arrays crash the gate)."
+        "arithmetic alone (serialized to bytes — arrays crash the gate). "
+        "decode_ok gates the corrupt-payload guard: constant TRUE on "
+        "the clean fixture, so a guard regression that misroutes good "
+        "payloads to the pseudo-decode fails this query's hash."
     ),
 )
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +182,7 @@ def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
         _feature_bytes(F.col("feature")).alias("feature_bytes"),
+        "decode_ok",
     )
 
 
@@ -223,7 +228,8 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END AS BIGINT) AS new_width,
            CAST(CASE WHEN media_type LIKE 'image/%'
                 THEN greatest(1, CAST(floor(height * least(1.0, 64 / greatest(width, height))) AS INT))
-                END AS BIGINT) AS new_height
+                END AS BIGINT) AS new_height,
+           TRUE AS decode_ok
     FROM m
     """,
     doc=(
@@ -245,6 +251,7 @@ def q50_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("height"),
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        "decode_ok",
     )
     rs = resize_media(decoded, max_dim=64).select(
         F.col("media_id").cast("bigint").alias("media_id"),

@@ -338,8 +338,14 @@ class _BitReader:
                 self.acc = (self.acc << 8) & 0xFFFFFFFF
                 self.n += 8
                 continue
+            if self.pos >= len(d):
+                # truncated payload: fail loudly with the decoder's
+                # uniform contract, not IndexError (ADVICE r12)
+                raise ValueError("truncated JPEG entropy segment")
             b = d[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    raise ValueError("truncated JPEG entropy segment")
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
@@ -364,8 +370,17 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Consume an RSTn marker and realign to a byte boundary."""
-        assert self.marker is not None and 0xD0 <= self.marker <= 0xD7
+        """Consume an RSTn marker and realign to a byte boundary.
+
+        ValueError (not assert) on an unexpected/absent marker: a
+        corrupt stream whose entropy segment hits a restart boundary
+        with a non-RST marker must fail the decoder's uniform contract
+        — and the check must survive ``python -O`` (ADVICE r12)."""
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError(
+                f"expected RSTn marker at restart boundary, got "
+                f"{'none' if self.marker is None else hex(self.marker)}"
+            )
         self.pos += 2
         self.marker = None
         self.acc = 0
@@ -421,6 +436,8 @@ def decode_jpeg_baseline(payload: bytes) -> dict:
     frame = None
     restart_interval = 0
     while True:
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (no SOS reached)")
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
@@ -429,6 +446,8 @@ def decode_jpeg_baseline(payload: bytes) -> dict:
             continue
         if marker == 0xD9:
             raise ValueError("EOI before scan data")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + seglen]
         end = pos + seglen

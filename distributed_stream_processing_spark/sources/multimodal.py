@@ -14,7 +14,10 @@ decoders — no image/audio library needed:
 Payloads whose magic bytes match none of these (arbitrary bytes, or a
 format outside the advertised set) fall to a deterministic
 sha256-derived pseudo-decode so unknown bytes still flow through the
-pipeline reproducibly instead of erroring.
+pipeline reproducibly instead of erroring. Recognized-but-CORRUPT
+payloads (truncated raster, garbage after SOI, ...) take the same
+fallback with ``decode_ok = False`` — at 100 TB a single bad file must
+never fail the job; it must be countable (see ``_decode_one``).
 
 ``media_table`` synthesizes REAL encoded payloads (doc_id-seeded
 pixel/sample content) so the driver gates verify actual decoding —
@@ -45,7 +48,8 @@ MEDIA_TYPES = (
 
 DECODED_SCHEMA = (
     "media_id long, media_type string, width int, height int, "
-    "n_frames int, duration_ms int, feature array<float>"
+    "n_frames int, duration_ms int, feature array<float>, "
+    "decode_ok boolean"
 )
 
 
@@ -445,7 +449,7 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     }
 
 
-def _decode_one(payload: bytes, media_type: str) -> dict:
+def _dispatch_strict(payload: bytes, media_type: str) -> dict:
     """Magic-byte dispatch (how real decoders dispatch): every
     ADVERTISED format — PPM P6, PNG, baseline JPEG, RIFF/WAVE PCM —
     gets a REAL pure-python decode; unrecognized payloads (arbitrary
@@ -460,6 +464,29 @@ def _decode_one(payload: bytes, media_type: str) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     return _fake_decode(payload, media_type)
+
+
+def _decode_one(payload: bytes, media_type: str) -> dict:
+    """Guarded decode seam (VERDICT r12 #1). A 100 TB corpus contains
+    truncated/corrupt files as a certainty, and an exception inside
+    mapInPandas fails the task — and, after retries, the whole job. So
+    a payload whose magic matches an advertised format but whose body
+    is malformed must NOT raise: it falls to the deterministic
+    sha256 pseudo-decode with ``decode_ok = False``, making corrupt
+    rows quantifiable (``filter(~decode_ok)``) instead of fatal.
+    ``decode_ok = True`` covers both real decodes and the intentional
+    pseudo-decode of unrecognized magic (that path is the module's
+    contract for unknown bytes, not a failure)."""
+    try:
+        d = _dispatch_strict(payload, media_type)
+        d["decode_ok"] = True
+    except Exception:
+        # broad by design: the strict decoders raise ValueError on the
+        # contract path, but adversarially corrupt bytes can surface
+        # struct.error / zlib.error / IndexError from stdlib internals
+        d = _fake_decode(payload, media_type)
+        d["decode_ok"] = False
+    return d
 
 
 def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:

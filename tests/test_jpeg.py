@@ -168,6 +168,91 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _foreign_bitstream(restart: bool) -> bytes:
+    """Hand-assembled 16x8 grayscale baseline JPEG that
+    ``encode_jpeg_baseline`` could never have produced: quant step 32
+    (encoder uses 16), three-symbol DC table {size0:'0', size4:'10',
+    size5:'110'}, one-symbol AC table {EOB:'0'}, entropy bits derived
+    by hand from T.81 (F.1.2.1 DC coding + F.2.2.1 EXTEND).
+
+    Content: two constant 8x8 blocks, levels 160 and 96. Orthonormal
+    DCT of a constant block gives coef00 = 8*(L-128); with q00 = 32 the
+    quantized DCs are +8 and -8.
+
+    * no restart: block 1 emits DC diff +8 (size 4, code '10', bits
+      '1000') + EOB '0'; block 2 emits diff -16 (size 5, code '110',
+      EXTEND bits -16+31=15 -> '01111') + EOB '0'. Concatenated:
+      1010000 110011110 -> 0xA1 0x9E after 1-fill padding.
+    * restart (DRI=1): block 1 padded to 0xA1, RST0, block 2 restarts
+      the predictor so diff is -8 (size 4, bits -8+15=7 -> '0111'):
+      100111(0) + pad -> 0x9D.
+    Both decode to the identical image: left half 160, right half 96.
+    """
+    dc_bits = bytes([1, 1, 1] + [0] * 13)
+    dc_vals = bytes([0, 4, 5])
+    ac_bits = bytes([1] + [0] * 15)
+    ac_vals = bytes([0x00])
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([32] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += _seg(
+        0xC4, bytes([0x00]) + dc_bits + dc_vals + bytes([0x10]) + ac_bits + ac_vals
+    )
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", 1))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    if restart:
+        out += b"\xa1" + b"\xff\xd0" + b"\x9d"
+    else:
+        out += b"\xa1\x9e"
+    return out + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("restart", [False, True])
+def test_foreign_bitstream_known_answer(restart):
+    """Conformance against a bitstream the encoder did NOT produce
+    (VERDICT r12 #4): closes the encoder-and-decoder-share-a-bug hole.
+    The decoder must parse the foreign DQT/DHT tables and reproduce
+    the hand-computed pixel answer exactly."""
+    d = decode_jpeg_baseline(_foreign_bitstream(restart))
+    assert (d["width"], d["height"]) == (16, 8)
+    gray = _gray_of(d)
+    assert (gray[:, :8] == 160).all()
+    assert (gray[:, 8:] == 96).all()
+
+
+def test_truncated_entropy_raises_valueerror():
+    """ADVICE r12: truncation mid-entropy must fail with the decoder's
+    uniform ValueError contract, never IndexError."""
+    full = encode_jpeg_baseline(32, 32, bytes(range(256)) * 4, gray=True)
+    sos = full.index(b"\xff\xda")
+    seglen = struct.unpack(">H", full[sos + 2 : sos + 4])[0]
+    cut = full[: sos + 2 + seglen + 3]  # 3 entropy bytes then nothing
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_baseline(cut)
+    # truncation before SOS (mid marker walk) is equally loud
+    with pytest.raises(ValueError, match="truncated|SOI"):
+        decode_jpeg_baseline(full[:2])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_baseline(full[:3])
+
+
+def test_corrupt_restart_marker_raises_valueerror():
+    """ADVICE r12: a non-RST marker at a restart boundary must raise
+    ValueError (the assert it replaces vanished under python -O)."""
+    payload = encode_jpeg_baseline(
+        24, 8, bytes([60]) * 192, gray=True, restart_interval=1
+    )
+    i = payload.index(b"\xff\xd0")
+    corrupt = payload[:i] + b"\xff\xc8" + payload[i + 2 :]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_baseline(corrupt)
+
+
 def test_decoder_skips_appn_and_com_segments():
     """Foreign files carry APPn/COM metadata before SOF — the marker
     walk must skip them (JFIF header is the canonical case)."""
