@@ -15,9 +15,10 @@ deduped candidate pairs at verification, so the cache rebuild and
 every probe shuffle move ids, not documents. The cache holds a
 SUBSET OF WHOLE SIGNATURE KEYS of that store (all rows of a key
 enter/leave together), which makes the pipeline provably
-transparent: every probe
-signature either joins the cache (hit) or the fetched rows for its
-key (miss) — the union of candidates is exactly the one-shot join's.
+transparent: every probe row (for sparse groups, the per-record
+V-selection's CHOSEN rows — see build_similarity_store) either joins
+the cache (hit) or the fetched rows for its key (miss) — the union
+of candidates is exactly the one-shot join's.
 The LRU is the key registry: a key in the LRU has all of its store
 rows cached, or none exist (negative caching — probed keys absent
 from the store are not refetched every batch).
@@ -140,10 +141,12 @@ def _emit_sigs(
 ) -> DataFrame:
     """(id, sz, g, seg, sig, kind) signature rows. Probe side emits
     for its own group; index side for every length-compatible group.
-    ``deletion[g]`` switches group g to the low-H deletion layout
-    (segments kind=0 PLUS per-segment single-token-deletion
-    signatures kind=1, same completeness trade as
-    dima_similarity_join's scheme="deletion").
+    ``deletion[g]`` makes group g emit BOTH signature kinds (segments
+    kind=0 PLUS per-segment single-token-deletion signatures kind=1)
+    at the caller's chosen ``hs[g]`` — the halved-H deletion layout
+    when hs = h_del (dima_similarity_join's scheme="deletion") or the
+    full-H VSL layout when hs = h_eq (the pipeline's per-record
+    V-selection, see build_similarity_store).
 
     ONE scan of ``df``: each record explodes over its compatible
     group structs (g, h, del) and a single group-uniform expression
@@ -201,24 +204,31 @@ def build_similarity_store(
     lmin = max(1, int(sizes.lo * t))
     lmax = max(1, -(-sizes.hi * t.denominator // t.numerator))
     groups = multigroup(lmin, lmax, t)
-    # per-group scheme from measured index frequencies (the T5 cost
-    # model) with the ELIMINATION criterion: the batch-replayed
-    # pipeline re-pays probe-side deletion emission every batch, so a
-    # group flips to the low-H deletion layout only when that layout
-    # removes >=90% of the collision mass (accidental single-token
-    # collisions — the sparse-corpus regime, measured 14x fewer
-    # deduped candidates) and stays on equality when collisions are
-    # true near-pairs that verify either way (the dense regime, where
-    # equality measured ~15% faster end-to-end)
+    # per-group probe scheme from measured index frequencies (the T5
+    # cost model) with the ELIMINATION criterion: a group flips to the
+    # per-record V-selection layout (VSL — both signature kinds in the
+    # store at FULL segment count, probe rows priced per record
+    # against the index frequency table, _vsl_probe_rows) only when
+    # the halved-H deletion layout would remove >=90% of the collision
+    # mass — i.e. when collisions are accidental single-token-segment
+    # hits (the sparse-corpus regime: 10x stress data grew candidates
+    # 104x under pure equality; VSL measured 17x/10x fewer deduped
+    # candidates than the halved-H group layout at 1x/10x). Dense
+    # groups — whose collisions are true near-pairs that verify either
+    # way — keep plain equality, which measured ~15% faster end-to-end
+    # there (pricing + probe re-emission buys nothing when every
+    # bucket is uniformly warm).
     h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
     h_del = {
         g: max(1, (seg_count_dima(t, hi) + 1) // 2)
         for g, (lo, hi) in enumerate(groups)
     }
-    deletion = choose_signature_schemes(
+    vsl = choose_signature_schemes(
         stored, groups, t, h_eq, h_del, eliminate_ratio=0.1
     )
-    hs = {g: h_del[g] if deletion[g] else h_eq[g] for g in deletion}
+    # VSL groups keep the FULL segment count (the probe distributes
+    # exactly H_g units, v_i in {0,1,2} — pigeonhole completeness)
+    hs = dict(h_eq)
     # dictionary bitmask over the STORED vocabulary: stream-only
     # tokens cannot intersect any stored doc, so masking them out
     # keeps (inter, uni) exact as long as sizes count all tokens
@@ -243,12 +253,46 @@ def build_similarity_store(
     # fan-out without adding any per-batch shuffle.
     n_part = int(stored.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sig_store = (
-        _emit_sigs(stored, "b", False, groups, hs, t, deletion)
+        _emit_sigs(stored, "b", False, groups, hs, t, vsl)
         .repartition(n_part)
         .cache()
     )
     sig_store.count()
-    return SimilarityStore(groups, hs, mapping, rep_store, sig_store, deletion)
+    sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
+    return SimilarityStore(
+        groups, hs, mapping, rep_store, sig_store, vsl, sig_freq,
+        sig_freq_rows,
+    )
+
+
+# a signature key enters the pricing table only when its total
+# collision mass could matter to the allocation; keys below this are
+# priced as cold (the left-join default). Pricing accuracy only
+# shapes EFFICIENCY — any exact-h allocation is complete — so
+# dropping the long singleton tail shrinks the table by ~50x on
+# sparse corpora, small enough to broadcast into every batch's
+# pricing join instead of scanning the full frequency table per batch
+HOT_KEY_MIN_MASS = 3
+
+
+def _build_hot_freq(sig_store: DataFrame, vsl: dict) -> tuple:
+    """The VSL pricing input: per-key (f0, f1) index frequencies over
+    the VSL groups, restricted to HOT keys (see HOT_KEY_MIN_MASS),
+    built once per corpus (the reference builds its frequency map once
+    per index, DimaJoin.scala:330-360). Returns (df | None, rows)."""
+    if not any(vsl.values()):
+        return None, 0
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        signature_frequencies,
+    )
+
+    vsl_gs = [g for g, v in vsl.items() if v]
+    sig_freq = (
+        signature_frequencies(sig_store.filter(F.col("g").isin(vsl_gs)))
+        .filter(F.col("f0") + F.col("f1") >= HOT_KEY_MIN_MASS)
+        .cache()
+    )
+    return sig_freq, sig_freq.count()
 
 
 def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
@@ -282,7 +326,16 @@ class SimilarityStore:
     mapping: dict | None
     rep_store: DataFrame
     sig_store: DataFrame
-    deletion: dict | None = None  # per-group low-H deletion layout flags
+    # per-group VSL flags: a True group's store rows carry BOTH
+    # signature kinds at full H and its probe rows are priced per
+    # record against sig_freq (_vsl_probe_rows); False groups are
+    # plain equality
+    vsl: dict | None = None
+    # (g, seg, sig, f0, f1) HOT-key pricing table (see
+    # HOT_KEY_MIN_MASS), cached, with its driver-known row count
+    # gating the per-batch pricing-join broadcast
+    sig_freq: DataFrame | None = None
+    sig_freq_rows: int = 0
 
 
 @dataclass
@@ -301,7 +354,10 @@ class SemiStreamSimilarityJoin:
         self.threshold = Fraction(self.threshold).limit_denominator(1_000_000)
         a = self.artifacts or build_similarity_store(self.stored, self.threshold)
         self._groups, self._hs, self._mapping = a.groups, a.hs, a.mapping
-        self._deletion = a.deletion or {}
+        self._vsl = a.vsl or {}
+        self._vsl_groups = sorted(g for g, v in self._vsl.items() if v)
+        self.sig_freq = a.sig_freq
+        self._sig_freq_rows = a.sig_freq_rows
         self.rep_store, self.sig_store = a.rep_store, a.sig_store
         spark = self.sig_store.sparkSession
         self.cache = self.sig_store.limit(0).cache()
@@ -309,7 +365,7 @@ class SemiStreamSimilarityJoin:
         # probe-side signature expressions built ONCE and reused per
         # batch (see _sig_exprs: ~0.7s of py4j construction per call)
         self._probe_exprs = _sig_exprs(
-            True, self._groups, self._hs, self.threshold, self._deletion
+            True, self._groups, self._hs, self.threshold, self._vsl
         )
         # same for the (vocab-sized) bitmask rep expression and the
         # length/kind pair filter — immutable Columns, batch-invariant
@@ -323,16 +379,13 @@ class SemiStreamSimilarityJoin:
             else F.col("tokens")
         )
         t = self.threshold
-        pair_filter = (
+        # length filter only: VSL probe rows each NAME the store kind
+        # they target (b_kind is an equi-key of the candidate joins),
+        # so deletion x deletion is never generated in the first place
+        self._pair_filter = (
             (t.denominator * F.col("b_sz") >= t.numerator * F.col("a_sz"))
             & (t.denominator * F.col("a_sz") >= t.numerator * F.col("b_sz"))
         )
-        if any(self._deletion.values()):
-            # deletion x deletion collisions prove nothing (2 diffs)
-            pair_filter = pair_filter & (
-                (F.col("a_kind") == 0) | (F.col("b_kind") == 0)
-            )
-        self._pair_filter = pair_filter
         self._attributor = PlanTimeAttributor()
         self._deferred = DeferredObservation()
         # LRU starts empty; refreshed from each batch's combined count
@@ -342,9 +395,56 @@ class SemiStreamSimilarityJoin:
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
             df, prefix, own_group_only, self._groups, self._hs, self.threshold,
-            self._deletion,
+            self._vsl,
             exprs=self._probe_exprs if own_group_only else None,
         )
+
+    def _probe_rows(self, batch: DataFrame) -> DataFrame:
+        """Per-batch probe rows (a_id, a_sz, g, seg, sig, b_kind).
+
+        Equality groups pass their segment rows straight through
+        (b_kind = 0). VSL groups go through per-record V-selection:
+        the HOT-key pricing table (corpus-level, ~50x smaller than the
+        full frequency table) rides a bounded_broadcast into the
+        pricing join, and the vectorized greedy keeps only the chosen
+        probe rows, each naming the store kind it targets. The
+        per-batch plan never shuffles or scans the corpus-scale
+        frequency table."""
+        from distributed_stream_processing_spark.operators.similarity_join import (
+            _vsl_probe_rows,
+        )
+
+        passthrough = F.col("a_kind").alias("b_kind")  # eq rows: kind 0
+        if not self._vsl_groups:
+            raw = self._sigs(batch, "a", own_group_only=True)
+            return raw.select("a_id", "a_sz", "g", "seg", "sig", passthrough)
+        # the greedy's parallelism = the batch's partition count (the
+        # clustered Arrow pass adds no exchange of its own), and a
+        # batch read off a small parquet scan arrives as 1-3
+        # partitions — round-robin the COMPACT doc rows (id + tokens,
+        # ~100x fewer rows than their exploded signatures) so the
+        # per-record pricing fans out across the cluster
+        n_part = int(
+            self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        raw = self._sigs(batch.repartition(n_part), "a", own_group_only=True)
+        in_vsl = F.col("g").isin(self._vsl_groups)
+        direct = raw.filter(~in_vsl).select(
+            "a_id", "a_sz", "g", "seg", "sig", passthrough
+        )
+        to_price = raw.filter(in_vsl)
+        freq_b = bounded_broadcast(self.sig_freq, self._sig_freq_rows)
+        # clustered: probe rows come straight off the signature
+        # emitter's explode and a BROADCAST pricing join streams them,
+        # so records are already contiguous — no exchange needed. If
+        # the hot-key table outgrew the broadcast tier, the pricing
+        # join shuffles and clustering is lost — fall back to the
+        # a_id exchange inside _vsl_probe_rows.
+        chosen = _vsl_probe_rows(
+            to_price, freq_b, self._hs,
+            clustered=self._sig_freq_rows <= 1_000_000,
+        )
+        return direct.unionByName(chosen)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """One micro-batch of query docs (id, tokens) -> verified
@@ -360,10 +460,10 @@ class SemiStreamSimilarityJoin:
         ``controller.history`` after a bare process_batch must call
         :meth:`flush_attribution`."""
         t = self.threshold
-        # the probe side (one micro-batch of signatures) is the small
-        # side of every join below — broadcast it so the cached
+        # the probe side (one micro-batch of chosen probe rows) is the
+        # small side of every join below — broadcast it so the cached
         # signature store is only ever SCANNED, never shuffled
-        probe = self._sigs(batch, "a", own_group_only=True).cache()
+        probe = self._probe_rows(batch).cache()
 
         t0 = time.monotonic()
         probe_keys = probe.select(*_KEY).distinct()
@@ -384,8 +484,10 @@ class SemiStreamSimilarityJoin:
         )
         fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
 
-        hit = self.cache.join(F.broadcast(probe), _KEY)
-        miss = fetched.join(F.broadcast(probe), _KEY)
+        # b_kind is an equi-key: each probe row joins only the store
+        # kind it targets (VSL rows name theirs; equality rows are 0)
+        hit = self.cache.join(F.broadcast(probe), _KEY + ["b_kind"])
+        miss = fetched.join(F.broadcast(probe), _KEY + ["b_kind"])
         # candidate pairs are ids-only; the verification payloads join
         # back from the per-corpus rep_store (stored side) and the
         # tiny per-batch rep table (probe side) AFTER pair dedup —
@@ -557,6 +659,13 @@ def run_semi_stream_similarity(
     return out
 
 
+# bumped whenever the persisted store layout changes semantics; a
+# saved store whose version differs must be rebuilt, not loaded (a
+# layout mismatch silently DROPS pairs — e.g. sigs emitted at the old
+# halved-H deletion count decoded under the full-H VSL contract)
+STORE_LAYOUT_VERSION = 2
+
+
 def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
     """Persist the signature store, payload table, bitmask dictionary,
     and length groups as parquet — the engine's analogue of the
@@ -571,10 +680,11 @@ def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/mapping")
     spark.createDataFrame(
         [
-            (g, lo, hi, bool((join._deletion or {}).get(g, False)))
+            (g, lo, hi, bool((join._vsl or {}).get(g, False)),
+             STORE_LAYOUT_VERSION)
             for g, (lo, hi) in enumerate(join._groups)
         ],
-        "g int, lo int, hi int, deletion boolean",
+        "g int, lo int, hi int, vsl boolean, layout_version int",
     ).write.mode("overwrite").parquet(f"{path}/groups")
 
 
@@ -586,40 +696,42 @@ def load_similarity_store(
 ) -> SemiStreamSimilarityJoin:
     """Reconstruct a SemiStreamSimilarityJoin from save_similarity_store
     output: same signature store, payloads, dictionary, and groups —
-    probe-ready with an empty cache, no corpus re-index."""
+    probe-ready with an empty cache, no corpus re-index. Raises
+    ValueError on a store saved under a different layout version
+    (stale caches must rebuild loudly, never mis-decode)."""
     from distributed_stream_processing_spark.functions.signatures import (
         seg_count_dima,
     )
 
     t = Fraction(threshold).limit_denominator(1_000_000)
-    grows = sorted(
-        (r.g, r.lo, r.hi, bool(getattr(r, "deletion", False)))
-        for r in spark.read.parquet(f"{path}/groups").collect()
-    )
-    groups = [(lo, hi) for _, lo, hi, _ in grows]
-    deletion = {g: dele for g, (_, _, dele) in enumerate(
-        (lo, hi, dele) for _, lo, hi, dele in grows
-    )}
-    hs = {
-        g: max(
-            1,
-            (seg_count_dima(t, hi) + 1) // 2
-            if deletion[g]
-            else seg_count_dima(t, hi),
+    graw = spark.read.parquet(f"{path}/groups").collect()
+    versions = {int(getattr(r, "layout_version", 1)) for r in graw}
+    if versions != {STORE_LAYOUT_VERSION}:
+        raise ValueError(
+            f"saved store at {path} has layout version {sorted(versions)}, "
+            f"engine expects {STORE_LAYOUT_VERSION} — rebuild the store"
         )
-        for g, (lo, hi) in enumerate(groups)
+    grows = sorted((r.g, r.lo, r.hi, bool(r.vsl)) for r in graw)
+    groups = [(lo, hi) for _, lo, hi, _ in grows]
+    vsl = {g: flag for g, (_, _, _, flag) in enumerate(grows)}
+    hs = {
+        g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)
     }
     mrows = spark.read.parquet(f"{path}/mapping").collect()
     # same parallelism guarantee as build_similarity_store: a small
     # saved store must not reload as one partition
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sig_store = spark.read.parquet(f"{path}/sigs").repartition(n_part).cache()
+    sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
     artifacts = SimilarityStore(
         groups=groups,
         hs=hs,
         mapping={r.tok: r.bit for r in mrows} or None,
         rep_store=spark.read.parquet(f"{path}/reps").cache(),
-        sig_store=spark.read.parquet(f"{path}/sigs").repartition(n_part).cache(),
-        deletion=deletion,
+        sig_store=sig_store,
+        vsl=vsl,
+        sig_freq=sig_freq,
+        sig_freq_rows=sig_freq_rows,
     )
     return SemiStreamSimilarityJoin(
         threshold=t,

@@ -437,7 +437,105 @@ def _vsl_greedy(c1: list[int], c2x: list[int], units: int) -> list[int]:
     return v
 
 
-def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame:
+def signature_frequencies(b: DataFrame) -> DataFrame:
+    """Per-(g, seg, sig) index-side signature frequencies, split by
+    kind: f0 = equality-bucket size, f1 = deletion-row count. The
+    measured input of probe V-selection (Dima collects this map to
+    the driver, DimaJoin.scala:330-360; here it stays a DataFrame —
+    corpus-sized state never lands on the driver)."""
+    return b.groupBy("g", "seg", "sig").agg(
+        F.sum(F.when(F.col("b_kind") == 0, 1).otherwise(0)).alias("f0"),
+        F.sum(F.when(F.col("b_kind") == 1, 1).otherwise(0)).alias("f1"),
+    )
+
+
+def _vsl_flush(pdf, hs: dict[int, int], out_cols, out_dtypes):
+    """Vectorized per-record probe-unit allocation over one pandas
+    chunk of costed probe rows (columns a_id, a_sz, g, seg, sig,
+    a_kind, f0, f1; rows of a record contiguous is NOT required here —
+    only same-chunk).
+
+    Equivalent to running ``_vsl_greedy`` per record, restated so the
+    whole chunk is sorts + merges (the per-record Python heap loop
+    measured 2.5 s/batch on a 15k-record stress batch). A second unit
+    enters the heap only when its segment's first unit pops, so its
+    position in the global ascending pop order linearizes to:
+
+    * concave pair (c2x_i < c1_i): it pops IMMEDIATELY after its
+      first unit (everything still in the heap costs >= c1_i) —
+      effective key (c1_i, initial-tier, seg_i, just-after);
+    * otherwise: it pops at its own cost, after every equal-cost
+      initial unit — effective key (c2x_i, second-tier, seg_i).
+
+    The taken set is the h cheapest items per record under that key.
+    Total allocated cost equals the heap's exactly (pinned by
+    test_vsl_vectorized_matches_heap); tie-broken sets may differ,
+    which is harmless — ANY exact-h allocation is complete.
+    """
+    import numpy as np
+
+    seg = pdf[pdf["a_kind"] == 0]
+    dels = pdf[pdf["a_kind"] == 1]
+    n = len(seg)
+    c1 = seg["f0"].to_numpy("int64")
+    c2x = seg["f1"].to_numpy("int64")
+    if len(dels):
+        # own deletion signatures vs index segments: their equality
+        # mass is part of the segment's tolerance (second-unit) cost
+        dm = (
+            dels.groupby(["a_id", "seg"], sort=False)["f0"]
+            .sum()
+            .rename("dmass")
+            .reset_index()
+        )
+        merged = seg[["a_id", "seg"]].merge(dm, on=["a_id", "seg"], how="left")
+        c2x = c2x + merged["dmass"].fillna(0).to_numpy("int64")
+    concave = c2x < c1
+    eff2 = np.where(concave, c1, c2x)
+    tier2 = np.where(concave, 0, 1).astype("int8")
+    sub2 = concave.astype("int8")  # just-after-its-first within the tie
+    h = seg["g"].map(hs).to_numpy("int64")
+    zeros8 = np.zeros(n, "int8")
+    items = pd.DataFrame(
+        {
+            "a_id": np.tile(seg["a_id"].to_numpy(), 2),
+            "cost": np.concatenate([c1, eff2]),
+            "tier": np.concatenate([zeros8, tier2]),
+            "seg": np.tile(seg["seg"].to_numpy(), 2),
+            "sub": np.concatenate([zeros8, sub2]),
+            "typ": np.repeat(np.array([0, 1], "int8"), n),
+            "row": np.tile(np.arange(n), 2),
+            "h": np.tile(h, 2),
+        }
+    )
+    items.sort_values(
+        ["a_id", "cost", "tier", "seg", "sub"], kind="stable", inplace=True
+    )
+    taken = items[items.groupby("a_id", sort=False).cumcount() < items["h"]]
+    v1 = taken.loc[taken["typ"] == 0, "row"].to_numpy()  # v_i >= 1
+    v2 = taken.loc[taken["typ"] == 1, "row"].to_numpy()  # v_i == 2
+    cols = ["a_id", "a_sz", "g", "seg", "sig"]
+    e1 = seg.iloc[v1][cols].assign(b_kind=0)  # segment sig vs index segs
+    e2 = seg.iloc[v2][cols].assign(b_kind=1)  # segment sig vs index dels
+    parts = [e1, e2]
+    if len(dels) and len(v2):
+        # own deletion sigs of tolerance segments vs index segments
+        parts.append(
+            dels.merge(
+                seg.iloc[v2][["a_id", "seg"]], on=["a_id", "seg"], how="inner"
+            )[cols].assign(b_kind=0)
+        )
+    out = pd.concat(parts, ignore_index=True)
+    return out[out_cols].astype(out_dtypes)
+
+
+def _vsl_probe_rows(
+    a: DataFrame,
+    freq: DataFrame,
+    hs: dict[int, int],
+    broadcast_freq: bool = False,
+    clustered: bool = False,
+) -> DataFrame:
     """Per-signature probe V-selection (T5 at the reference's true
     granularity, DimaJoin.scala:330-479): for every probe record,
     price each segment's probe level from the measured index-side
@@ -453,19 +551,28 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
     diffs >= sum(v_i) = H_g — contradiction: the scheme stays exact
     (pigeonhole, as the all-ones/equality scheme it generalizes).
 
-    The reference collects its signature frequency map to the driver
-    and broadcasts it; here the frequency table stays distributed —
-    an ids-only equi-join prices the probe rows, and the per-record
-    greedy runs PARTITION-WISE in one Arrow pass per partition
-    (mapInPandas over a_id-clustered rows with a carry buffer for
-    records split across Arrow batches; one Arrow group per record
-    was pure fixed cost). Emitted rows name the index kind they
-    target (b_kind), so deletion x deletion never joins.
+    ``freq`` is the index frequency table (signature_frequencies) —
+    the caller decides its lifetime (one-shot joins derive it inline;
+    the semi-stream pipeline builds it once per corpus and reuses it
+    every batch). The frequency table stays distributed — an ids-only
+    equi-join prices the probe rows, and the per-record greedy runs
+    PARTITION-WISE in one Arrow pass per partition (mapInPandas over
+    a_id-clustered rows with a carry buffer for records split across
+    Arrow batches; one Arrow group per record was pure fixed cost).
+    ``broadcast_freq``: hint when the caller pre-restricted freq to
+    the probe's own keys (per-batch pricing) — keeps the pricing join
+    BHJ instead of letting a checkpointed no-stats side fall to SMJ.
+    ``clustered``: the caller guarantees ``a``'s rows are already
+    record-contiguous within partitions (true straight out of the
+    signature emitter: explode preserves input order, and a BHJ
+    pricing join streams the left side) — the a_id exchange + sort is
+    skipped, which removes the whole-shuffle fixed cost from small
+    per-batch probes (measured 2.4 s/batch of pure 32-task overhead
+    on a 6k-row probe). Emitted rows name the index kind they target
+    (b_kind), so deletion x deletion never joins.
     """
-    freq = b.groupBy("g", "seg", "sig").agg(
-        F.sum(F.when(F.col("b_kind") == 0, 1).otherwise(0)).alias("f0"),
-        F.sum(F.when(F.col("b_kind") == 1, 1).otherwise(0)).alias("f1"),
-    )
+    if broadcast_freq:
+        freq = F.broadcast(freq)
     costed = (
         a.join(freq, ["g", "seg", "sig"], "left")
         .fillna({"f0": 0, "f1": 0})
@@ -481,40 +588,9 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
         "b_kind": "int32",
     }
 
-    def _pick_one(a_id: int, a_sz: int, g: int, pdf) -> list[tuple]:
-        h = hs[g]
-        seg_rows = pdf[pdf["a_kind"] == 0]
-        segsig: dict[int, int] = {}
-        c1: dict[int, int] = {}
-        c2x: dict[int, int] = {}
-        for r in seg_rows.itertuples():
-            segsig[int(r.seg)] = int(r.sig)
-            c1[int(r.seg)] = int(r.f0)  # equality-bucket candidates
-            c2x[int(r.seg)] = int(r.f1)  # + index deletions it would hit
-        dels: dict[int, list[int]] = {}
-        for r in pdf[pdf["a_kind"] == 1].itertuples():
-            s = int(r.seg)
-            dels.setdefault(s, []).append(int(r.sig))
-            c2x[s] = c2x.get(s, 0) + int(r.f0)  # own deletions vs index segs
-        segs = sorted(c1)  # all h segments (empty ones included)
-        v = _vsl_greedy([c1[s] for s in segs], [c2x[s] for s in segs], h)
-        rows = []
-        for s, vi in zip(segs, v):
-            if vi >= 1:
-                rows.append((a_id, a_sz, g, s, segsig[s], 0))
-            if vi == 2:
-                rows.append((a_id, a_sz, g, s, segsig[s], 1))
-                rows.extend((a_id, a_sz, g, s, d, 0) for d in dels.get(s, ()))
-        return rows
-
     def pick_stream(batches):
         def flush(pdf):
-            rows: list[tuple] = []
-            for (a_id, a_sz, g), grp in pdf.groupby(
-                ["a_id", "a_sz", "g"], sort=False
-            ):
-                rows.extend(_pick_one(int(a_id), int(a_sz), int(g), grp))
-            return pd.DataFrame(rows, columns=out_cols).astype(out_dtypes)
+            return _vsl_flush(pdf, hs, out_cols, out_dtypes)
 
         # rows are clustered by a_id within the partition; a record's
         # rows can still straddle an Arrow batch boundary, so the last
@@ -535,14 +611,14 @@ def _vsl_probe_rows(a: DataFrame, b: DataFrame, hs: dict[int, int]) -> DataFrame
         if carry is not None and len(carry):
             yield flush(carry)
 
+    schema = "a_id long, a_sz int, g int, seg int, sig long, b_kind int"
+    if clustered:
+        return costed.mapInPandas(pick_stream, schema=schema)
     n_part = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         costed.repartition(n_part, "a_id")
         .sortWithinPartitions("a_id")
-        .mapInPandas(
-            pick_stream,
-            schema="a_id long, a_sz int, g int, seg int, sig long, b_kind int",
-        )
+        .mapInPandas(pick_stream, schema=schema)
     )
 
 
@@ -714,7 +790,7 @@ def dima_similarity_join(
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
 
     if scheme == "vsl":
-        probe = _vsl_probe_rows(a, b, hs)
+        probe = _vsl_probe_rows(a, signature_frequencies(b), hs)
         # probe rows already name the index kind they target (deletion
         # x deletion is never emitted), so the join is a plain 4-key
         # equi-join

@@ -389,3 +389,64 @@ def test_semi_stream_similarity_transparent_hypothesis(spark):
         assert got == want
 
     run()
+
+
+def test_vsl_vectorized_matches_heap():
+    """The vectorized allocation (_vsl_flush: h cheapest of
+    {c1_i} ∪ {max(c1_i, c2x_i)}) must allocate exactly h units per
+    record at the SAME total cost as the reference heap greedy
+    (_vsl_greedy) — tie-broken sets may differ, cost may not."""
+    import random as rnd
+
+    import pandas as pd
+
+    from distributed_stream_processing_spark.operators.similarity_join import (
+        _vsl_flush,
+        _vsl_greedy,
+    )
+
+    rng = rnd.Random(7)
+    out_cols = ["a_id", "a_sz", "g", "seg", "sig", "b_kind"]
+    out_dtypes = {c: "int64" for c in out_cols}
+    for trial in range(50):
+        h = rng.randint(1, 12)
+        g = rng.randint(0, 3)
+        hs = {g: h}
+        c1 = [rng.choice([0, 1, 2, 5, 100, 10_000]) for _ in range(h)]
+        f1 = [rng.choice([0, 1, 3, 50]) for _ in range(h)]
+        n_dels = [rng.randint(0, 3) for _ in range(h)]
+        del_f0 = [[rng.choice([0, 2, 40]) for _ in range(k)] for k in n_dels]
+        rows = []
+        for s in range(h):
+            rows.append((1, 10, g, s, 1000 + s, 0, c1[s], f1[s]))
+            for d, df0 in enumerate(del_f0[s]):
+                rows.append((1, 10, g, s, 2000 + 10 * s + d, 1, df0, 0))
+        pdf = pd.DataFrame(
+            rows,
+            columns=["a_id", "a_sz", "g", "seg", "sig", "a_kind", "f0", "f1"],
+        )
+        got = _vsl_flush(pdf, hs, out_cols, out_dtypes)
+        # unit accounting: v_i = (seg sig, kind 0 taken) + (kind 1 taken)
+        v_vec = [0] * h
+        for r in got.itertuples():
+            if r.sig == 1000 + r.seg:  # the segment's own signature row
+                v_vec[r.seg] += 1
+        assert sum(v_vec) == h, (trial, v_vec)
+        assert all(0 <= v <= 2 for v in v_vec)
+        c2x = [f1[s] + sum(del_f0[s]) for s in range(h)]
+        v_heap = _vsl_greedy(c1, c2x, h)
+
+        def cost(v):
+            return sum(
+                (c1[s] if v[s] >= 1 else 0) + (c2x[s] if v[s] == 2 else 0)
+                for s in range(h)
+            )
+
+        assert cost(v_vec) == cost(v_heap), (trial, v_vec, v_heap)
+        # v == 2 segments must emit their deletion sigs (tolerance
+        # probes vs index segments) and the kind-1 segment row
+        for s in range(h):
+            seg_rows = got[got["seg"] == s]
+            if v_vec[s] == 2:
+                assert (seg_rows["b_kind"] == 1).sum() == 1
+                assert len(seg_rows) == 2 + n_dels[s]
