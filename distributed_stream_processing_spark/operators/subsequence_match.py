@@ -245,12 +245,20 @@ def build_kv_index(
     With ``value_scale`` set, mr comes from the exact integer window
     sum — floor(sum_scaled / (scale*w*GRID)) * GRID — so the grid
     assignment has no float summation-order ambiguity.
+
+    The per-chunk kernel's overlap replication reaches exactly one
+    chunk back, so the chunk is auto-sized to cover the widest window
+    (max(default, 2*max(widths)) — VERDICT r12 task 5): a user asking
+    for w=16384 gets the one-pass build without tuning anything. The
+    width>chunk guard inside _index_runs stays as the internal
+    invariant.
     """
     from distributed_stream_processing_spark.operators.interval import (
         merge_intervals,
     )
 
-    runs = _index_runs(series, widths, value_scale)
+    chunk = max(8192, 2 * max(widths))
+    runs = _index_runs(series, widths, value_scale, chunk=chunk)
     # within-chunk runs are maximal, so only integer-adjacent same-mr
     # runs (chunk boundaries) can merge under gap=1
     return merge_intervals(

@@ -124,6 +124,7 @@ def q34_stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q60_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_stream_processing_spark.sources.stream import (
+        checkpoint_path,
         stage_time_ordered_late,
     )
 
@@ -153,7 +154,7 @@ def q60_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFram
         agg,
         f"wm_late_{tag}",
         "append",
-        checkpoint=f"/root/repo/.tmp/streams/ckpt_wm_late_{tag}",
+        checkpoint=checkpoint_path(f"ckpt_wm_late_{tag}"),
     )
 
 
@@ -178,6 +179,7 @@ def q60_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q55_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_stream_processing_spark.sources.stream import (
+        checkpoint_path,
         stage_stream_files,
     )
     from distributed_stream_processing_spark.streaming.stateful import (
@@ -196,7 +198,7 @@ def q55_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFra
         running_user_stats(stream),
         f"user_totals_{tag}",
         "update",
-        checkpoint=f"/root/repo/.tmp/streams/ckpt_user_totals_{tag}",
+        checkpoint=checkpoint_path(f"ckpt_user_totals_{tag}"),
     )
     # n_events grows strictly per emission, so max(struct) = final state
     return (

@@ -19,6 +19,13 @@ from distributed_stream_processing_spark.catalog import Catalog
 _SCRATCH = "/root/repo/.tmp/streams"
 
 
+def checkpoint_path(name: str) -> str:
+    """Canonical scratch location for a stream's checkpoint dir —
+    callers must not duplicate the _SCRATCH literal (ADVICE r12: the
+    q60 plan hard-coded it and the two could drift apart)."""
+    return f"{_SCRATCH}/{name}"
+
+
 def stage_stream_files(
     df: DataFrame, name: str, n_files: int, order_col: str
 ) -> str:

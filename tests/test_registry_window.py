@@ -19,6 +19,48 @@ def test_registry_within_card_window():
     )
 
 
+# the written card-rotation policy (COVERAGE.md "Card-rotation
+# policy"): every retirement is deliberate, named, and covered by a
+# survivor. A silent retirement (or an un-retirement that pushes a
+# gate off the card) fails here.
+RETIRED = {
+    "q03_cache_hit_semi",
+    "q04_cache_miss_anti",
+    "q05_missed_keys_distinct",
+    "q06_hit_union_miss",
+    "q08_nation_volume",
+    "q10_event_minute_rollup",
+    "q12_sliding_mean",
+    "q19_doc_fingerprint",
+    "q45_stream_similarity_join",
+    "q51_percentiles",
+}
+
+
+def test_retirement_table_matches_registry():
+    specs = load_all()
+    on_card = set(specs)
+    # nothing both retired and registered
+    assert not (RETIRED & on_card), RETIRED & on_card
+    # every query id q01..q60 is accounted for: registered or retired
+    import re
+
+    ids = {int(re.match(r"q(\d+)", n).group(1)) for n in on_card}
+    ids |= {int(re.match(r"q(\d+)", n).group(1)) for n in RETIRED}
+    missing = set(range(1, 61)) - ids
+    assert not missing, (
+        f"query ids neither registered nor in COVERAGE.md's retirement "
+        f"table: {sorted(missing)} — a silent retirement"
+    )
+    # the policy table in COVERAGE.md lists exactly these
+    with open("COVERAGE.md") as f:
+        cov = f.read()
+    for name in RETIRED:
+        assert name.split("_")[0] + "_" in name and name in cov, (
+            f"{name} missing from COVERAGE.md's card-rotation table"
+        )
+
+
 def test_newest_gates_on_card():
     # the queries that fell off the card in rounds 5-6, plus round 7's
     # DP-segmenter gate — all must be registered (and, by the budget

@@ -496,10 +496,44 @@ def test_index_mr_values_match_numpy(spark, series):
         assert (got == want).all()
 
 
+def test_index_wide_width_autosizes_chunk(spark):
+    """build_kv_index auto-sizes the chunk to cover the widest window
+    (VERDICT r12 task 5) — a width past the old 8192 default needs no
+    caller tuning, and the index it builds is numpy-exact."""
+    rng = random.Random(9)
+    vals, x = [], 0.0
+    for _ in range(20_000):
+        x += rng.gauss(0, 1)
+        vals.append(round(x, 2))
+    arr = np.array(vals)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, value double"
+    )
+    w = 8194
+    idx = build_kv_index(df, widths=(25, w), value_scale=100)
+    rows = idx.filter(F.col("w") == w).collect()
+    assert rows, "wide width produced no runs"
+    # exact grid means from numpy for every window start
+    vi = np.rint(arr * 100).astype(np.int64)
+    c = np.concatenate(([0], np.cumsum(vi)))
+    sums = c[w:] - c[:-w]
+    want = np.floor(sums / (100.0 * w * 0.5)) * 0.5
+    got = np.full(len(want), np.nan)
+    for r in rows:
+        got[r.pos_start : r.pos_end + 1] = r.mr
+    assert (got == want).all()
+
+
 def test_index_width_exceeding_chunk_overlap_raises(spark, series):
+    """The internal invariant stays loud: _index_runs called with a
+    chunk smaller than the widest window must refuse (a window
+    spanning >1 boundary would silently drop runs)."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        _index_runs,
+    )
+
     df, _ = series
     import pytest
 
     with pytest.raises(ValueError, match="chunk overlap bound"):
-        # default chunk=8192: a width of 8194 spans two boundaries
-        build_kv_index(df, widths=(25, 8194), value_scale=100).count()
+        _index_runs(df, (25, 8194), 100, chunk=8192).count()
