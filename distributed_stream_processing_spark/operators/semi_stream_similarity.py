@@ -28,6 +28,7 @@ LRU/eviction/controller are shared with the equi-join cache layer.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from fractions import Fraction
@@ -273,13 +274,21 @@ def build_similarity_store(
 # sparse corpora, small enough to broadcast into every batch's
 # pricing join instead of scanning the full frequency table per batch
 HOT_KEY_MIN_MASS = 3
+# the pricing table must stay in bounded_broadcast's broadcast tier:
+# above this the per-batch pricing join would fall to a shuffled hash
+# join — shuffling a corpus-scale table EVERY batch (measured at the
+# 100x store: 2.56M mass>=3 keys pushed the steady batch 11.7->29 s).
+# The threshold doubles until the table fits; only the hottest
+# buckets carry pricing signal anyway.
+HOT_TABLE_MAX_ROWS = 1_000_000
 
 
 def _build_hot_freq(sig_store: DataFrame, vsl: dict) -> tuple:
     """The VSL pricing input: per-key (f0, f1) index frequencies over
-    the VSL groups, restricted to HOT keys (see HOT_KEY_MIN_MASS),
-    built once per corpus (the reference builds its frequency map once
-    per index, DimaJoin.scala:330-360). Returns (df | None, rows)."""
+    the VSL groups, restricted to HOT keys (mass >= HOT_KEY_MIN_MASS,
+    doubled until the table fits HOT_TABLE_MAX_ROWS), built once per
+    corpus (the reference builds its frequency map once per index,
+    DimaJoin.scala:330-360). Returns (df | None, rows)."""
     if not any(vsl.values()):
         return None, 0
     from distributed_stream_processing_spark.operators.similarity_join import (
@@ -287,12 +296,19 @@ def _build_hot_freq(sig_store: DataFrame, vsl: dict) -> tuple:
     )
 
     vsl_gs = [g for g, v in vsl.items() if v]
-    sig_freq = (
-        signature_frequencies(sig_store.filter(F.col("g").isin(vsl_gs)))
-        .filter(F.col("f0") + F.col("f1") >= HOT_KEY_MIN_MASS)
-        .cache()
-    )
-    return sig_freq, sig_freq.count()
+    freq_full = signature_frequencies(
+        sig_store.filter(F.col("g").isin(vsl_gs))
+    ).cache()
+    mass = F.col("f0") + F.col("f1")
+    thr = HOT_KEY_MIN_MASS
+    n = freq_full.filter(mass >= thr).count()
+    while n > HOT_TABLE_MAX_ROWS:
+        thr *= 2
+        n = freq_full.filter(mass >= thr).count()
+    sig_freq = freq_full.filter(mass >= thr).cache()
+    sig_freq.count()
+    freq_full.unpersist()
+    return sig_freq, n
 
 
 def _verify(cands: DataFrame, t: Fraction, masked: bool) -> DataFrame:
@@ -442,7 +458,7 @@ class SemiStreamSimilarityJoin:
         # a_id exchange inside _vsl_probe_rows.
         chosen = _vsl_probe_rows(
             to_price, freq_b, self._hs,
-            clustered=self._sig_freq_rows <= 1_000_000,
+            clustered=self._sig_freq_rows <= HOT_TABLE_MAX_ROWS,
         )
         return direct.unionByName(chosen)
 
@@ -675,6 +691,11 @@ def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
     spark = join.sig_store.sparkSession
     join.sig_store.write.mode("overwrite").parquet(f"{path}/sigs")
     join.rep_store.write.mode("overwrite").parquet(f"{path}/reps")
+    if join.sig_freq is not None:
+        # the hot pricing table is derived but EXPENSIVE to rederive
+        # (a full groupBy over the signature store — ~27M distinct
+        # keys at the 100x corpus); persist it so loads stay cheap
+        join.sig_freq.write.mode("overwrite").parquet(f"{path}/sigfreq")
     spark.createDataFrame(
         list((join._mapping or {}).items()), "tok string, bit long"
     ).write.mode("overwrite").parquet(f"{path}/mapping")
@@ -722,7 +743,16 @@ def load_similarity_store(
     # saved store must not reload as one partition
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sig_store = spark.read.parquet(f"{path}/sigs").repartition(n_part).cache()
-    sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
+    if os.path.isdir(f"{path}/sigfreq"):
+        sig_freq = spark.read.parquet(f"{path}/sigfreq").cache()
+        sig_freq_rows = sig_freq.count()
+    else:
+        # store saved before the hot table was persisted: derive it
+        # (one groupBy over the signature store — the expensive part)
+        # and write it back beside the store so the NEXT load is cheap
+        sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
+        if sig_freq is not None:
+            sig_freq.write.mode("overwrite").parquet(f"{path}/sigfreq")
     artifacts = SimilarityStore(
         groups=groups,
         hs=hs,

@@ -168,6 +168,49 @@ def test_corrupt_payloads_never_raise():
         assert d == expect
 
 
+def test_decode_never_raises_fuzz():
+    """PROPERTY (robustness of the decode seam, VERDICT r12 #1): any
+    mutation of a valid payload — truncation at any offset, random
+    byte flips, random garbage with a real magic prefix — must flow
+    through _decode_one without raising, returning the full decoded
+    dict with a boolean decode_ok. 100 TB corpora make every byte
+    value a certainty somewhere."""
+    import random as rnd
+
+    from distributed_stream_processing_spark.sources import multimodal as mm
+
+    rng = rnd.Random(42)
+    valid = [mm._synth_payload(did)[1] for did in range(8)]
+    magics = [
+        b"P6\n",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"RIFF1234WAVE",
+    ]
+    keys = {
+        "width", "height", "n_frames", "duration_ms", "feature", "decode_ok"
+    }
+    cases = []
+    for p in valid:
+        # truncations at boundary-ish and random offsets
+        for cut in (1, 2, 5, len(p) // 2, len(p) - 1):
+            cases.append(p[:cut])
+        # random single-byte flips (headers AND entropy/raster bytes)
+        for _ in range(20):
+            i = rng.randrange(len(p))
+            b = bytearray(p)
+            b[i] ^= 1 + rng.randrange(255)
+            cases.append(bytes(b))
+    for m in magics:
+        for _ in range(10):
+            cases.append(m + bytes(rng.randrange(256) for _ in range(40)))
+    for payload in cases:
+        d = mm._decode_one(payload, "application/octet-stream")
+        assert set(d) == keys, sorted(d)
+        assert isinstance(d["decode_ok"], bool)
+        assert len(d["feature"]) == 8
+
+
 def test_decode_ok_flag_semantics():
     """decode_ok=True on real decodes AND on intentional pseudo-decode
     of unrecognized magic (that path is the contract, not a failure)."""
