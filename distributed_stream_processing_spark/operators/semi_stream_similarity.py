@@ -218,14 +218,20 @@ def build_similarity_store(
     # groups — whose collisions are true near-pairs that verify either
     # way — keep plain equality, which measured ~15% faster end-to-end
     # there (pricing + probe re-emission buys nothing when every
-    # bucket is uniformly warm).
+    # bucket is uniformly warm). A group must also CARRY a material
+    # share (1%) of total collision mass: the dense sf0.1 fixture's
+    # two eliminable-but-immaterial groups (0.1%/0.5% of mass) cost 2x
+    # end-to-end when flipped, for a 0.8% candidate cut (r13 measured
+    # 14.1 s vs 6.7 s pipeline) — an immaterial group can never repay
+    # the per-batch pricing fixed cost.
     h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
     h_del = {
         g: max(1, (seg_count_dima(t, hi) + 1) // 2)
         for g, (lo, hi) in enumerate(groups)
     }
     vsl = choose_signature_schemes(
-        stored, groups, t, h_eq, h_del, eliminate_ratio=0.1
+        stored, groups, t, h_eq, h_del, eliminate_ratio=0.1,
+        material_frac=0.01,
     )
     # VSL groups keep the FULL segment count (the probe distributes
     # exactly H_g units, v_i in {0,1,2} — pigeonhole completeness)
@@ -679,7 +685,7 @@ def run_semi_stream_similarity(
 # saved store whose version differs must be rebuilt, not loaded (a
 # layout mismatch silently DROPS pairs — e.g. sigs emitted at the old
 # halved-H deletion count decoded under the full-H VSL contract)
-STORE_LAYOUT_VERSION = 2
+STORE_LAYOUT_VERSION = 3  # v3: materiality guard on the VSL chooser
 
 
 def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:

@@ -310,6 +310,7 @@ def choose_signature_schemes(
     h_eq: dict[int, int],
     h_del: dict[int, int],
     eliminate_ratio: float | None = None,
+    material_frac: float | None = None,
 ) -> dict[int, bool]:
     """Frequency-adaptive scheme choice per length group (T5): the
     engine's analogue of Dima's per-signature V-selection
@@ -340,6 +341,17 @@ def choose_signature_schemes(
     while a sparse random corpus drops to ~0.03 and deletion cuts
     deduped candidates 14x. The batch-replayed semi-stream pipeline
     passes 0.1; the one-shot join keeps the pure cost comparison.
+
+    ``material_frac`` (optional) additionally requires the group to
+    CARRY a material share of the corpus's total equality collision
+    mass: c2_eq[g] >= material_frac * sum_g(c2_eq). Measured (r13):
+    the dense sf0.1 fixture's two eliminable groups hold 0.1%/0.5% of
+    total mass — flipping them bought a 0.8% candidate cut while the
+    flipped layout's per-batch machinery cost 2x end-to-end (14.1 s vs
+    6.7 s pipeline) — while the sparse stress fixture's eliminable
+    groups hold 96% of mass and repay it 10-35x. An immaterial group
+    cannot repay a fixed per-batch cost by construction, whatever its
+    elimination ratio.
     """
     from distributed_stream_processing_spark.functions.signatures import (
         segment_signatures,
@@ -400,6 +412,7 @@ def choose_signature_schemes(
         )
         .collect()
     }
+    tot_c2_eq = sum(stats.get((g, 0), (0, 0, 0.0))[1] for g in range(len(groups)))
     out: dict[int, bool] = {}
     for g in range(len(groups)):
         rows_eq, c2_eq, _ = stats.get((g, 0), (0, 0, 0.0))
@@ -411,6 +424,8 @@ def choose_signature_schemes(
         use_del = cost_del < cost_eq
         if use_del and eliminate_ratio is not None:
             use_del = c2_del <= eliminate_ratio * c2_eq
+        if use_del and material_frac is not None:
+            use_del = c2_eq >= material_frac * tot_c2_eq
         out[g] = use_del
     return out
 
