@@ -632,6 +632,27 @@ def _run_stress(
                 times.append(_run_noop(spark, specs, name, d))
             if min(times) / base_1x > 2 * EXPECTED_10X[q]:
                 reasons.append(f"stress:{q}")
+        elif len(times) == 2:
+            # 1x points get the same disagreement retry (r13: a
+            # session-pressure spike produced q48 1x runs
+            # [39.75, 71.81] — run 1 carries the store build, run 2
+            # hit a GC burst, and min-of-2 published the COLD build
+            # number as the ratio denominator; the 1-second window
+            # probes stayed clean because short probes don't feel
+            # multi-second-job memory pressure). GC between retries:
+            # the pressure is usually reclaimable checkpoint blocks.
+            while (
+                len(times) < 4
+                and time.monotonic() < deadline
+                and abs(times[-1] - times[-2]) > 0.3 * min(times[-2:])
+            ):
+                print(
+                    f"# {scale} {name}: not steady (last runs "
+                    f"{times[-2]:.1f}/{times[-1]:.1f}) — extra run",
+                    file=sys.stderr,
+                )
+                _gc_level(spark)
+                times.append(_run_noop(spark, specs, name, d))
         # runs array persisted in the JSON (not just stderr): when
         # the host is contended during run 2, min(cold, warm) IS
         # the cold build — r6's driver card recorded 26.75s where
