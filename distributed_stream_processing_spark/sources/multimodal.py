@@ -492,19 +492,29 @@ def _decode_one(payload: bytes, media_type: str) -> dict:
 def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Decode + feature-extract each payload (mapInPandas, Arrow
     batches). All advertised MEDIA_TYPES decode for real with
-    pure-stdlib decoders — no media library dependency."""
+    pure-stdlib decoders — no media library dependency.
+
+    ``batch_hint`` bounds how many payloads are held decoded per
+    yielded chunk: Arrow delivers up to
+    spark.sql.execution.arrow.maxRecordsPerBatch rows (default 10k)
+    per input batch regardless of row WIDTH, and 10k multi-MB media
+    payloads in one pandas frame is multi-GB of worker memory — the
+    seam re-chunks so peak memory scales with batch_hint, not with
+    the session's row-count conf."""
 
     def gen(batches):
         for pdf in batches:
-            recs = []
-            # column zip, not iterrows: ~10x less per-row overhead in
-            # the only Python seam of the decode path
-            for mid, mt, payload in zip(
-                pdf["media_id"], pdf["media_type"], pdf["payload"]
-            ):
-                d = _decode_one(bytes(payload), mt)
-                recs.append({"media_id": mid, "media_type": mt, **d})
-            yield pd.DataFrame(recs)
+            for lo in range(0, len(pdf), batch_hint):
+                chunk = pdf.iloc[lo : lo + batch_hint]
+                recs = []
+                # column zip, not iterrows: ~10x less per-row overhead
+                # in the only Python seam of the decode path
+                for mid, mt, payload in zip(
+                    chunk["media_id"], chunk["media_type"], chunk["payload"]
+                ):
+                    d = _decode_one(bytes(payload), mt)
+                    recs.append({"media_id": mid, "media_type": mt, **d})
+                yield pd.DataFrame(recs)
 
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
 

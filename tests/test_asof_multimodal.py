@@ -482,6 +482,14 @@ def test_real_decode_through_spark_pipeline(spark):
         rows, "media_id long, media_type string, payload binary"
     )
     got = {r.media_id: r for r in decode_media(media).collect()}
+    # batch_hint re-chunks inside the Arrow seam (bounds decoded
+    # payloads held per yield); results must be identical
+    rechunked = {
+        r.media_id: r for r in decode_media(media, batch_hint=2).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in rechunked.items()
+    }
     assert (got[1].width, got[1].height) == (6, 4)
     assert got[2].duration_ms == 500 and got[2].n_frames == 2
     assert got[3].width != 0  # stub image metadata still flows
