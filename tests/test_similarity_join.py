@@ -450,3 +450,28 @@ def test_vsl_vectorized_matches_heap():
             if v_vec[s] == 2:
                 assert (seg_rows["b_kind"] == 1).sum() == 1
                 assert len(seg_rows) == 2 + n_dels[s]
+
+
+def test_semi_stream_empty_batch_flows(spark, corpus):
+    """A micro-batch with ZERO query docs (idle stream interval —
+    routine at scale) must flow through the cached pipeline: empty
+    probe, empty V-selection Arrow pass, state maintained, empty
+    output — and later batches still produce the exact join."""
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        SemiStreamSimilarityJoin,
+    )
+
+    # id<60 vs rest splits planted near-dup pairs across the sides
+    # (same split as the save/load round-trip test, which pins it
+    # nonzero) — an even/odd split left zero qualifying pairs
+    stream = corpus.filter(F.col("id") < 60)
+    stored = corpus.filter(F.col("id") >= 60)
+    j = SemiStreamSimilarityJoin(stored=stored, threshold=T)
+    empty = stream.limit(0)
+    out0 = j.process_batch(empty, 0)
+    assert out0.count() == 0
+    out1 = j.process_batch(stream, 1)
+    j.flush_attribution()
+    got = _pairs(out0.unionByName(out1))
+    want = _pairs(brute_force_similarity_join(stream, stored, T))
+    assert got == want != set()
