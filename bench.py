@@ -90,7 +90,7 @@ EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
 # top. dedup runs FIRST in the tail: it is the cheaper, more
 # predictable point and the one the budget had squeezed out in every
 # round since its creation (VERDICT r11 task 4).
-RESERVE_TAIL_S = 360
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "360"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -599,6 +599,15 @@ def _run_stress(
         if sc == "10x" and time.monotonic() > deadline:
             skipped.append(f"{scale}/{name} (budget)")
             continue
+        if sc == "10x":
+            # settle before each 10x point: the PREVIOUS 10x point's
+            # store build + batches leave a ContextCleaner backlog
+            # whose async drain slows the next multi-second job while
+            # 1-second probes read clean (r13: q29's 10x measured
+            # 4.3-5.0 s right after q48's 10x churn vs 1.5 s isolated,
+            # and its tripwire nulled an otherwise-clean ratio)
+            time.sleep(2)
+            _gc_level(spark)
         times = [_run_noop(spark, specs, name, d)]
         if time.monotonic() < deadline:
             times.append(_run_noop(spark, specs, name, d))
