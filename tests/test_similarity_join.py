@@ -203,6 +203,19 @@ def test_adaptive_chooser_flips_under_skew(spark):
     assert decisions[hot_g] is True  # 80 identical 20-token docs: collisions dominate
     assert decisions[cold_g] is False  # distinct tiny docs: emission dominates
 
+    # materiality guard (r13): the hot group carries ~all collision
+    # mass, so it survives any sane material_frac; a fraction above
+    # its share (1.0) un-flips it — and an immaterial group can never
+    # flip however eliminable it is
+    kept = choose_signature_schemes(
+        df, groups, t, h_eq, h_del, material_frac=0.5
+    )
+    assert kept[hot_g] is True and kept[cold_g] is False
+    none = choose_signature_schemes(
+        df, groups, t, h_eq, h_del, material_frac=1.5
+    )
+    assert not any(none.values())
+
 
 def test_semi_stream_similarity_transparent(spark, corpus):
     """Union of cached-pipeline batch outputs == one-shot exact join
