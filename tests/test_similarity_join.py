@@ -266,6 +266,35 @@ def test_similarity_store_save_load_roundtrip(spark, corpus, tmp_path):
     assert run(built) == run(loaded) != set()
 
 
+def test_similarity_store_layout_version_gate(spark, corpus, tmp_path):
+    """Loading a store saved under a DIFFERENT layout version must
+    raise (r13): a layout mismatch silently DROPS pairs — e.g. sigs
+    emitted at the old halved-H deletion count decoded under the
+    full-H V-selection contract."""
+    import pytest
+
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        SemiStreamSimilarityJoin,
+        load_similarity_store,
+        save_similarity_store,
+    )
+
+    stored = corpus.filter(F.col("id") >= 60)
+    j = SemiStreamSimilarityJoin(stored=stored, threshold=T)
+    path = str(tmp_path / "verstore")
+    save_similarity_store(j, path)
+    # doctor the persisted groups table back to layout version 1
+    groups = spark.read.parquet(f"{path}/groups")
+    doctored = groups.withColumn("layout_version", F.lit(1))
+    doctored.write.mode("overwrite").parquet(f"{path}/groups2")
+    import shutil
+
+    shutil.rmtree(f"{path}/groups")
+    shutil.move(f"{path}/groups2", f"{path}/groups")
+    with pytest.raises(ValueError, match="layout version"):
+        load_similarity_store(spark, path, T)
+
+
 def test_dima_vsl_scheme_equals_brute_force(spark, corpus):
     """scheme='vsl' (per-record per-segment probe V-selection,
     DimaJoin.scala:330-479 granularity) must stay exact whatever
