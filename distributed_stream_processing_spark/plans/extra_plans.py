@@ -111,21 +111,73 @@ def _feature_bytes(feature_col) -> F.Column:
 #   JPEG feature bytes    [a x4, b x4], a = 2*(id%128), b = 2*((id*7)%128)
 #     (even levels + flat quant -> jpeg.py's bit-exact contract)
 #   audio feature bytes  [m1+64 x4, m2+64 x4], m1 = id%97, m2 = (id*5)%97
-_DUCK_MEDIA_CTE = """
+#
+# CORRUPT rows (doc_id % 13 == 7, r14): media_table plants recognized-
+# magic-but-malformed payloads; _decode_one routes them to the pseudo-
+# decode with decode_ok=false. The payload bytes are ASCII + escapable
+# magic, so the oracle REBUILDS them as a BLOB literal and recomputes
+# the pseudo features from sha256(lower(hex(payload))) — the exact
+# digest transcript _fake_decode hashes. Pseudo-decode contract:
+#   digest h = sha256 of the payload's lowercase hex; b_i = h[i]
+#   feature bytes = h[0..7]; image: w = 64+h[8]%192, ht = 64+h[9]%192,
+#   n_frames 1, dur 0; audio: w = ht = 0, n_frames = 1+h[8]%16,
+#   dur = 250*(1+h[9]%40)
+
+
+def _duck_digest_byte(i: int) -> str:
+    """SQL for byte ``i`` of the corrupt row's sha256 digest (hex pair
+    of the VARCHAR digest -> INT via strpos; DuckDB 1.0 has no
+    hex-string-to-int cast)."""
+    return (
+        f"(16*(strpos('0123456789abcdef', substr(sha,{2 * i + 1},1))-1)"
+        f" + strpos('0123456789abcdef', substr(sha,{2 * i + 2},1))-1)"
+    )
+
+
+_DUCK_FAKE_FEATURE = "concat_ws(',', {})".format(
+    ", ".join(_duck_digest_byte(i) for i in range(8))
+)
+_B8, _B9 = _duck_digest_byte(8), _duck_digest_byte(9)
+
+_DUCK_MEDIA_CTE = f"""
+    m0 AS (
+      SELECT doc_id, doc_id % 4 AS k, (doc_id % 13 = 7) AS bad,
+             CASE WHEN doc_id % 13 = 7 THEN
+               sha256(lower(hex(CASE doc_id % 4
+                 WHEN 0 THEN ('P6 corrupt ' || doc_id)::BLOB
+                 WHEN 1 THEN ('\\x89PNG\\x0D\\x0A\\x1A\\x0Acorrupt ' || doc_id)::BLOB
+                 WHEN 2 THEN ('RIFFxxxxWAVEcorrupt ' || doc_id)::BLOB
+                 ELSE ('\\xFF\\xD8corrupt ' || doc_id)::BLOB END)))
+             END AS sha
+      FROM documents
+    ),
     m AS (
-      SELECT doc_id, doc_id % 4 AS k,
-             CASE doc_id % 4 WHEN 0 THEN 'image/x-portable-pixmap'
+      SELECT doc_id, k,
+             CASE k WHEN 0 THEN 'image/x-portable-pixmap'
                   WHEN 1 THEN 'image/png'
                   WHEN 3 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
-             CASE doc_id % 4 WHEN 0 THEN 4 * (2 + doc_id % 17)
-                  WHEN 1 THEN 8 * (3 + doc_id % 13)
-                  WHEN 3 THEN 8 * (2 + doc_id % 9) ELSE 0 END AS width,
-             CASE doc_id % 4 WHEN 0 THEN 2 * (1 + doc_id % 5)
-                  WHEN 1 THEN 2 * (2 + doc_id % 7)
-                  WHEN 3 THEN 16 * (1 + doc_id % 4) ELSE 0 END AS height,
-             CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames,
-             CASE WHEN doc_id % 4 = 2 THEN 250 * (1 + doc_id % 8) ELSE 0 END AS duration_ms,
-             CASE doc_id % 4 WHEN 2
+             CASE WHEN bad THEN
+                  CASE WHEN k <> 2 THEN 64 + {_B8} % 192 ELSE 0 END
+                  ELSE CASE k WHEN 0 THEN 4 * (2 + doc_id % 17)
+                       WHEN 1 THEN 8 * (3 + doc_id % 13)
+                       WHEN 3 THEN 8 * (2 + doc_id % 9) ELSE 0 END
+             END AS width,
+             CASE WHEN bad THEN
+                  CASE WHEN k <> 2 THEN 64 + {_B9} % 192 ELSE 0 END
+                  ELSE CASE k WHEN 0 THEN 2 * (1 + doc_id % 5)
+                       WHEN 1 THEN 2 * (2 + doc_id % 7)
+                       WHEN 3 THEN 16 * (1 + doc_id % 4) ELSE 0 END
+             END AS height,
+             CASE WHEN bad THEN
+                  CASE WHEN k = 2 THEN 1 + {_B8} % 16 ELSE 1 END
+                  ELSE CASE WHEN k = 2 THEN 1 + doc_id % 8 ELSE 1 END
+             END AS n_frames,
+             CASE WHEN bad THEN
+                  CASE WHEN k = 2 THEN 250 * (1 + {_B9} % 40) ELSE 0 END
+                  ELSE CASE WHEN k = 2 THEN 250 * (1 + doc_id % 8) ELSE 0 END
+             END AS duration_ms,
+             CASE WHEN bad THEN {_DUCK_FAKE_FEATURE}
+                  ELSE CASE k WHEN 2
                   THEN concat_ws(',', (doc_id % 97) + 64, (doc_id % 97) + 64,
                                  (doc_id % 97) + 64, (doc_id % 97) + 64,
                                  ((doc_id * 5) % 97) + 64, ((doc_id * 5) % 97) + 64,
@@ -139,8 +191,10 @@ _DUCK_MEDIA_CTE = """
                                  doc_id % 256, doc_id % 256,
                                  (doc_id * 7) % 256, (doc_id * 7) % 256,
                                  (doc_id * 7) % 256, (doc_id * 7) % 256)
-             END AS feature_bytes
-      FROM documents
+                  END
+             END AS feature_bytes,
+             NOT bad AS decode_ok
+      FROM m0
     )
 """
 
@@ -156,7 +210,7 @@ _DUCK_MEDIA_CTE = """
            CAST(n_frames AS BIGINT) AS n_frames,
            CAST(duration_ms AS BIGINT) AS duration_ms,
            feature_bytes,
-           TRUE AS decode_ok
+           decode_ok
     FROM m
     """,
     doc=(
@@ -167,9 +221,13 @@ _DUCK_MEDIA_CTE = """
         "synthesized pixel/sample content yields dyadic-exact features, "
         "so the oracle reproduces the decode results from doc_id "
         "arithmetic alone (serialized to bytes — arrays crash the gate). "
-        "decode_ok gates the corrupt-payload guard: constant TRUE on "
-        "the clean fixture, so a guard regression that misroutes good "
-        "payloads to the pseudo-decode fails this query's hash."
+        "The fixture seeds a deterministic corrupt minority (doc_id % "
+        "13 == 7, recognized magic + malformed body): those rows must "
+        "surface decode_ok=FALSE with the sha256 pseudo features, which "
+        "the oracle recomputes from the rebuilt payload BLOB — the "
+        "corrupt-payload guard is hash-gated on the card, both "
+        "directions (r14; a guard regression that misroutes good rows "
+        "OR fails corrupt rows breaks the hash)."
     ),
 )
 def q37_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +287,7 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN media_type LIKE 'image/%'
                 THEN greatest(1, CAST(floor(height * least(1.0, 64 / greatest(width, height))) AS INT))
                 END AS BIGINT) AS new_height,
-           TRUE AS decode_ok
+           decode_ok
     FROM m
     """,
     doc=(

@@ -87,14 +87,34 @@ def test_asof_nullable_right_cols_stay_coherent(spark):
 def test_media_decode_shapes(spark, sf_smoke):
     """Decoded metadata must equal the REAL header fields of the
     synthesized payloads — exact doc_id formulas, not ranges (the old
-    >= 64 stub assertions died with the sha256 pseudo-decode)."""
+    >= 64 stub assertions died with the sha256 pseudo-decode). The
+    fixture's deterministic corrupt minority (doc_id % 13 == 7, r14)
+    must instead match the pseudo-decode of its corrupt payload with
+    decode_ok=False — both directions pinned row-by-row."""
+    from distributed_stream_processing_spark.sources import multimodal as mm
+
     decoded = decode_media(media_table(spark, sf_smoke))
     rows = decoded.collect()
     assert len(rows) == 500
+    n_bad = 0
     for r in rows:
         did = r.media_id
         assert len(r.feature) == 8
         k = did % 4
+        if did % mm.CORRUPT_MOD == mm.CORRUPT_RESIDUE:
+            n_bad += 1
+            assert r.decode_ok is False
+            mt, payload = mm._corrupt_payload(did)
+            assert r.media_type == mt
+            want = mm._fake_decode(payload, mt)
+            assert (r.width, r.height) == (want["width"], want["height"])
+            assert r.n_frames == want["n_frames"]
+            assert r.duration_ms == want["duration_ms"]
+            assert [round(f * 128 + 128) for f in r.feature] == [
+                round(f * 128 + 128) for f in want["feature"]
+            ]
+            continue
+        assert r.decode_ok is True
         if k == 0:
             assert r.media_type == "image/x-portable-pixmap"
             assert (r.width, r.height) == (4 * (2 + did % 17), 2 * (1 + did % 5))
@@ -116,6 +136,10 @@ def test_media_decode_shapes(spark, sf_smoke):
             assert r.duration_ms == 250 * (1 + did % 8)
             assert r.n_frames == 1 + did % 8
             assert r.width == 0 and r.height == 0
+    # the corrupt stride is really present (not vacuously clean)
+    assert n_bad == sum(
+        1 for did in range(500) if did % mm.CORRUPT_MOD == mm.CORRUPT_RESIDUE
+    ) > 0
 
 
 def test_media_decode_deterministic(spark, sf_smoke):
