@@ -478,6 +478,8 @@ def _q48_100x(spark, d100: str) -> dict:
         }
     finally:
         j.sig_store.unpersist()
+        if j.kv_store is not None:
+            j.kv_store.unpersist()
         j.rep_store.unpersist()
         j.cache.unpersist()
         j.lru.unpersist()
@@ -1102,6 +1104,15 @@ def main() -> None:
             # "contended" lists every detector that fired (absent =
             # clean window)
             "cal": [round(cal0, 2), round(cal1, 2)],
+            # ADVICE r13: when the per-window bad-probe threshold was
+            # RELAXED past the committed envelope (opening cal slow but
+            # under the cal_start trip), say so — windows published as
+            # clean tolerated up to this many seconds of probe latency
+            **(
+                {"win_threshold_relaxed": round(2 * cal0, 2)}
+                if cal0 > CAL_IDLE_S
+                else {}
+            ),
             **({"cal_fallback": True} if cal_mode == "insession" else {}),
             **({"contended": contended} if contended else {}),
             "sf": float(sf),

@@ -24,6 +24,34 @@ rows cached, or none exist (negative caching — probed keys absent
 from the store are not refetched every batch).
 
 LRU/eviction/controller are shared with the equi-join cache layer.
+
+KEY LAYOUT (r14): every per-batch join is keyed by ``sk``, the 64-bit
+xxhash64 of the signature triple (g, seg, sig), instead of the triple
+itself — measured 13x cheaper on the fetch scan (74M-row LeftSemi
+7.2 s -> 0.5 s at the 100x store; the 3-column composite hash/compare
+dominated the whole scan). Distinct triples colliding on sk is a
+~1e-7-per-corpus event and SAFE either way: fetch/cache/evict operate
+on whole sk-groups (all store rows of an sk enter/leave together), so
+completeness is untouched, and a collision only adds spurious
+candidates that exact verification removes — the same contract as the
+signature hashing itself.
+
+The per-batch miss fetch reads the KEY DIRECTORY ``kv_store`` (one row
+per distinct sk, store rows packed as an array), not the flat
+signature store: the reference's miss path is an indexed point lookup
+into its remote signature collection (per-partition Mongo ``in()``,
+ds_join/DS_SimJoin_stream.scala:774-832), and the directory is the
+Spark-native shape of that index — the scan touches one row per KEY
+(27M at the 100x corpus) instead of one per store row (74M), and the
+matched groups explode to exactly the fetched rows. Measured at the
+100x store: full fetch 7.9-8.6 s/batch (r13 layout) -> 0.6 s.
+Bucket-set pruning of the scan was measured and REJECTED: a 500-doc
+probe batch misses ~21k keys covering 4069/4096 hash buckets (every
+pruning granule holds a selected key — scan-skipping is
+information-theoretically dead at this batch volume), and even at the
+reference's own 10-doc batches (484/4096 buckets) the bucket filter
+cost more than the full directory scan it pruned (0.54 s vs 0.23 s;
+tools/exp_fetch_prune*.py).
 """
 
 from __future__ import annotations
@@ -50,7 +78,15 @@ from distributed_stream_processing_spark.streaming.checkpoint import (
     lazy_local_checkpoint,
 )
 
-_KEY = ["g", "seg", "sig"]
+# the cache/LRU/fetch key: xxhash64 of the signature triple — see the
+# module docstring's KEY LAYOUT note for why the triple itself is not
+# the join key
+_KEY = ["sk"]
+
+
+def _sk_col():
+    """The signature-key hash column (over g, seg, sig)."""
+    return F.xxhash64("g", "seg", "sig").alias("sk")
 
 
 def _sig_exprs(
@@ -164,18 +200,22 @@ def _emit_sigs(
         F.col("tokens"),
         F.explode(garr).alias("gm"),
     )
-    return base.select(
-        f"{prefix}_id",
-        f"{prefix}_sz",
-        F.col("gm.g").alias("g"),
-        F.explode(sig_expr).alias("s"),
-    ).select(
-        f"{prefix}_id",
-        f"{prefix}_sz",
-        "g",
-        "s.seg",
-        "s.sig",
-        F.col("s.kind").alias(f"{prefix}_kind"),
+    return (
+        base.select(
+            f"{prefix}_id",
+            f"{prefix}_sz",
+            F.col("gm.g").alias("g"),
+            F.explode(sig_expr).alias("s"),
+        )
+        .select(
+            f"{prefix}_id",
+            f"{prefix}_sz",
+            "g",
+            "s.seg",
+            "s.sig",
+            F.col("s.kind").alias(f"{prefix}_kind"),
+        )
+        .withColumn("sk", F.xxhash64("g", "seg", "sig"))
     )
 
 
@@ -265,11 +305,30 @@ def build_similarity_store(
         .cache()
     )
     sig_store.count()
+    kv_store = _build_kv_directory(sig_store, n_part)
     sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
     return SimilarityStore(
         groups, hs, mapping, rep_store, sig_store, vsl, sig_freq,
-        sig_freq_rows,
+        sig_freq_rows, kv_store,
     )
+
+
+def _build_kv_directory(sig_store: DataFrame, n_part: int) -> DataFrame:
+    """The fetch-serving KEY DIRECTORY: one row per distinct sk with
+    that key's store rows packed as an array — the Spark shape of the
+    reference's indexed signature collection (module docstring). Built
+    once per corpus (one groupBy shuffle); every micro-batch fetch then
+    scans rows-per-KEY, not rows-per-store-row, with a single-long
+    join key. At a real 100 TB deployment the flat store persists to
+    parquet and only this directory stays cached."""
+    kv = (
+        sig_store.groupBy("sk")
+        .agg(F.collect_list(F.struct("b_id", "b_sz", "b_kind")).alias("rows"))
+        .repartition(n_part)
+        .cache()
+    )
+    kv.count()
+    return kv
 
 
 # a signature key enters the pricing table only when its total
@@ -294,17 +353,22 @@ def _build_hot_freq(sig_store: DataFrame, vsl: dict) -> tuple:
     the VSL groups, restricted to HOT keys (mass >= HOT_KEY_MIN_MASS,
     doubled until the table fits HOT_TABLE_MAX_ROWS), built once per
     corpus (the reference builds its frequency map once per index,
-    DimaJoin.scala:330-360). Returns (df | None, rows)."""
+    DimaJoin.scala:330-360). Keyed by sk — the pricing join is then a
+    single-long broadcast lookup (an sk collision only mis-PRICES one
+    key's allocation; any exact-h allocation stays complete). Returns
+    (df | None, rows)."""
     if not any(vsl.values()):
         return None, 0
-    from distributed_stream_processing_spark.operators.similarity_join import (
-        signature_frequencies,
-    )
-
     vsl_gs = [g for g, v in vsl.items() if v]
-    freq_full = signature_frequencies(
+    freq_full = (
         sig_store.filter(F.col("g").isin(vsl_gs))
-    ).cache()
+        .groupBy("sk")
+        .agg(
+            F.sum(F.when(F.col("b_kind") == 0, 1).otherwise(0)).alias("f0"),
+            F.sum(F.when(F.col("b_kind") == 1, 1).otherwise(0)).alias("f1"),
+        )
+        .cache()
+    )
     mass = F.col("f0") + F.col("f1")
     thr = HOT_KEY_MIN_MASS
     n = freq_full.filter(mass >= thr).count()
@@ -353,11 +417,14 @@ class SimilarityStore:
     # record against sig_freq (_vsl_probe_rows); False groups are
     # plain equality
     vsl: dict | None = None
-    # (g, seg, sig, f0, f1) HOT-key pricing table (see
-    # HOT_KEY_MIN_MASS), cached, with its driver-known row count
-    # gating the per-batch pricing-join broadcast
+    # (sk, f0, f1) HOT-key pricing table (see HOT_KEY_MIN_MASS),
+    # cached, with its driver-known row count gating the per-batch
+    # pricing-join broadcast
     sig_freq: DataFrame | None = None
     sig_freq_rows: int = 0
+    # (sk, rows array<struct<b_id,b_sz,b_kind>>) key directory — the
+    # fetch-serving index shape (_build_kv_directory)
+    kv_store: DataFrame | None = None
 
 
 @dataclass
@@ -367,6 +434,7 @@ class SemiStreamSimilarityJoin:
     controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
     artifacts: SimilarityStore | None = None  # prebuilt corpus store
     sig_store: DataFrame | None = None
+    kv_store: DataFrame | None = None
     cache: DataFrame | None = None
     lru: DataFrame | None = None
     _groups: list | None = None
@@ -381,9 +449,20 @@ class SemiStreamSimilarityJoin:
         self.sig_freq = a.sig_freq
         self._sig_freq_rows = a.sig_freq_rows
         self.rep_store, self.sig_store = a.rep_store, a.sig_store
+        self.kv_store = a.kv_store
+        if self.kv_store is None:
+            n_part = int(
+                self.sig_store.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+            )
+            self.kv_store = _build_kv_directory(self.sig_store, n_part)
         spark = self.sig_store.sparkSession
-        self.cache = self.sig_store.limit(0).cache()
-        self.lru = spark.createDataFrame([], "g int, seg int, sig long, last_seen long").cache()
+        # cache rows carry the fetch layout: (sk, b_id, b_sz, b_kind)
+        self.cache = spark.createDataFrame(
+            [], "sk long, b_id long, b_sz int, b_kind int"
+        ).cache()
+        self.lru = spark.createDataFrame([], "sk long, last_seen long").cache()
         # probe-side signature expressions built ONCE and reused per
         # batch (see _sig_exprs: ~0.7s of py4j construction per call)
         self._probe_exprs = _sig_exprs(
@@ -422,7 +501,7 @@ class SemiStreamSimilarityJoin:
         )
 
     def _probe_rows(self, batch: DataFrame) -> DataFrame:
-        """Per-batch probe rows (a_id, a_sz, g, seg, sig, b_kind).
+        """Per-batch probe rows (a_id, a_sz, sk, b_kind).
 
         Equality groups pass their segment rows straight through
         (b_kind = 0). VSL groups go through per-record V-selection:
@@ -431,7 +510,9 @@ class SemiStreamSimilarityJoin:
         pricing join, and the vectorized greedy keeps only the chosen
         probe rows, each naming the store kind it targets. The
         per-batch plan never shuffles or scans the corpus-scale
-        frequency table."""
+        frequency table. Output rows carry only the hashed key — every
+        downstream join (cache hit, fetched miss, LRU maintenance) is
+        a single-long equi-join (module docstring KEY LAYOUT)."""
         from distributed_stream_processing_spark.operators.similarity_join import (
             _vsl_probe_rows,
         )
@@ -439,7 +520,7 @@ class SemiStreamSimilarityJoin:
         passthrough = F.col("a_kind").alias("b_kind")  # eq rows: kind 0
         if not self._vsl_groups:
             raw = self._sigs(batch, "a", own_group_only=True)
-            return raw.select("a_id", "a_sz", "g", "seg", "sig", passthrough)
+            return raw.select("a_id", "a_sz", "sk", passthrough)
         # the greedy's parallelism = the batch's partition count (the
         # clustered Arrow pass adds no exchange of its own), and a
         # batch read off a small parquet scan arrives as 1-3
@@ -451,20 +532,30 @@ class SemiStreamSimilarityJoin:
         )
         raw = self._sigs(batch.repartition(n_part), "a", own_group_only=True)
         in_vsl = F.col("g").isin(self._vsl_groups)
-        direct = raw.filter(~in_vsl).select(
-            "a_id", "a_sz", "g", "seg", "sig", passthrough
-        )
+        direct = raw.filter(~in_vsl).select("a_id", "a_sz", "sk", passthrough)
         to_price = raw.filter(in_vsl)
-        freq_b = bounded_broadcast(self.sig_freq, self._sig_freq_rows)
         # clustered: probe rows come straight off the signature
         # emitter's explode and a BROADCAST pricing join streams them,
         # so records are already contiguous — no exchange needed. If
         # the hot-key table outgrew the broadcast tier, the pricing
         # join shuffles and clustering is lost — fall back to the
-        # a_id exchange inside _vsl_probe_rows.
+        # a_id exchange inside _vsl_probe_rows. Record contiguity
+        # therefore depends on bounded_broadcast choosing its
+        # broadcast tier, so BOTH gates derive from the ONE comparison
+        # against HOT_TABLE_MAX_ROWS (ADVICE r13: two coincidentally-
+        # equal constants would silently under-allocate split records
+        # if either moved). _build_hot_freq keeps the table inside the
+        # threshold by construction; the fallback stays live and
+        # output-equivalent (test_vsl_unclustered_fallback forces it).
+        fits_broadcast = self._sig_freq_rows <= HOT_TABLE_MAX_ROWS
+        freq_b = bounded_broadcast(
+            self.sig_freq, self._sig_freq_rows, max_rows=HOT_TABLE_MAX_ROWS
+        )
         chosen = _vsl_probe_rows(
-            to_price, freq_b, self._hs,
-            clustered=self._sig_freq_rows <= HOT_TABLE_MAX_ROWS,
+            to_price, freq_b, self._hs, clustered=fits_broadcast,
+            join_key=["sk"],
+        ).withColumn("sk", F.xxhash64("g", "seg", "sig")).select(
+            "a_id", "a_sz", "sk", "b_kind"
         )
         return direct.unionByName(chosen)
 
@@ -504,7 +595,18 @@ class SemiStreamSimilarityJoin:
             _KEY,
             "left_anti",
         )
-        fetched = self.sig_store.join(F.broadcast(missed_keys), _KEY, "left_semi").cache()
+        # the miss fetch reads the KEY DIRECTORY — one row per distinct
+        # sk, matched groups exploded back to flat cache rows. Scans
+        # rows-per-KEY with a single-long broadcast semi-join: the
+        # engine's analogue of the reference's indexed point lookup
+        # (module docstring; measured 7.9-8.6 s -> ~0.6 s per batch at
+        # the 100x store)
+        fetched = (
+            self.kv_store.join(F.broadcast(missed_keys), _KEY, "left_semi")
+            .select("sk", F.explode("rows").alias("r"))
+            .select("sk", "r.b_id", "r.b_sz", "r.b_kind")
+            .cache()
+        )
 
         # b_kind is an equi-key: each probe row joins only the store
         # kind it targets (VSL rows name theirs; equality rows are 0)
@@ -685,7 +787,10 @@ def run_semi_stream_similarity(
 # saved store whose version differs must be rebuilt, not loaded (a
 # layout mismatch silently DROPS pairs — e.g. sigs emitted at the old
 # halved-H deletion count decoded under the full-H VSL contract)
-STORE_LAYOUT_VERSION = 3  # v3: materiality guard on the VSL chooser
+# v3: materiality guard on the VSL chooser
+# v4 (r14): sk-hashed join keys (sigs parquet carries the sk column;
+#     sigfreq is keyed by sk) + the kv key directory serving the fetch
+STORE_LAYOUT_VERSION = 4
 
 
 def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
@@ -749,16 +854,28 @@ def load_similarity_store(
     # saved store must not reload as one partition
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sig_store = spark.read.parquet(f"{path}/sigs").repartition(n_part).cache()
+    kv_store = _build_kv_directory(sig_store, n_part)
     if os.path.isdir(f"{path}/sigfreq"):
         sig_freq = spark.read.parquet(f"{path}/sigfreq").cache()
         sig_freq_rows = sig_freq.count()
     else:
         # store saved before the hot table was persisted: derive it
         # (one groupBy over the signature store — the expensive part)
-        # and write it back beside the store so the NEXT load is cheap
+        # and write it back beside the store so the NEXT load is cheap.
+        # BEST-EFFORT (ADVICE r13): the store path may be read-only or
+        # concurrently shared — a failed write-back must not fail the
+        # load, the table is already derived in-session either way
         sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
         if sig_freq is not None:
-            sig_freq.write.mode("overwrite").parquet(f"{path}/sigfreq")
+            try:
+                sig_freq.write.mode("overwrite").parquet(f"{path}/sigfreq")
+            except Exception as e:
+                import sys
+
+                print(
+                    f"# sigfreq write-back to {path} skipped: {e}",
+                    file=sys.stderr,
+                )
     artifacts = SimilarityStore(
         groups=groups,
         hs=hs,
@@ -768,6 +885,7 @@ def load_similarity_store(
         vsl=vsl,
         sig_freq=sig_freq,
         sig_freq_rows=sig_freq_rows,
+        kv_store=kv_store,
     )
     return SemiStreamSimilarityJoin(
         threshold=t,

@@ -550,6 +550,7 @@ def _vsl_probe_rows(
     hs: dict[int, int],
     broadcast_freq: bool = False,
     clustered: bool = False,
+    join_key: list[str] | None = None,
 ) -> DataFrame:
     """Per-signature probe V-selection (T5 at the reference's true
     granularity, DimaJoin.scala:330-479): for every probe record,
@@ -585,11 +586,16 @@ def _vsl_probe_rows(
     per-batch probes (measured 2.4 s/batch of pure 32-task overhead
     on a 6k-row probe). Emitted rows name the index kind they target
     (b_kind), so deletion x deletion never joins.
+    ``join_key``: pricing-join key columns (default the signature
+    triple); the semi-stream pipeline passes ["sk"] — its freq table
+    is keyed by the hashed key, making the pricing lookup a
+    single-long broadcast join (a collision only mis-prices one key,
+    never drops coverage).
     """
     if broadcast_freq:
         freq = F.broadcast(freq)
     costed = (
-        a.join(freq, ["g", "seg", "sig"], "left")
+        a.join(freq, join_key or ["g", "seg", "sig"], "left")
         .fillna({"f0": 0, "f1": 0})
         .select("a_id", "a_sz", "g", "seg", "sig", "a_kind", "f0", "f1")
     )

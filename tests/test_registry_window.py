@@ -52,11 +52,18 @@ def test_retirement_table_matches_registry():
         f"query ids neither registered nor in COVERAGE.md's retirement "
         f"table: {sorted(missing)} — a silent retirement"
     )
-    # the policy table in COVERAGE.md lists exactly these
+    # the policy table in COVERAGE.md lists exactly these — check the
+    # card-rotation SECTION's table rows specifically, not just that
+    # the name appears somewhere in the file (ADVICE r13: the old
+    # check's first conjunct was tautological and the second matched
+    # any mention anywhere)
     with open("COVERAGE.md") as f:
         cov = f.read()
+    marker = "## Card-rotation policy"
+    assert marker in cov, "COVERAGE.md lost its card-rotation section"
+    section = cov[cov.index(marker):]
     for name in RETIRED:
-        assert name.split("_")[0] + "_" in name and name in cov, (
+        assert f"| {name} |" in section, (
             f"{name} missing from COVERAGE.md's card-rotation table"
         )
 

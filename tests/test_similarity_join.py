@@ -494,6 +494,67 @@ def test_vsl_vectorized_matches_heap():
                 assert len(seg_rows) == 2 + n_dels[s]
 
 
+def test_vsl_unclustered_fallback(spark, corpus, monkeypatch):
+    """Force the pipeline's non-clustered V-selection path (pricing
+    table outside the broadcast tier -> pricing join shuffles -> a_id
+    re-cluster inside _vsl_probe_rows) and pin output equality with
+    the clustered fast path + brute force. _build_hot_freq keeps the
+    table inside HOT_TABLE_MAX_ROWS by construction, so without the
+    forced gate this branch guards a real cliff untested (VERDICT r13
+    missing #3 / ADVICE r13 medium: clustered and the broadcast tier
+    now derive from the ONE shared constant)."""
+    import distributed_stream_processing_spark.operators.semi_stream_similarity as sss
+    import distributed_stream_processing_spark.operators.similarity_join as sj
+
+    # force every group to the VSL layout so the pricing path runs
+    monkeypatch.setattr(
+        sj,
+        "choose_signature_schemes",
+        lambda stored, groups, *a, **k: {g: True for g in range(len(groups))},
+    )
+    stream = corpus.filter(F.col("id") < 60)
+    stored = corpus.filter(F.col("id") >= 60)
+    store = sss.build_similarity_store(stored, T)
+    assert any(store.vsl.values()) and store.sig_freq is not None
+
+    seen: list[bool] = []
+    real = sj._vsl_probe_rows
+
+    def spy(a, freq, hs, broadcast_freq=False, clustered=False, **kw):
+        seen.append(clustered)
+        return real(
+            a, freq, hs, broadcast_freq=broadcast_freq, clustered=clustered,
+            **kw,
+        )
+
+    monkeypatch.setattr(sj, "_vsl_probe_rows", spy)
+
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        run_semi_stream_similarity,
+    )
+
+    got_fast = _pairs(
+        run_semi_stream_similarity(
+            stream, stored, T, n_batches=2, artifacts=store
+        ).select("a_id", "b_id", "inter", "uni")
+    )
+    assert seen and all(seen), "expected the clustered fast path"
+
+    seen.clear()
+    # shrink the shared constant: bounded_broadcast's broadcast tier
+    # and the clustered gate must BOTH flip off this one value
+    monkeypatch.setattr(sss, "HOT_TABLE_MAX_ROWS", 0)
+    got_fallback = _pairs(
+        run_semi_stream_similarity(
+            stream, stored, T, n_batches=2, artifacts=store
+        ).select("a_id", "b_id", "inter", "uni")
+    )
+    assert seen and not any(seen), "expected the unclustered fallback"
+
+    want = _pairs(brute_force_similarity_join(stream, stored, T))
+    assert got_fast == got_fallback == want != set()
+
+
 def test_semi_stream_empty_batch_flows(spark, corpus):
     """A micro-batch with ZERO query docs (idle stream interval —
     routine at scale) must flow through the cached pipeline: empty
