@@ -289,6 +289,7 @@ def build_similarity_store(
         F.size("tokens").alias("b_sz"),
         rep.alias("b_rep"),
     ).cache()
+    rep_rows = rep_store.count()
     # The probe join BROADCASTS the per-batch probe side and streams
     # the signature store, so the store's own partitioning sets the
     # parallelism of candidate generation + map-side pair dedup — the
@@ -309,7 +310,7 @@ def build_similarity_store(
     sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
     return SimilarityStore(
         groups, hs, mapping, rep_store, sig_store, vsl, sig_freq,
-        sig_freq_rows, kv_store,
+        sig_freq_rows, kv_store, rep_rows,
     )
 
 
@@ -425,6 +426,10 @@ class SimilarityStore:
     # (sk, rows array<struct<b_id,b_sz,b_kind>>) key directory — the
     # fetch-serving index shape (_build_kv_directory)
     kv_store: DataFrame | None = None
+    # driver-known payload-table row bound (one row per stored doc),
+    # gating the per-batch verification payload join's broadcast tier
+    # (None = unknown -> unhinted spillable join)
+    rep_rows: int | None = None
 
 
 @dataclass
@@ -449,6 +454,7 @@ class SemiStreamSimilarityJoin:
         self.sig_freq = a.sig_freq
         self._sig_freq_rows = a.sig_freq_rows
         self.rep_store, self.sig_store = a.rep_store, a.sig_store
+        self._rep_rows = a.rep_rows
         self.kv_store = a.kv_store
         if self.kv_store is None:
             n_part = int(
@@ -627,8 +633,31 @@ class SemiStreamSimilarityJoin:
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
         )
+        # stored-side payload fetch: semi-filter the per-corpus payload
+        # table down to the batch's candidate b_ids (a broadcast
+        # ids-only semi — a cached-table scan, no payload movement),
+        # then a size-laddered join. An unfiltered unhinted join
+        # SHUFFLES AND SORTS THE WHOLE PAYLOAD TABLE EVERY BATCH once
+        # the corpus outgrows the broadcast threshold (static AQE-off
+        # plan → SMJ; measured ~3 s of the 100x batch, corpus-linear —
+        # the same scale-killer shape the directory fetch removed from
+        # the signature side). bounded_broadcast keeps small corpora
+        # on the pinned broadcast plan and sends store-scale ones to a
+        # candidate-bounded SHJ (no sort, both sides
+        # candidate-bounded after the semi).
+        b_ids = pair_ids.select("b_id").dropDuplicates(["b_id"])
+        b_reps = self.rep_store.join(F.broadcast(b_ids), "b_id", "left_semi")
+        # payload rows are token arrays, not narrow keys, so the
+        # broadcast tier gets its own cap: an in-session A/B at the
+        # 100x store measured the ~108k-array-row broadcast 2.5-3.3 s
+        # FASTER per batch than the SHJ tier (shuffling both
+        # candidate-bounded sides costs more than one driver
+        # round-trip at this width), so the cap keeps store-scale
+        # corpora on broadcast and only far larger payload sets fall
+        # to the spillable tiers
         pairs = pair_ids.join(F.broadcast(a_reps), "a_id").join(
-            self.rep_store, "b_id"
+            bounded_broadcast(b_reps, self._rep_rows, max_rows=500_000),
+            "b_id",
         )
         # lazy localCheckpoint (the X8 lineage-truncation pattern): the
         # caller's final evaluation of the unioned batches must not
@@ -801,6 +830,11 @@ def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:
     restarted pipeline probes without re-indexing the corpus."""
     spark = join.sig_store.sparkSession
     join.sig_store.write.mode("overwrite").parquet(f"{path}/sigs")
+    if join.kv_store is not None:
+        # the key directory is derivable but EXPENSIVE to rederive (a
+        # full groupBy over the signature store — ~40-60 s at the 100x
+        # corpus); persist it so loads stay cheap
+        join.kv_store.write.mode("overwrite").parquet(f"{path}/kv")
     join.rep_store.write.mode("overwrite").parquet(f"{path}/reps")
     if join.sig_freq is not None:
         # the hot pricing table is derived but EXPENSIVE to rederive
@@ -854,7 +888,20 @@ def load_similarity_store(
     # saved store must not reload as one partition
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sig_store = spark.read.parquet(f"{path}/sigs").repartition(n_part).cache()
-    kv_store = _build_kv_directory(sig_store, n_part)
+    if os.path.isdir(f"{path}/kv"):
+        kv_store = spark.read.parquet(f"{path}/kv").repartition(n_part).cache()
+        kv_store.count()
+    else:
+        # store saved before the directory was persisted: derive it
+        # and write it back best-effort (read-only paths tolerated —
+        # same contract as the sigfreq write-back below)
+        kv_store = _build_kv_directory(sig_store, n_part)
+        try:
+            kv_store.write.mode("overwrite").parquet(f"{path}/kv")
+        except Exception as e:
+            import sys
+
+            print(f"# kv write-back to {path} skipped: {e}", file=sys.stderr)
     if os.path.isdir(f"{path}/sigfreq"):
         sig_freq = spark.read.parquet(f"{path}/sigfreq").cache()
         sig_freq_rows = sig_freq.count()
@@ -876,11 +923,13 @@ def load_similarity_store(
                     f"# sigfreq write-back to {path} skipped: {e}",
                     file=sys.stderr,
                 )
+    rep_store = spark.read.parquet(f"{path}/reps").cache()
     artifacts = SimilarityStore(
         groups=groups,
         hs=hs,
         mapping={r.tok: r.bit for r in mrows} or None,
-        rep_store=spark.read.parquet(f"{path}/reps").cache(),
+        rep_store=rep_store,
+        rep_rows=rep_store.count(),
         sig_store=sig_store,
         vsl=vsl,
         sig_freq=sig_freq,

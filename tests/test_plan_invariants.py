@@ -201,3 +201,10 @@ def test_q48_batch_plan_no_smj(spark, specs, monkeypatch):
         # this scale; the signature store must be scanned in-memory,
         # not rebuilt from source
         assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    # r14 fetch shape: the miss fetch reads the sk-keyed KEY DIRECTORY
+    # (LeftSemi against the broadcast missed keys, matched groups
+    # exploded) — never a flat-store scan keyed by the signature
+    # triple. Batch 0 always has misses, so its fetch survives AQE.
+    assert any(
+        "LeftSemi" in p and "explode(rows" in p for p in plans
+    ), "q48 fetch lost the key-directory LeftSemi+explode shape"
