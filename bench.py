@@ -90,7 +90,8 @@ EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
 # top. dedup runs FIRST in the tail: it is the cheaper, more
 # predictable point and the one the budget had squeezed out in every
 # round since its creation (VERDICT r11 task 4).
-RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "360"))
+# (+60 in r14: the dedup point's second timed run under min-of-2)
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "420"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -463,18 +464,20 @@ def _q48_100x(spark, d100: str) -> dict:
             )
             with open(cand_cache, "w") as f:
                 json.dump({"fp": _code_fingerprint(), "cand": n_cand}, f)
-        # stored_docs=350k / probe_docs=500 are protocol constants —
-        # documented in BASELINE.md's 100x table, not repeated here
-        # (the JSON line has a hard byte budget). cand is batch 1's
-        # probe; the two timed probe sets are symmetric (500 planted
-        # exact dups each), so it describes both batches' workload —
-        # out_rows (min over the batches) pins that symmetry.
+        # stored_docs / probe_docs re-emitted as measured counts
+        # (ADVICE r13: the 100x blocks dropped the r11 schema's keys);
+        # cand is batch 1's probe; the two timed probe sets are
+        # symmetric (500 planted exact dups each), so it describes
+        # both batches' workload — out_rows (min over the batches)
+        # pins that symmetry.
         return {
             ("build_s" if built else "load_s"): index_s,
             "batch_s": min(batch_runs),
             "batch_runs": batch_runs,
             "cand": n_cand,
             "out_rows": min(n_outs),
+            "stored_docs": stored.count(),
+            "probe_docs": probes[1].count(),
         }
     finally:
         j.sig_store.unpersist()
@@ -485,11 +488,19 @@ def _q48_100x(spark, d100: str) -> dict:
         j.lru.unpersist()
 
 
-def _dedup_100x(spark) -> dict:
+def _dedup_100x(spark, deadline: float | None = None) -> dict:
     """100x dedup posture: LSH pair generation + duplicate clustering
     on 500k docs (100x the bench corpus, linear-output fixture) —
     confirms near-linear LSH scaling and logs the label-propagation
-    round count (pointer jumping keeps it O(log component diameter))."""
+    round count (pointer jumping keeps it O(log component diameter)).
+
+    r14 (VERDICT r13 task 5): the published numbers are MIN-OF-2 with
+    a settle+GC before each timed run — the same convergence
+    treatment the q48_100x point got in r12/r13. The r12/r13 band
+    spanned 4x ([30, 117] s) because single cold runs carried
+    session-position noise; two idle r14 protocol runs under min-of-2
+    published the committed band in BASELINE.md. The second run is
+    dropped (not the point) when the tail budget is short."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -506,26 +517,42 @@ def _dedup_100x(spark) -> dict:
     toks = docs.select(
         F.col("doc_id").alias("id"), tokens("text").alias("tokens")
     )
-    t0 = time.monotonic()
-    pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
-        eager=False
-    )
-    n_pairs = pairs.count()
-    t_pairs = round(time.monotonic() - t0, 3)
-    stats: dict = {}
-    t0 = time.monotonic()
-    clusters = duplicate_clusters(
-        docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
-    )
-    n_keep = clusters.filter("keep").count()
-    assert n_keep > 0
-    # n_docs=500k is a protocol constant (BASELINE.md); kept is
-    # implied by n_pairs on the star-ish fixture — byte budget
+    n_docs = docs.count()
+    pair_runs: list[float] = []
+    cluster_runs: list[float] = []
+    n_pairs = n_keep = rounds = None
+    for run in range(2):
+        time.sleep(2)
+        _gc_level(spark)
+        t0 = time.monotonic()
+        pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
+            eager=False
+        )
+        n_pairs_run = pairs.count()
+        pair_runs.append(round(time.monotonic() - t0, 3))
+        assert n_pairs is None or n_pairs == n_pairs_run  # deterministic
+        n_pairs = n_pairs_run
+        stats: dict = {}
+        t0 = time.monotonic()
+        clusters = duplicate_clusters(
+            docs.select(F.col("doc_id").alias("id")), pairs, stats=stats
+        )
+        n_keep = clusters.filter("keep").count()
+        cluster_runs.append(round(time.monotonic() - t0, 3))
+        rounds = stats.get("rounds")
+        assert n_keep > 0
+        if run == 0 and deadline is not None and time.monotonic() > deadline:
+            break
+    # n_docs/kept re-emitted (ADVICE r13: the 100x blocks dropped the
+    # r11 schema's keys; programmatic readers saw missing fields)
     return {
-        "pairs_s": t_pairs,
+        "pairs_s": min(pair_runs),
+        "pairs_runs": pair_runs,
         "n_pairs": n_pairs,
-        "cluster_s": round(time.monotonic() - t0, 3),
-        "rounds": stats.get("rounds"),
+        "cluster_s": min(cluster_runs),
+        "rounds": rounds,
+        "n_docs": n_docs,
+        "kept": n_keep,
     }
 
 
@@ -610,6 +637,16 @@ def _run_stress(
             # and its tripwire nulled an otherwise-clean ratio)
             time.sleep(2)
             _gc_level(spark)
+        if name.startswith("q48"):
+            # pre-warm the memoized similarity store OUTSIDE the timed
+            # window (VERDICT r13 task 8): the first timed q48 run at
+            # each scale otherwise pays store build + JIT inside it
+            # (~3x steady — 31.5 s vs 11.3 at 1x), which the
+            # convergence loop then spends extra runs discarding
+            try:
+                _q48_split(spark, d)
+            except Exception as e:
+                print(f"# q48 store pre-warm failed: {e}", file=sys.stderr)
         times = [_run_noop(spark, specs, name, d)]
         if time.monotonic() < deadline:
             times.append(_run_noop(spark, specs, name, d))
@@ -871,10 +908,14 @@ def main() -> None:
         # skipped every round since creation — it is the cheaper,
         # more predictable tail point, so it no longer queues behind
         # q48_100x's variable store-load/first-batch costs)
-        if _tail_budget_ok(90):
+        if _tail_budget_ok(150):
             try:
                 p_a = _probe(spark, specs, sf_dir)
-                dedup_100x = _dedup_100x(spark)
+                # second timed run allowed only while it leaves room
+                # for the q48_100x point + the closing calibration
+                dedup_100x = _dedup_100x(
+                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 160
+                )
                 p_b = _probe(spark, specs, sf_dir)
                 print(
                     f"# dedup_100x window probes: {p_a:.2f}s / {p_b:.2f}s",

@@ -258,12 +258,17 @@ def build_similarity_store(
     # groups — whose collisions are true near-pairs that verify either
     # way — keep plain equality, which measured ~15% faster end-to-end
     # there (pricing + probe re-emission buys nothing when every
-    # bucket is uniformly warm). A group must also CARRY a material
-    # share (1%) of total collision mass: the dense sf0.1 fixture's
-    # two eliminable-but-immaterial groups (0.1%/0.5% of mass) cost 2x
-    # end-to-end when flipped, for a 0.8% candidate cut (r13 measured
-    # 14.1 s vs 6.7 s pipeline) — an immaterial group can never repay
-    # the per-batch pricing fixed cost.
+    # bucket is uniformly warm). The materiality guard (1% of total
+    # collision mass) gates the MACHINERY, not individual groups
+    # (r14): the pricing cost is per-batch FIXED, so sf0.1 — whose
+    # only eliminable groups hold 0.1%/0.5% of mass — stays on pure
+    # zero-overhead equality (r13 measured engaging it there: 2x
+    # end-to-end for a 0.8% cut), while a corpus with one material
+    # eliminable group flips EVERY eliminable group: the 10x stress
+    # corpus's 1.3%-mass short groups dominated the residual
+    # candidates once the big groups flipped, and including them cut
+    # deduped candidates a further 3.5x (727k -> 207k) at neutral
+    # wall — 10x candidate growth drops 93x -> 27x.
     h_eq = {g: max(1, seg_count_dima(t, hi)) for g, (lo, hi) in enumerate(groups)}
     h_del = {
         g: max(1, (seg_count_dima(t, hi) + 1) // 2)
@@ -819,7 +824,9 @@ def run_semi_stream_similarity(
 # v3: materiality guard on the VSL chooser
 # v4 (r14): sk-hashed join keys (sigs parquet carries the sk column;
 #     sigfreq is keyed by sk) + the kv key directory serving the fetch
-STORE_LAYOUT_VERSION = 4
+# v5 (r14): machinery-level materiality — saved stores carry baked-in
+#     vsl flags, so a chooser-criterion change must rebuild them
+STORE_LAYOUT_VERSION = 5
 
 
 def save_similarity_store(join: SemiStreamSimilarityJoin, path: str) -> None:

@@ -342,16 +342,24 @@ def choose_signature_schemes(
     deduped candidates 14x. The batch-replayed semi-stream pipeline
     passes 0.1; the one-shot join keeps the pure cost comparison.
 
-    ``material_frac`` (optional) additionally requires the group to
-    CARRY a material share of the corpus's total equality collision
-    mass: c2_eq[g] >= material_frac * sum_g(c2_eq). Measured (r13):
-    the dense sf0.1 fixture's two eliminable groups hold 0.1%/0.5% of
-    total mass — flipping them bought a 0.8% candidate cut while the
-    flipped layout's per-batch machinery cost 2x end-to-end (14.1 s vs
-    6.7 s pipeline) — while the sparse stress fixture's eliminable
-    groups hold 96% of mass and repay it 10-35x. An immaterial group
-    cannot repay a fixed per-batch cost by construction, whatever its
-    elimination ratio.
+    ``material_frac`` (optional) gates whether the per-record pricing
+    MACHINERY engages at all: the V-selection layout only turns on
+    when at least one otherwise-flipping group carries a material
+    share of the corpus's total equality collision mass
+    (c2_eq[g] >= material_frac * sum_g(c2_eq)); once engaged, every
+    eliminable group joins the layout. Measured basis (r13/r14): the
+    pricing cost is per-BATCH fixed (hot-table broadcast + the Arrow
+    greedy pass), so on the dense sf0.1 fixture — whose only
+    eliminable groups hold 0.1%/0.5% of mass — engaging the machinery
+    for them cost 2x end-to-end for a 0.8% candidate cut (r13: 14.1 s
+    vs 6.7 s pipeline), while on the sparse stress corpus the material
+    groups repay it 10-35x AND the immaterial-but-eliminable groups
+    then ride the already-paid machinery for free: at the 10x stress
+    corpus they hold 1.3% of store mass but dominated the residual
+    candidate volume once the big groups flipped — including them
+    cuts deduped candidates a further 3.5x (727k -> ~207k, r14
+    measured) at neutral wall time. A PER-GROUP materiality gate
+    (the r13 form) misreads exactly that regime.
     """
     from distributed_stream_processing_spark.functions.signatures import (
         segment_signatures,
@@ -414,6 +422,7 @@ def choose_signature_schemes(
     }
     tot_c2_eq = sum(stats.get((g, 0), (0, 0, 0.0))[1] for g in range(len(groups)))
     out: dict[int, bool] = {}
+    material: dict[int, bool] = {}
     for g in range(len(groups)):
         rows_eq, c2_eq, _ = stats.get((g, 0), (0, 0, 0.0))
         rows_del, c2_del, sz_sum = stats.get((g, 1), (0, 0, 0.0))
@@ -424,9 +433,16 @@ def choose_signature_schemes(
         use_del = cost_del < cost_eq
         if use_del and eliminate_ratio is not None:
             use_del = c2_del <= eliminate_ratio * c2_eq
-        if use_del and material_frac is not None:
-            use_del = c2_eq >= material_frac * tot_c2_eq
         out[g] = use_del
+        material[g] = c2_eq >= (material_frac or 0.0) * tot_c2_eq
+    if material_frac is not None and not any(
+        out[g] and material[g] for g in out
+    ):
+        # no material group wants the layout: the per-batch pricing
+        # machinery cannot repay its fixed cost — stay on equality
+        # everywhere (once ANY material group engages it, the
+        # immaterial eliminable groups ride along; see docstring)
+        out = {g: False for g in out}
     return out
 
 
