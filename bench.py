@@ -1164,8 +1164,8 @@ def main() -> None:
             **({"ctl": ctl} if ctl else {}),
             **({"sf1_stress": stress} if stress else {}),
             # which BASELINE.md row each headline maps to (compact —
-            # full context in the stderr note; the line ran 1548 bytes
-            # with every section published and must stay under ~1450)
+            # full context in the stderr note; the line ran ~1514 bytes
+            # with every r14 section published — guard at 1600 below)
             "baseline_map": {
                 "q33": "DS-Join 2.2x claim",
                 "q48": "DSim 2099ms/batch",
@@ -1175,7 +1175,11 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    if len(line) > 1450:
+    # 1600: r14's restored 100x protocol keys (ADVICE r13) add ~100
+    # bytes; the hard risk line is the driver's ~2 KB tail capture
+    # (r6 lost the headline to a 4.4 KB line), so 1600 keeps ~25%
+    # margin while letting the blocks stay self-describing
+    if len(line) > 1600:
         print(
             f"# WARNING: bench JSON line is {len(line)} bytes "
             "(driver tail capture risk above ~2 KB — trim sections)",

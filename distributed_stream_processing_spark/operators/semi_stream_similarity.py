@@ -650,8 +650,15 @@ class SemiStreamSimilarityJoin:
         # on the pinned broadcast plan and sends store-scale ones to a
         # candidate-bounded SHJ (no sort, both sides
         # candidate-bounded after the semi).
-        b_ids = pair_ids.select("b_id").dropDuplicates(["b_id"])
-        b_reps = self.rep_store.join(F.broadcast(b_ids), "b_id", "left_semi")
+        b_side = self.rep_store
+        if self._rep_rows is None or self._rep_rows > 100_000:
+            # the candidate-id semi detour pays only at store scale:
+            # below it the full payload table broadcasts anyway, and
+            # the detour's per-batch dedup shuffle of the (candidate-
+            # volume!) id column is pure overhead — sf0.1's ~1.2M-pair
+            # batches measured +3.5 s headline for nothing (r14)
+            b_ids = pair_ids.select("b_id").dropDuplicates(["b_id"])
+            b_side = self.rep_store.join(F.broadcast(b_ids), "b_id", "left_semi")
         # payload rows are token arrays, not narrow keys, so the
         # broadcast tier gets its own cap: an in-session A/B at the
         # 100x store measured the ~108k-array-row broadcast 2.5-3.3 s
@@ -661,7 +668,7 @@ class SemiStreamSimilarityJoin:
         # corpora on broadcast and only far larger payload sets fall
         # to the spillable tiers
         pairs = pair_ids.join(F.broadcast(a_reps), "a_id").join(
-            bounded_broadcast(b_reps, self._rep_rows, max_rows=500_000),
+            bounded_broadcast(b_side, self._rep_rows, max_rows=500_000),
             "b_id",
         )
         # lazy localCheckpoint (the X8 lineage-truncation pattern): the
