@@ -543,6 +543,25 @@ def _dedup_100x(spark, deadline: float | None = None) -> dict:
         assert n_keep > 0
         if run == 0 and deadline is not None and time.monotonic() > deadline:
             break
+    # convergence retry (same rule as the stress points): a >30%
+    # disagreement between the two timed runs is a session-pressure
+    # spike on one of them, not steady state — buy one more run when
+    # the budget allows (probe-blind pressure slows multi-second jobs
+    # 2-5x while 1 s probes read clean)
+    while (
+        len(pair_runs) >= 2
+        and len(pair_runs) < 4
+        and abs(pair_runs[-1] - pair_runs[-2]) > 0.3 * min(pair_runs[-2:])
+        and (deadline is None or time.monotonic() < deadline)
+    ):
+        time.sleep(2)
+        _gc_level(spark)
+        t0 = time.monotonic()
+        pairs = minhash_lsh_dedup(toks, Fraction(4, 5)).localCheckpoint(
+            eager=False
+        )
+        assert pairs.count() == n_pairs
+        pair_runs.append(round(time.monotonic() - t0, 3))
     # n_docs/kept re-emitted (ADVICE r13: the 100x blocks dropped the
     # r11 schema's keys; programmatic readers saw missing fields)
     return {
