@@ -464,6 +464,23 @@ def _q48_100x(spark, d100: str) -> dict:
             )
             with open(cand_cache, "w") as f:
                 json.dump({"fp": _code_fingerprint(), "cand": n_cand}, f)
+        # the REFERENCE-REGIME batch (r14): DSim's scaling claim is
+        # fixed SMALL per-batch query volume against a growing DB
+        # (~10 queries/batch, DSim-Join/README.md:14 + its shipped
+        # log) — with the r14 key-directory fetch the marginal batch
+        # cost at that volume is fixed overhead, not store size, and
+        # this point publishes it (10 planted-dup probe docs, ids
+        # ≡ 1 mod 1000 below 10000, all with stored matches)
+        small = base.filter(
+            (F.col("id") % 10 < 3)
+            & (F.col("id") % 1000 == 1)
+            & (F.col("id") < 10_000)
+        )
+        t0 = time.monotonic()
+        n_small = j.process_batch(small, 3).count()
+        b10_s = round(time.monotonic() - t0, 3)
+        j.flush_attribution()
+        assert n_small > 0, "reference-regime batch verified no pairs"
         # stored_docs / probe_docs re-emitted as measured counts
         # (ADVICE r13: the 100x blocks dropped the r11 schema's keys);
         # cand is batch 1's probe; the two timed probe sets are
@@ -474,6 +491,7 @@ def _q48_100x(spark, d100: str) -> dict:
             ("build_s" if built else "load_s"): index_s,
             "batch_s": min(batch_runs),
             "batch_runs": batch_runs,
+            "b10_s": b10_s,
             "cand": n_cand,
             "out_rows": min(n_outs),
             "stored_docs": stored.count(),
