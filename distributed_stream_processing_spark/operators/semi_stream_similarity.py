@@ -80,13 +80,9 @@ from distributed_stream_processing_spark.streaming.checkpoint import (
 
 # the cache/LRU/fetch key: xxhash64 of the signature triple — see the
 # module docstring's KEY LAYOUT note for why the triple itself is not
-# the join key
+# the join key (emitted by _emit_sigs; _probe_rows recomputes it on
+# V-selection output)
 _KEY = ["sk"]
-
-
-def _sk_col():
-    """The signature-key hash column (over g, seg, sig)."""
-    return F.xxhash64("g", "seg", "sig").alias("sk")
 
 
 def _sig_exprs(
@@ -240,6 +236,12 @@ def build_similarity_store(
     sizes = stored.agg(
         F.min(F.size("tokens")).alias("lo"), F.max(F.size("tokens")).alias("hi")
     ).first()
+    if sizes.lo is None:
+        # an empty stored corpus has no length groups to index — fail
+        # loudly here instead of a TypeError deep in group arithmetic
+        raise ValueError(
+            "build_similarity_store: stored corpus is empty — nothing to index"
+        )
     # widen groups so stream docs within the length filter of any
     # stored doc fall inside a group
     lmin = max(1, int(sizes.lo * t))

@@ -239,6 +239,43 @@ def test_semi_stream_similarity_transparent(spark, corpus):
     assert got == want != set()
 
 
+def test_store_v5_artifacts_consistent(spark, corpus, tmp_path):
+    """v5 persisted-store internal consistency: the saved sk column
+    equals the recomputed hash (a drifted hash would silently split
+    keys between a saved store and new probe rows), the persisted kv
+    directory explodes back to exactly the flat signature rows, and an
+    empty stored corpus fails loudly instead of a TypeError deep in
+    group arithmetic."""
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        SemiStreamSimilarityJoin,
+        build_similarity_store,
+        save_similarity_store,
+    )
+
+    stored = corpus.filter(F.col("id") >= 60)
+    j = SemiStreamSimilarityJoin(stored=stored, threshold=T)
+    path = str(tmp_path / "v5store")
+    save_similarity_store(j, path)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    assert (
+        sigs.filter(F.col("sk") != F.xxhash64("g", "seg", "sig")).count() == 0
+    )
+    kv = spark.read.parquet(f"{path}/kv")
+    flat = {
+        (r.sk, r.b_id, r.b_sz, r.b_kind)
+        for r in kv.select("sk", F.explode("rows").alias("r"))
+        .select("sk", "r.*")
+        .collect()
+    }
+    want = {
+        (r.sk, r.b_id, r.b_sz, r.b_kind)
+        for r in sigs.select("sk", "b_id", "b_sz", "b_kind").collect()
+    }
+    assert flat == want != set()
+    with pytest.raises(ValueError, match="empty"):
+        build_similarity_store(stored.limit(0), T)
+
+
 def test_similarity_store_save_load_roundtrip(spark, corpus, tmp_path):
     """A pipeline rebuilt from the persisted signature store must emit
     exactly the batch outputs of the originally-built one (DSim's
