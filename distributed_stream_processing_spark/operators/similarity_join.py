@@ -241,7 +241,13 @@ def similarity_join(
         cols = [
             F.col("id").alias(f"{prefix}_id"),
             F.size("tokens").alias(f"{prefix}_sz"),
-            "ptok",
+            # the candidate join keys on the HASH of the prefix token,
+            # not the token string: a long equi-key joins measurably
+            # faster than per-row string hashing/comparison (the r14
+            # semi-stream finding: composite/string keys dominated a
+            # 74M-row join 13x). A hash collision only admits a
+            # spurious candidate pair that exact verification removes.
+            F.xxhash64("ptok").alias("pk"),
         ]
         if mapping is not None:
             # single-long bitmask: 8 bytes, cheaper to carry through the
@@ -268,7 +274,7 @@ def similarity_join(
     # exchange wide while leaving it AQE-managed — deliberately NOT an
     # explicit repartition, which would exempt the shuffle from AQE's
     # skew-join splitting exactly where a hot prefix token needs it.
-    cands = a.join(b, "ptok").filter(pair_filter)
+    cands = a.join(b, "pk").filter(pair_filter)
 
     if mapping is not None:
         inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast("bigint")
@@ -803,18 +809,26 @@ def dima_similarity_join(
             ).otherwise(segs)
         else:
             sig_expr = segs
-        return base.select(
-            f"{prefix}_id",
-            f"{prefix}_sz",
-            F.col("gm.g").alias("g"),
-            F.explode(sig_expr).alias("s"),
-        ).select(
-            f"{prefix}_id",
-            f"{prefix}_sz",
-            "g",
-            "s.seg",
-            "s.sig",
-            F.col("s.kind").alias(f"{prefix}_kind"),
+        return (
+            base.select(
+                f"{prefix}_id",
+                f"{prefix}_sz",
+                F.col("gm.g").alias("g"),
+                F.explode(sig_expr).alias("s"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_sz",
+                "g",
+                "s.seg",
+                "s.sig",
+                F.col("s.kind").alias(f"{prefix}_kind"),
+            )
+            # candidate joins key on the signature-triple HASH (same
+            # r14 finding as the semi-stream pipeline: a single long
+            # equi-key beats the 3-column composite 13x on big scans;
+            # collisions only add verification-killed candidates)
+            .withColumn("sk", F.xxhash64("g", "seg", "sig"))
         )
 
     a = sigs(left, "a", own_group_only=True)
@@ -827,12 +841,14 @@ def dima_similarity_join(
         pair_filter = pair_filter & (F.col("a_id") < F.col("b_id"))
 
     if scheme == "vsl":
-        probe = _vsl_probe_rows(a, signature_frequencies(b), hs)
+        probe = _vsl_probe_rows(a, signature_frequencies(b), hs).withColumn(
+            "sk", F.xxhash64("g", "seg", "sig")
+        )
         # probe rows already name the index kind they target (deletion
-        # x deletion is never emitted), so the join is a plain 4-key
-        # equi-join
+        # x deletion is never emitted), so the join is a plain
+        # (hashed-key, kind) equi-join
         pair_ids = (
-            probe.join(b, ["g", "seg", "sig", "b_kind"])
+            probe.join(b, ["sk", "b_kind"])
             .filter(pair_filter)
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
@@ -849,7 +865,7 @@ def dima_similarity_join(
         # (ids-not-payloads — the layout that survives a 100x corpus;
         # see similarity_join)
         pair_ids = (
-            a.join(b, ["g", "seg", "sig"])
+            a.join(b, ["sk"])
             .filter(pair_filter)
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
