@@ -1150,20 +1150,24 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r13 note: q48's probe path gained per-record V-selection "
-        "(sparse groups only) — candidates at 10x drop ~10x and the "
-        "idle 10x ratio center moves 2.8 -> ~1.7 (per-batch pricing "
-        "is a fixed cost in the 1x denominator); q48_cand_1x_10x is "
-        "now MEASURED on the pipeline's real probe path per round "
-        "(the old 359707/37431750 constant was stale, pure-equality-"
-        "layout numbers); audit caches (scheme_audit/cand) are keyed "
-        "by an engine-code fingerprint and recompute on code change; "
-        "saved 100x stores carry a layout version and rebuild loudly "
-        "when stale; the bad-window threshold relaxes to 2x this "
-        "run's opening cal on uniformly-slow-but-idle hosts; big "
-        "movers (q33/q34/q48) get the probes' settle before timing. "
-        "Per-window attribution, fresh-subprocess closing cal, "
-        "min-of-2 protocols all carried from r12.",
+        "# r14 note: the q48 pipeline's per-batch joins are keyed by "
+        "the 64-bit signature-key hash (sk) and the miss fetch reads "
+        "an sk key DIRECTORY (one row per distinct key) — the r13 "
+        "8.6s full-store scan is gone (fetch ~0.6-0.8s at the 100x "
+        "store; batch_s moved 11.15 -> ~5.4-7.9 across windows at "
+        "68,444 candidates); verification payloads are semi-filtered "
+        "to candidate b_ids above 100k stored docs; the VSL "
+        "materiality guard gates the MACHINERY (10x stress candidate "
+        "growth 93x -> 27x; sf0.1 still zero flips); q48_100x "
+        "publishes b10_s (the reference's 10-doc batch regime, "
+        "fixed-overhead-bound) + stored_docs/probe_docs, dedup_100x "
+        "publishes n_docs/kept and runs settle + min-of-2 + a >30% "
+        "disagreement retry (band [14,42], bimodal — BASELINE.md); "
+        "the stress loop pre-warms the q48 store outside timed "
+        "windows; ratio_10x q48 envelope widens DOWNWARD to "
+        "[1.0, 2.0]. Per-window attribution, fresh-subprocess "
+        "closing cal, fingerprint-keyed audit caches, layout-"
+        "versioned stores (v5) all carried from r12/r13.",
         file=sys.stderr,
     )
     line = json.dumps(
