@@ -56,12 +56,23 @@ class SemiStreamJoin:
     # are NOT admitted to the cache (ultra-hot keys would bloat it and
     # are cheap to refetch); None disables
     admit_below_freq: int | None = None
+    # full cache/LRU rewrite + checkpoint every K batches (r15): the
+    # per-batch O(state) rewrite was the pipeline's fixed floor.
+    # Between compactions the state is a bounded lazy chain over the
+    # last base checkpoint (per-batch key/fetch deltas pinned, joins
+    # hinted, eviction filters applied lazily), so each batch's one
+    # action materializes only O(batch) rows. Forced to 1 when
+    # frequency admission is on — the per-key freq table is a
+    # groupBy over the whole chain and must stay per-batch exact.
+    compact_every: int = 8
     cache: DataFrame | None = None
     lru: DataFrame | None = None  # (key, last_seen)
     freq: DataFrame | None = None  # (key, n_batches_seen)
 
     def __post_init__(self):
         spark = self.store.sparkSession
+        if self.admit_below_freq is not None:
+            self.compact_every = 1
         self.cache = (
             self.initial_cache
             if self.initial_cache is not None
@@ -77,13 +88,21 @@ class SemiStreamJoin:
         self._attributor = PlanTimeAttributor()
         self._deferred = DeferredObservation()
         # driver-known row bounds for the eviction-set broadcast gates
-        # (bounded_broadcast): refreshed from each batch's combined
-        # count action. An initial cache is counted ONCE at setup —
-        # one tiny job, never per batch.
+        # (bounded_broadcast): exact at each compaction (the 'l'
+        # branch count), grown by the batch key count between them
+        # (upper bound — overcounting only demotes a broadcast to the
+        # spillable tiers). An initial cache is counted ONCE at setup
+        # — one tiny job, never per batch.
         self._lru_rows: int = (
             0 if self.initial_cache is None else self.initial_cache.count()
         )
         self._freq_rows: int = 0
+        # persisted artifacts backing the state: base checkpoints
+        # [cache, lru, freq] from the last compaction + each pending
+        # batch's (batch_id, key-set checkpoint, fetch cache) delta —
+        # released together at the next compaction (or close())
+        self._base_pins: list[DataFrame] = [self.cache, self.lru, self.freq]
+        self._pend: list[tuple] = []
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """Join one micro-batch against store-through-cache; maintain
@@ -101,9 +120,6 @@ class SemiStreamJoin:
         k = self.key
         cache, lru = self.cache, self.lru
 
-        hit = batch.join(cache, k, "inner")
-        miss = batch.join(cache, k, "left_anti")
-
         # join the previous batch's background walk NOW — before this
         # batch's FIRST job. The output localCheckpoint below is
         # planned with AQE on, which executes its shuffle stages as
@@ -116,7 +132,31 @@ class SemiStreamJoin:
         self._deferred.flush()
 
         t0 = time.monotonic()
-        missed_keys = miss.select(k).distinct()
+        # pinned per-batch key set (lazy checkpoint, materialized by
+        # the combined action's 'k' branch): the LRU chain references
+        # it until the next compaction, so it must not recompute
+        # through the caller's batch DataFrame. toDF: the checkpoint
+        # RDD inherits the batch's expression ids, and joining the
+        # batch against any batch_keys-derived plan would otherwise
+        # trip the analyzer's conflicting-reference check (dedup
+        # declines to rewrite output-level duplicates)
+        batch_keys = lazy_local_checkpoint(batch.select(k).distinct()).toDF(k)
+        # hit/miss split, SCAN-SIDE (r15): one semi-scan of the cache
+        # against the broadcast batch keys yields the (batch-bounded)
+        # matching cache rows; the batch then joins THOSE by broadcast.
+        # The previous shape joined batch x cache directly and left
+        # the strategy to AQE — fine while the cache auto-broadcasts,
+        # but a store-scale cache (the q33_100x axis) falls to a
+        # sort-merge join that shuffles batch AND cache every batch.
+        # This shape scans the cache and shuffles nothing, whatever
+        # the cache size — the same fix the similarity fetch got in
+        # r14.
+        cached_hit = cache.join(F.broadcast(batch_keys), k, "left_semi")
+        hit = batch.join(F.broadcast(cached_hit), k, "inner")
+        missed_keys = batch_keys.join(
+            F.broadcast(cached_hit.select(k)), k, "left_anti"
+        )
+        miss = batch.join(F.broadcast(missed_keys), k, "left_semi")
         fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
 
         # the output is checkpointed per batch (plain lazy
@@ -130,83 +170,114 @@ class SemiStreamJoin:
         )
 
         # ---- state maintenance (X4-X6) ----
-        # key-set joins carry explicit broadcast hints: these plans go
-        # through lazy_local_checkpoint (AQE-off planning), where an
-        # unhinted join against the checkpointed state (unknown stats)
-        # would compile to a sort-merge join shuffling the whole
-        # cache/LRU every batch. batch_keys is genuinely micro-batch-
-        # sized (unconditional hint); the EVICTION sets (stale, hot)
-        # are only usually small — after a workload shift stale can be
-        # the whole cache — so their hints are gated on the tracked
-        # state sizes (bounded_broadcast), falling back to a shuffled
-        # join rather than an unbounded driver collect.
-        batch_keys = batch.select(k).distinct()
-        new_lru = (
-            lru.join(F.broadcast(batch_keys), k, "left_anti")
-            .unionByName(batch_keys.withColumn("last_seen", F.lit(batch_id)))
-        )
-        admitted = fetched
+        # Deferred compaction (r15, mirrors the similarity pipeline):
+        # the O(state) latest-wins fold + eviction + localCheckpoint
+        # runs only at COMPACTION batches; between them the state is a
+        # flat APPEND-ONLY union (base checkpoint + pinned per-batch
+        # key/fetch deltas, NO joins), so reading it costs one scan
+        # and zero extra jobs, and the batch's ONE combined action
+        # materializes only the per-batch deltas plus the output — the
+        # empty-batch floor was the unconditional state rewrite. (An
+        # earlier draft chained the per-batch anti-join rewrites
+        # lazily: every chain evaluation re-ran every prior batch's
+        # broadcast subqueries and per-batch job counts grew
+        # geometrically — see the similarity module's note.)
+        # Eviction between compactions is deferred, never lost: the
+        # cadence is bounded by the controller window, so a key due
+        # for eviction over-stays at most window-1 batches, and
+        # window=1 preserves strict per-batch eviction exactly.
         # first controller read of this batch — the walk was joined
         # above (pre-job), so the window reflects the previous batch
         window = self.controller.window
-        stale = new_lru.filter(F.col("last_seen") < batch_id - window).select(k)
-        new_freq = None
-        if self.admit_below_freq is not None:
-            # per-key batch frequency (admission only): maintained —
-            # one groupBy + checkpoint + union branch per batch — only
-            # when admission is enabled; the pipeline is latency-bound
-            # on small sequential stages, so dead state costs real time
-            new_freq = (
-                self.freq.unionByName(
-                    batch_keys.withColumn("n_batches_seen", F.lit(1))
-                )
-                .groupBy(k)
-                .agg(F.sum("n_batches_seen").alias("n_batches_seen"))
-            )
-            # a key only reveals itself as hot after repeat batches, so
-            # the filter both blocks admission AND evicts already-cached
-            # keys that crossed the threshold
-            hot = new_freq.filter(
-                F.col("n_batches_seen") >= self.admit_below_freq
-            ).select(k)
-            # hot ⊆ the maintained freq table's keys (a new key's
-            # count is 1 < threshold), so last batch's freq row count
-            # bounds it
-            admitted = fetched.join(
-                bounded_broadcast(hot, self._freq_rows), k, "left_anti"
-            )
-            stale = stale.unionByName(hot)
-            stale_bound = self._lru_rows + self._freq_rows
-        else:
-            stale_bound = self._lru_rows
-        # stale ⊆ prior-LRU keys (this batch's keys carry last_seen ==
-        # batch_id, never stale) ∪ hot keys — both tracked counts
-        stale = bounded_broadcast(stale, stale_bound)
-        new_cache = cache.join(stale, k, "left_anti").unionByName(admitted)
-        new_lru = new_lru.join(stale, k, "left_anti")
-
-        # checkpoint + bound every batch (constant plan depth, bounded
-        # partition width — the union adds the fetch's partitions each
-        # batch otherwise), then ONE combined action: a single job
-        # materializes the fetch cache, all three state checkpoints,
-        # and the controller's key counts (round 2 ran five actions
-        # per batch, rounds 3-4 ran two with the fetch serialized
-        # ahead of maintenance; this runs one).
+        compact = len(self._pend) + 1 >= max(
+            1, min(self.compact_every, window)
+        )
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
-        new_cache = lazy_local_checkpoint(new_cache.coalesce(n_part))
-        new_lru = lazy_local_checkpoint(new_lru.coalesce(n_part))
+        new_freq = None
+        if compact:
+            # latest-wins fold of base + every pending key set; the
+            # key-set joins carry explicit broadcast hints (these
+            # plans are AQE-off under lazy_local_checkpoint, where an
+            # unhinted join against checkpointed state compiles to a
+            # sort-merge join); the EVICTION sets (stale, hot) are
+            # only usually small — after a workload shift stale can be
+            # the whole cache — so their hints are gated on the
+            # tracked state sizes (bounded_broadcast).
+            lru_full = self._base_pins[1]
+            cache_full = self._base_pins[0]
+            deltas = self._pend + [(batch_id, batch_keys, fetched)]
+            for bid_i, bk_i, _ in deltas:
+                lru_full = lru_full.join(
+                    F.broadcast(bk_i), k, "left_anti"
+                ).unionByName(bk_i.withColumn("last_seen", F.lit(bid_i)))
+            admitted_tail = fetched
+            stale = lru_full.filter(
+                F.col("last_seen") < batch_id - window
+            ).select(k)
+            stale_bound = self._lru_rows
+            if self.admit_below_freq is not None:
+                # per-key batch frequency (admission only). Admission
+                # forces compact_every=1, so the fold covers exactly
+                # this batch and the freq groupBy stays per-batch
+                # exact — the r14 semantics unchanged.
+                new_freq = (
+                    self.freq.unionByName(
+                        batch_keys.withColumn("n_batches_seen", F.lit(1))
+                    )
+                    .groupBy(k)
+                    .agg(F.sum("n_batches_seen").alias("n_batches_seen"))
+                )
+                # a key only reveals itself as hot after repeat
+                # batches, so the filter both blocks admission AND
+                # evicts already-cached keys that crossed the threshold
+                hot = new_freq.filter(
+                    F.col("n_batches_seen") >= self.admit_below_freq
+                ).select(k)
+                admitted_tail = fetched.join(
+                    bounded_broadcast(hot, self._freq_rows), k, "left_anti"
+                )
+                stale = stale.unionByName(hot)
+                stale_bound = self._lru_rows + self._freq_rows
+            # stale ⊆ prior-LRU keys (this batch's keys carry
+            # last_seen == batch_id, never stale) ∪ hot keys
+            stale = bounded_broadcast(stale, stale_bound)
+            for _, _, f_i in self._pend:
+                cache_full = cache_full.unionByName(f_i)
+            cache_full = cache_full.unionByName(admitted_tail)
+            # admitted/hot keys are never stale (fresh last_seen, hot
+            # excluded from admission), so filtering the whole union
+            # equals r14's cache.anti(stale) ∪ admitted
+            new_cache = lazy_local_checkpoint(
+                cache_full.join(stale, k, "left_anti").coalesce(n_part)
+            )
+            new_lru = lazy_local_checkpoint(
+                lru_full.join(stale, k, "left_anti").coalesce(n_part)
+            )
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
             .unionAll(batch_keys.select(F.lit("k").alias("t")))
             .unionAll(fetched.select(F.lit("x").alias("t")))
-            .unionAll(new_cache.select(F.lit("c").alias("t")))
-            .unionAll(new_lru.select(F.lit("l").alias("t")))
             .unionAll(out.select(F.lit("o").alias("t")))
         )
-        branch_phases = ["fetch", "join", "fetch", "maintain", "maintain", "join"]
-        branch_tags = ["m", "k", "x", "c", "l", "o"]
-        walk_order = [1, 2, 0, 3, 4, 5]
+        # phase ownership (r15): the scan-side miss detect embeds the
+        # hit-key computation (cache semi scan + broadcasts) in the
+        # 'm' subtree, which is JOIN work — so m is tagged join and
+        # walked before x, leaving the fetch phase owning exactly the
+        # store scan + fetch join the controller's window policy
+        # feeds on (an AQE-pruned zero-miss fetch then reads ~0)
+        branch_phases = ["join", "join", "fetch", "join"]
+        branch_tags = ["m", "k", "x", "o"]
+        walk_order = [1, 0, 2, 3]
+        if compact:
+            tagged = tagged.unionAll(
+                new_cache.select(F.lit("c").alias("t"))
+            ).unionAll(new_lru.select(F.lit("l").alias("t")))
+            branch_phases = branch_phases + ["maintain", "maintain"]
+            branch_tags = branch_tags + ["c", "l"]
+            walk_order = [1, 0, 2, 4, 5, 3]
         if new_freq is not None:
+            # admission forces compact_every=1, so freq always rides a
+            # compaction batch
             new_freq = lazy_local_checkpoint(new_freq.coalesce(n_part))
             tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
             walk_order.append(len(branch_phases))
@@ -216,29 +287,50 @@ class SemiStreamJoin:
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("k", 0))
-        # refresh the eviction-broadcast row bounds from the same
-        # combined action (no extra job)
-        self._lru_rows = int(counts.get("l", 0))
-        self._freq_rows = int(counts.get("f", 0))
         total_s = time.monotonic() - t0
 
-        cache.unpersist()
-        lru.unpersist()
-        # the combined action materialized the output checkpoint and
-        # the new cache (which absorbed the fetched rows) — the
-        # per-batch fetch cache is dead weight from here (bounded
-        # CacheManager on unbounded streams)
-        fetched.unpersist()
-        if new_freq is not None:
-            self.freq.unpersist()
-            self.freq = new_freq
-        self.cache, self.lru = new_cache, new_lru
+        if compact:
+            # the compaction checkpoints absorbed every pending delta
+            # — release them, this batch's, and the previous base
+            # together (bounded CacheManager on unbounded streams)
+            for _, bk_i, f_i in self._pend:
+                bk_i.unpersist()
+                f_i.unpersist()
+            for d in self._base_pins:
+                d.unpersist()
+            fetched.unpersist()
+            batch_keys.unpersist()
+            self._pend = []
+            # exact bounds off the compaction's own count branches
+            self._lru_rows = int(counts.get("l", 0))
+            self._freq_rows = int(counts.get("f", 0))
+            if new_freq is not None:
+                self.freq = new_freq
+            self._base_pins = [new_cache, new_lru, self.freq]
+            self.cache, self.lru = new_cache, new_lru
+        else:
+            self._pend.append((batch_id, batch_keys, fetched))
+            # upper bound: every batch key could be new to the LRU
+            self._lru_rows += n_keys
+            # flat state views over base + pendings (pure unions; a
+            # key probed in several pending batches appears with
+            # several last_seen rows — every pipeline read is
+            # set-membership, and the exact latest-wins fold happens
+            # at compaction)
+            cache_v, lru_v = self._base_pins[0], self._base_pins[1]
+            for bid_i, bk_i, f_i in self._pend:
+                cache_v = cache_v.unionByName(f_i)
+                lru_v = lru_v.unionByName(
+                    bk_i.withColumn("last_seen", F.lit(bid_i))
+                )
+            self.cache, self.lru = cache_v, lru_v
         # MEASURED per-phase split recovered from the combined action's
         # SQL metrics (DS-Join's controller compares measured phase
         # times, streaming.scala:486-520): branch k owns the batch key
-        # scan (join context), m + x the miss detect + store fetch,
-        # c/l/f the state rebuild; x is walked before c so the shared
-        # cached fetch is attributed to the fetch phase. The walk is
+        # scan, m the miss detect (both join context — m embeds the
+        # hit-key semi scan), x the store fetch, c/l/f the state
+        # rebuild (compaction batches only); x is walked before c so
+        # the shared cached fetch is attributed to the fetch phase. The walk is
         # py4j-round-trip-bound, so it runs in the background and is
         # joined at the next batch's entry (DeferredObservation).
         attributor, controller = self._attributor, self.controller
@@ -251,7 +343,10 @@ class SemiStreamJoin:
                 walk_order=walk_order,
             )
             if phases is not None:
-                fetch_s, maintain_s = phases["fetch"], phases["maintain"]
+                # "maintain" is absent between compactions — state
+                # maintenance is deferred, the phase genuinely cost ~0
+                fetch_s = phases["fetch"]
+                maintain_s = phases.get("maintain", 0.0)
                 join_s, measured = phases["join"], True
             else:
                 # fallback: miss-fraction attribution (DSim's
@@ -279,6 +374,19 @@ class SemiStreamJoin:
         """Join the pending background attribution walk — required
         before reading ``controller.history`` after the last batch."""
         self._deferred.flush()
+
+    def close(self) -> None:
+        """Release every persisted block backing the pipeline's STATE
+        (base checkpoints + pending deltas). Batch outputs are pinned
+        to their own checkpoint blocks and stay readable. The instance
+        must not process further batches afterwards."""
+        self.flush_attribution()
+        for _, bk_i, f_i in self._pend:
+            bk_i.unpersist()
+            f_i.unpersist()
+        for d in self._base_pins:
+            d.unpersist()
+        self._pend, self._base_pins = [], []
 
 
 def replay_in_batches(
@@ -323,8 +431,11 @@ def run_semi_stream_join(
     for o in outs[1:]:
         result = result.unionByName(o)
     # the last batch's background attribution must land before anyone
-    # reads the controller history off the diagnostics seam
-    j.flush_attribution()
+    # reads the controller history off the diagnostics seam; close()
+    # releases the state blocks (batch outputs are checkpoint-pinned
+    # by each batch's action and stay readable), so repeated
+    # invocations don't accrete dead cache/LRU state
+    j.close()
     # per-invocation diagnostics seam (bench.py publishes the
     # measured/estimated regime split): carried on the result, not a
     # module global, so interleaved pipelines can't cross-report

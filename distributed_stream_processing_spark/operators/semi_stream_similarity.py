@@ -315,6 +315,14 @@ def build_similarity_store(
     sig_store.count()
     kv_store = _build_kv_directory(sig_store, n_part)
     sig_freq, sig_freq_rows = _build_hot_freq(sig_store, vsl)
+    # the flat store exists only to DERIVE the key directory and the
+    # pricing table — no per-batch path touches it (the fetch reads
+    # kv_store, pricing reads sig_freq), so keeping it cached would
+    # roughly double executor state for nothing (74M flat + 27M
+    # directory rows at the 100x corpus; ADVICE r14). Audit tooling
+    # that still scans it recomputes from lineage (or reads the saved
+    # parquet) and is fp-cached either way.
+    sig_store.unpersist()
     return SimilarityStore(
         groups, hs, mapping, rep_store, sig_store, vsl, sig_freq,
         sig_freq_rows, kv_store, rep_rows,
@@ -445,6 +453,16 @@ class SemiStreamSimilarityJoin:
     threshold: Fraction | float = Fraction(4, 5)
     controller: AdaptiveCacheController = field(default_factory=AdaptiveCacheController)
     artifacts: SimilarityStore | None = None  # prebuilt corpus store
+    # full cache/LRU rewrite + checkpoint every K batches (r15): the
+    # per-batch state swap was the pipeline's fixed floor — empty
+    # batches cost 2.0-4.3 s rewriting O(state) rows that hadn't
+    # changed. Between compactions the state is a bounded lazy chain
+    # (base checkpoint + per-batch pinned probe-key/fetch deltas +
+    # hinted anti-joins), so a batch's one action materializes only
+    # O(batch) rows; every Kth batch pays the O(state) rewrite once
+    # (X8 lineage truncation, amortized). Eviction semantics are
+    # UNCHANGED — the stale filters ride the chain and apply lazily.
+    compact_every: int = 8
     sig_store: DataFrame | None = None
     kv_store: DataFrame | None = None
     cache: DataFrame | None = None
@@ -502,9 +520,19 @@ class SemiStreamSimilarityJoin:
         )
         self._attributor = PlanTimeAttributor()
         self._deferred = DeferredObservation()
-        # LRU starts empty; refreshed from each batch's combined count
-        # action to gate the eviction-set broadcast (bounded_broadcast)
+        # LRU row bound for the eviction-set broadcast gate: exact at
+        # each compaction (read off the 'l' branch count), grown by
+        # the batch's probe-key count between them (an upper bound —
+        # every probed key could be new). Overcounting only demotes a
+        # broadcast to the spillable tiers, never the reverse.
         self._lru_rows: int = 0
+        # persisted artifacts backing the current state: the base
+        # checkpoints [cache, lru] from the last compaction, plus each
+        # pending batch's (batch_id, probe-key checkpoint, fetch
+        # cache) delta. Released together at the next compaction (or
+        # close()).
+        self._base_pins: list[DataFrame] = [self.cache, self.lru]
+        self._pend: list[tuple] = []
 
     def _sigs(self, df: DataFrame, prefix: str, own_group_only: bool) -> DataFrame:
         return _emit_sigs(
@@ -592,21 +620,34 @@ class SemiStreamSimilarityJoin:
         probe = self._probe_rows(batch).cache()
 
         t0 = time.monotonic()
-        probe_keys = probe.select(*_KEY).distinct()
+        # pinned per-batch key set (lazy checkpoint, materialized by
+        # the combined action's 'p' branch): the LRU/cache chains
+        # reference it until the next compaction, so it must not
+        # recompute through the caller's batch DataFrame
+        # (toDF: the checkpoint RDD inherits the probe's expression
+        # ids; re-aliasing keeps batch-side joins against
+        # probe_keys-derived plans clear of the analyzer's
+        # conflicting-reference check)
+        probe_keys = lazy_local_checkpoint(
+            probe.select(*_KEY).distinct()
+        ).toDF(*_KEY)
         # the LRU holds exactly the keys whose store rows are already
         # cached OR known absent from the store (negative caching:
         # keys with no store rows are not refetched every batch).
-        # This miss-detect is re-planned statically inside the state
-        # checkpoint branch (lazy_local_checkpoint), where the
-        # checkpointed LRU has unknown stats — unhinted it compiles
-        # to a sort-merge join (caught by test_plan_invariants), so
-        # the LRU side goes through the same tracked-row-count gate
-        # as the eviction sets: broadcast when small, shuffled hash
-        # join in the mid tier, spillable SMJ above the SHJ row bound
+        # Miss detect is SCAN-SIDE (r15): semi-join the LRU against
+        # the broadcast batch keys (one scan of state, like the kv
+        # fetch), then a tiny anti between two batch-sized sets —
+        # probe ∖ (lru ⋉ probe) ≡ probe ∖ lru. The previous shape
+        # broadcast the LRU itself into the anti-join: a per-batch
+        # O(state) driver collect (~16 MB per 1M keys, every batch,
+        # forever) — exactly the unconditional-broadcast scale risk
+        # bounded_broadcast exists to remove, paid here even on empty
+        # batches.
+        hit_keys = self.lru.select(*_KEY).join(
+            F.broadcast(probe_keys), _KEY, "left_semi"
+        )
         missed_keys = probe_keys.join(
-            bounded_broadcast(self.lru.select(*_KEY), self._lru_rows),
-            _KEY,
-            "left_anti",
+            F.broadcast(hit_keys), _KEY, "left_anti"
         )
         # the miss fetch reads the KEY DIRECTORY — one row per distinct
         # sk, matched groups exploded back to flat cache rows. Scans
@@ -659,8 +700,17 @@ class SemiStreamSimilarityJoin:
             # the detour's per-batch dedup shuffle of the (candidate-
             # volume!) id column is pure overhead — sf0.1's ~1.2M-pair
             # batches measured +3.5 s headline for nothing (r14)
+            # the candidate-id set is bounded only by the stored-doc
+            # count, and this semi is planned AQE-off inside the pinned
+            # plan — an unconditional broadcast here is the same
+            # driver-OOM shape bounded_broadcast removes elsewhere
+            # (ADVICE r14), so the ids ride the ladder gated by the
+            # driver-known stored-doc bound and degrade to a shuffled
+            # hash semi alongside the payload join's own fallback
             b_ids = pair_ids.select("b_id").dropDuplicates(["b_id"])
-            b_side = self.rep_store.join(F.broadcast(b_ids), "b_id", "left_semi")
+            b_side = self.rep_store.join(
+                bounded_broadcast(b_ids, self._rep_rows), "b_id", "left_semi"
+            )
         # payload rows are token arrays, not narrow keys, so the
         # broadcast tier gets its own cap: an in-session A/B at the
         # 100x store measured the ~108k-array-row broadcast 2.5-3.3 s
@@ -686,87 +736,151 @@ class SemiStreamSimilarityJoin:
         out = lazy_local_checkpoint(_verify(pairs, t, self._mapping is not None))
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
-        new_lru = (
-            self.lru.join(F.broadcast(probe_keys), _KEY, "left_anti")
-            .unionByName(probe_keys.withColumn("last_seen", F.lit(batch_id)))
-        )
-        # stale ⊆ prior-LRU keys (this batch's keys are never stale):
-        # the tracked LRU row count gates the broadcast hint — after a
-        # workload shift stale can be cache-sized, and these joins are
-        # planned AQE-off with no runtime fallback (ADVICE r6).
+        # Deferred compaction (r15): the O(state) latest-wins fold +
+        # eviction + localCheckpoint runs only at COMPACTION batches.
+        # Between them the state is a flat APPEND-ONLY union — base
+        # checkpoint + each pending batch's pinned probe-key/fetch
+        # delta, NO joins — so reading it costs one scan and zero
+        # extra jobs, and a batch's one action materializes O(batch)
+        # rows (the empty-batch floor was the unconditional rewrite).
+        # An earlier r15 draft chained the per-batch anti-join
+        # rewrites lazily instead: every chain evaluation re-ran every
+        # prior batch's broadcast subqueries, and per-batch job counts
+        # grew geometrically (measured 14 -> 29 -> 66 jobs over three
+        # sf0.1 batches) — eviction must not ride the hot path as
+        # unmaterialized joins.
+        #
+        # Eviction between compactions is DEFERRED, never lost: keys
+        # only over-stay (transparency unaffected — the LRU set still
+        # equals the keys whose rows are cached or known absent), and
+        # the compaction cadence is bounded by the CONTROLLER WINDOW
+        # (min(compact_every, window)), so a key due for eviction
+        # over-stays at most window-1 batches — with window=1 the
+        # reference's strict per-batch eviction is preserved exactly.
         # The previous batch's background walk is joined NOW — the
         # first controller read; everything above overlapped it.
         self._deferred.flush()
-        stale = bounded_broadcast(
-            new_lru.filter(
-                F.col("last_seen") < batch_id - self.controller.window
-            ).select(*_KEY),
-            self._lru_rows,
+        window = self.controller.window
+        compact = len(self._pend) + 1 >= max(
+            1, min(self.compact_every, window)
         )
-        new_cache = self.cache.join(stale, _KEY, "left_anti").unionByName(fetched)
-        new_lru = new_lru.join(stale, _KEY, "left_anti")
-        # localCheckpoint, not cache(): a cache keeps the FULL plan
-        # lineage, so each batch's state plan deepens by the whole
-        # prior chain. Checkpointing pins the state to its blocks and
-        # keeps every batch's plan depth constant — the X8
-        # lineage-truncation pattern applied to the state DFs. The
-        # coalesce bounds state partitions: each batch's union adds
-        # the fetch's partitions, so an unbounded stream would grow
-        # the state scan O(batches) wide (7 -> 14 -> 21 tasks over 3
-        # batches here) without it.
         n_part = int(
             self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        new_cache = lazy_local_checkpoint(new_cache.coalesce(n_part))
-        new_lru = lazy_local_checkpoint(new_lru.coalesce(n_part))
+        if compact:
+            # latest-wins fold of base + every pending key set (later
+            # batches override last_seen), then the eviction filter —
+            # each anti carries an unconditional broadcast hint (key
+            # sets are batch-sized) except stale, whose bound is the
+            # tracked LRU row count (after a workload shift stale can
+            # be cache-sized; these plans are AQE-off with no runtime
+            # fallback — ADVICE r6). Runs ONCE per compaction window.
+            lru_full = self._base_pins[1]
+            cache_full = self._base_pins[0]
+            for bid_i, pk_i, f_i in self._pend + [(batch_id, probe_keys, fetched)]:
+                lru_full = lru_full.join(
+                    F.broadcast(pk_i), _KEY, "left_anti"
+                ).unionByName(pk_i.withColumn("last_seen", F.lit(bid_i)))
+                cache_full = cache_full.unionByName(f_i)
+            stale = bounded_broadcast(
+                lru_full.filter(
+                    F.col("last_seen") < batch_id - window
+                ).select(*_KEY),
+                self._lru_rows,
+            )
+            new_cache = lazy_local_checkpoint(
+                cache_full.join(stale, _KEY, "left_anti").coalesce(n_part)
+            )
+            new_lru = lazy_local_checkpoint(
+                lru_full.join(stale, _KEY, "left_anti").coalesce(n_part)
+            )
         # THE one action of the batch: a single job materializes the
-        # verified output checkpoint, both state checkpoints, and the
+        # verified output checkpoint, the per-batch pinned deltas (and
+        # on compaction batches both state checkpoints), and the
         # controller's key counts together — output verify and state
         # maintenance share the cluster instead of serializing
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
             .unionAll(probe_keys.select(F.lit("p").alias("t")))
-            .unionAll(new_cache.select(F.lit("c").alias("t")))
-            .unionAll(new_lru.select(F.lit("l").alias("t")))
             .unionAll(out.select(F.lit("o").alias("t")))
             .unionAll(fetched.select(F.lit("x").alias("t")))
         )
+        # phase ownership (r15): the scan-side miss detect embeds the
+        # hit-key computation (LRU semi scan + broadcasts) in the 'm'
+        # subtree — JOIN work — so m is tagged join and walked before
+        # x, leaving fetch owning exactly the key-directory scan +
+        # fetch join the controller's window policy feeds on
+        phases = ["join", "join", "join", "fetch"]
+        tags = ["m", "p", "o", "x"]
+        walk_order = [1, 0, 3, 2]
+        if compact:
+            tagged = tagged.unionAll(
+                new_cache.select(F.lit("c").alias("t"))
+            ).unionAll(new_lru.select(F.lit("l").alias("t")))
+            phases = phases + ["maintain", "maintain"]
+            tags = tags + ["c", "l"]
+            # p, m, x, c, l, o — the shared cached fetch is walked
+            # (x) before the state branches that reuse it
+            walk_order = [1, 0, 3, 4, 5, 2]
         counts_df = tagged.groupBy("t").agg(F.count("*").alias("n"))
         counts = {r.t: r.n for r in counts_df.collect()}
         n_miss = int(counts.get("m", 0))
         n_keys = int(counts.get("p", 0))
-        # refresh the eviction-broadcast row bound (no extra job)
-        self._lru_rows = int(counts.get("l", 0))
         total_s = time.monotonic() - t0
 
-        self.cache.unpersist()
-        self.lru.unpersist()
         probe.unpersist()
-        # the combined action has materialized the output checkpoint
-        # and the new cache (which absorbed the fetched rows), so the
-        # per-batch fetch cache is dead weight from here — dropping it
-        # NOW keeps the CacheManager bounded on unbounded streams
-        fetched.unpersist()
-        self.cache, self.lru = new_cache, new_lru
+        if compact:
+            # the compaction checkpoints absorbed every pending delta
+            # (including this batch's fetch/probe keys) — release them
+            # and the previous base together
+            for _, pk_i, f_i in self._pend:
+                pk_i.unpersist()
+                f_i.unpersist()
+            for d in self._base_pins:
+                d.unpersist()
+            fetched.unpersist()
+            probe_keys.unpersist()
+            self._pend = []
+            self._base_pins = [new_cache, new_lru]
+            # exact LRU bound off the compaction's own count branch
+            self._lru_rows = int(counts.get("l", 0))
+            self.cache, self.lru = new_cache, new_lru
+        else:
+            self._pend.append((batch_id, probe_keys, fetched))
+            # upper bound: every probed key could be new to the LRU
+            self._lru_rows += n_keys
+            # flat state views over base + pendings (pure unions — the
+            # next batch reads them with one scan, no joins). A key
+            # probed in several pending batches appears with several
+            # last_seen rows; every pipeline read is set-membership
+            # (semi/anti), and the exact latest-wins fold happens at
+            # compaction.
+            cache_v, lru_v = self._base_pins[0], self._base_pins[1]
+            for bid_i, pk_i, f_i in self._pend:
+                cache_v = cache_v.unionByName(f_i)
+                lru_v = lru_v.unionByName(
+                    pk_i.withColumn("last_seen", F.lit(bid_i))
+                )
+            self.cache, self.lru = cache_v, lru_v
         # MEASURED per-phase split from the combined action's SQL
-        # metrics: p owns the probe signature emission (join context),
-        # x + m the store fetch + miss detect, c/l the state rebuild,
-        # o the hit/miss join + verification; x is walked before c/o
-        # so the shared cached fetch lands in the fetch phase. The
-        # walk is py4j-round-trip-bound, so it runs in the background
-        # and is joined at the next batch's entry.
+        # metrics: p owns the probe signature emission, m the miss
+        # detect (both join context — m embeds the hit-key semi scan),
+        # x the key-directory fetch, c/l the state rebuild (compaction
+        # batches only — between them maintenance is deferred and the
+        # phase reads ~0), o the hit/miss join + verification; x is
+        # walked before c/o so the shared cached fetch lands in the
+        # fetch phase. The walk is py4j-round-trip-
+        # bound, so it runs in the background and is joined at the
+        # next batch's entry.
         attributor, controller = self._attributor, self.controller
 
         def _attribute_and_observe():
-            phases = attributor.attribute(
-                counts_df,
-                phases=["fetch", "join", "maintain", "maintain", "join", "fetch"],
-                tags=["m", "p", "c", "l", "o", "x"],
-                walk_order=[1, 5, 0, 2, 3, 4],
+            split = attributor.attribute(
+                counts_df, phases=phases, tags=tags, walk_order=walk_order
             )
-            if phases is not None:
-                fetch_s, maintain_s = phases["fetch"], phases["maintain"]
-                join_s, measured = phases["join"], True
+            if split is not None:
+                fetch_s, maintain_s = split["fetch"], split.get("maintain", 0.0)
+                join_s, measured = split["join"], True
             else:
                 # fallback: miss-fraction attribution — the signal the
                 # reference's rule-based window policy keys on
@@ -789,6 +903,20 @@ class SemiStreamSimilarityJoin:
         """Join the pending background attribution walk — required
         before reading ``controller.history`` after the last batch."""
         self._deferred.flush()
+
+    def close(self) -> None:
+        """Release every persisted block backing the pipeline's STATE
+        (base checkpoints + pending deltas). Batch outputs are pinned
+        to their own checkpoint blocks and stay readable. Safe to call
+        once the last batch's combined action has run; the instance
+        must not process further batches afterwards."""
+        self.flush_attribution()
+        for _, pk_i, f_i in self._pend:
+            pk_i.unpersist()
+            f_i.unpersist()
+        for d in self._base_pins:
+            d.unpersist()
+        self._pend, self._base_pins = [], []
 
 
 def run_semi_stream_similarity(
@@ -817,8 +945,12 @@ def run_semi_stream_similarity(
     for o in outs[1:]:
         out = out.unionByName(o)
     # the last batch's background attribution must land before anyone
-    # reads the controller history off the diagnostics seam
-    j.flush_attribution()
+    # reads the controller history off the diagnostics seam; close()
+    # releases the state blocks (the outputs are checkpoint-pinned by
+    # each batch's action and stay readable) so repeated invocations —
+    # a benchmark loop, a long session — don't accrete dead cache/LRU
+    # state in the CacheManager
+    j.close()
     # per-invocation diagnostics seam (bench.py publishes the
     # measured/estimated regime split): carried on the result, not a
     # module global, so interleaved pipelines can't cross-report
@@ -939,6 +1071,10 @@ def load_similarity_store(
                     f"# sigfreq write-back to {path} skipped: {e}",
                     file=sys.stderr,
                 )
+    # cached only while the fallback derivations above may scan it
+    # twice; the pipeline itself never reads the flat store (the fetch
+    # goes through kv_store) — see build_similarity_store
+    sig_store.unpersist()
     rep_store = spark.read.parquet(f"{path}/reps").cache()
     artifacts = SimilarityStore(
         groups=groups,

@@ -24,7 +24,11 @@ def _timings(spark, n_store=60_000, n_batch=20_000):
         (F.col("id") * 7 % 1000).alias("payload"),
         F.sha2(F.col("id").cast("string"), 256).alias("pad"),
     )
-    j = SemiStreamJoin(store=store, key="k")
+    # compact_every=1: these tests pin the MEASURED c/l maintenance
+    # split, so they run the per-batch compaction regime — under the
+    # r15 default (deferred compaction) maintenance between
+    # compactions is genuinely ~0 and there would be nothing to split
+    j = SemiStreamJoin(store=store, key="k", compact_every=1)
     batch = spark.range(n_batch).select(
         F.col("id").alias("k"), F.lit(1).alias("v")
     )
@@ -338,7 +342,7 @@ def test_attributor_survives_aqe_pruned_fetch_branch(spark):
         F.col("id").alias("k"), F.lit(1).alias("v")
     )
     for attempt in range(2):
-        j = SemiStreamJoin(store=store, key="k")
+        j = SemiStreamJoin(store=store, key="k", compact_every=1)
         j.process_batch(batch, 0)  # primes the baseline; misses all
         j.process_batch(batch, 1)  # same keys cached -> zero misses
         j.flush_attribution()
