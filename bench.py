@@ -83,15 +83,16 @@ IDLE_SPREAD_DEFAULT_S = 0.8
 # tripwire fires at 2x these — above every clean reading, well below
 # genuine contention (r11 contended q48 computed 7.7).
 EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
-# reserved tail budget: dedup_100x (~60-90 s) + the q48_100x point
-# (~160-190 s measured warm: 40 s store load + a slow first timed
-# batch + the steady batch) + the closing calibration — the pieces
-# that contended hosts historically dropped first, paid for off the
-# top. dedup runs FIRST in the tail: it is the cheaper, more
-# predictable point and the one the budget had squeezed out in every
-# round since its creation (VERDICT r11 task 4).
-# (+60 in r14: the dedup point's second timed run under min-of-2)
-RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "420"))
+# reserved tail budget: the q33_100x point (~90 s: 2M-row store load
+# + warm-up + 2-4 timed batches + the 1k fixed-volume batch) +
+# dedup_100x (~90-150 s) + the q48_100x point (~110-160 s warm) + the
+# closing calibration — the pieces that contended hosts historically
+# dropped first, paid for off the top. q33_100x runs FIRST in the
+# r15 tail: it is this round's missing evidence axis (the r14 weak
+# mark) and the cheapest point; dedup keeps its r11 priority over
+# q48_100x (whose saved store makes its warm path predictable).
+# (+80 in r15 for the q33 point, matched by +40 bench budget)
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "500"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -291,13 +292,57 @@ def _pipeline_cand_count(spark, d: str) -> int:
     stream, _, store, t = _q48_split(spark, d)
     j = sss.SemiStreamSimilarityJoin(stored=None, threshold=t, artifacts=store)
     probe = j._probe_rows(stream)
-    return (
+    # the flat sig_store is no longer kept cached by the engine (r15:
+    # only the kv directory is); cache it for this audit's scan only
+    store.sig_store.cache()
+    try:
+        return (
+            store.sig_store.join(F.broadcast(probe), sss._KEY + ["b_kind"])
+            .filter(j._pair_filter)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+            .count()
+        )
+    finally:
+        store.sig_store.unpersist()
+
+
+def _pipeline_pair_count(spark, d: str) -> int:
+    """VERIFIED output pairs of the q48 pipeline's probe path against
+    a directory's store (VERDICT r14 task 3): published beside the
+    chosen-candidate counts at 1x/10x, cand/pairs_out becomes the
+    readable chooser-efficiency ratio — it separates the scheme's
+    residual candidate superlinearity from the stress corpus's
+    genuinely superlinear near-pair volume. Deterministic on a fixed
+    fixture."""
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_similarity as sss,
+    )
+
+    stream, _, store, t = _q48_split(spark, d)
+    j = sss.SemiStreamSimilarityJoin(stored=None, threshold=t, artifacts=store)
+    probe = j._probe_rows(stream)
+    cands = (
         store.sig_store.join(F.broadcast(probe), sss._KEY + ["b_kind"])
         .filter(j._pair_filter)
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .count()
     )
+    a_reps = stream.select(
+        F.col("id").alias("a_id"),
+        F.size("tokens").alias("a_sz"),
+        j._rep_expr.alias("a_rep"),
+    )
+    pairs = cands.join(F.broadcast(a_reps), "a_id").join(
+        store.rep_store, "b_id"
+    )
+    store.sig_store.cache()  # audit-local (see _pipeline_cand_count)
+    try:
+        return sss._verify(pairs, t, j._mapping is not None).count()
+    finally:
+        store.sig_store.unpersist()
 
 
 def _scheme_audit(spark, d: str) -> dict:
@@ -354,7 +399,7 @@ def _scheme_audit(spark, d: str) -> dict:
     }
 
 
-def _q48_100x(spark, d100: str) -> dict:
+def _q48_100x(spark, d100: str, deadline: float | None = None) -> dict:
     """One steady-state batch of the semi-stream similarity pipeline
     against a 100x store (350k stored docs, the dedup_100x corpus)
     with the HEADLINE's per-batch probe volume (~500 docs): the
@@ -380,17 +425,35 @@ def _q48_100x(spark, d100: str) -> dict:
     docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
     base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
     stored = base.filter(F.col("id") % 10 >= 3)  # ~350k docs
-    # three probe batches of ~500 docs each (the sf0.1 headline's
-    # per-batch volume), disjoint ids from the stream split: one
-    # warm-up + two timed steady batches. The generator plants exact
-    # dups at ids ≡ 1 (mod 500) copying id+17 (a stored id), so both
-    # TIMED batches use ≡1/≡501 (mod 1000): every probe doc has a
-    # stored match — the same verified-output volume batch 1 has
-    # always published (≡2 would verify zero pairs and undercount the
-    # steady batch's output work)
+    # probe batches of ~500 docs each (the sf0.1 headline's per-batch
+    # volume), disjoint ids from the stream split: one warm-up + two
+    # timed steady batches + retry batches for the disagreement loop.
+    # The generator plants exact dups at ids ≡ 1 (mod 500) copying
+    # id+17 (a stored id), so both PRIMARY timed batches use ≡1/≡501
+    # (mod 1000): every probe doc has a stored match — the same
+    # verified-output volume batch 1 has always published. Batch ≡1
+    # EXCLUDES ids < 10,000: those are the b10 reference-regime
+    # batch's ids, and probing them here would leave b10 with zero
+    # misses — it would time the warm hit path instead of the fresh-
+    # query regime DSim's claim is about (ADVICE r14). RETRY batches
+    # (fired only on a >30% run disagreement — a re-run of a used
+    # class would re-probe cached keys and time the hit path) use
+    # ≡50/≡550: the generator's planted NEAR-dup slots (ids ≡ 0 mod
+    # 50, one-word swap at J≈0.9 ≥ the 0.75 threshold), so they carry
+    # the same candidate volume and still verify real output.
+    def _probe_batch(cls: int, lo: int = 0):
+        return base.filter(
+            (F.col("id") % 10 < 3)
+            & (F.col("id") % 1000 == cls)
+            & (F.col("id") >= lo)
+        )
+
     probes = [
-        base.filter((F.col("id") % 10 < 3) & (F.col("id") % 1000 == k))
-        for k in (0, 1, 501)
+        _probe_batch(0),
+        _probe_batch(1, lo=10_000),
+        _probe_batch(501),
+        _probe_batch(50),
+        _probe_batch(550),
     ]
     # the index build is the amortized one-time cost (the reference
     # holds its signature collection in a durable store and never
@@ -402,8 +465,9 @@ def _q48_100x(spark, d100: str) -> dict:
     j = None
     if os.path.isdir(os.path.join(store_path, "sigs")):
         try:
+            # (r15: no sig_store count — the flat store is no longer
+            # cached; kv/rep/freq are materialized inside the load)
             j = sss.load_similarity_store(spark, store_path, t)
-            j.sig_store.count()
             built = False
         except ValueError as e:
             # layout version mismatch: the saved store predates the
@@ -415,8 +479,13 @@ def _q48_100x(spark, d100: str) -> dict:
             shutil.rmtree(store_path, ignore_errors=True)
             j = None
     if j is None:
+        # build_similarity_store derives the directory + pricing
+        # artifacts and unpersists the flat store (r15) — re-cache it
+        # around the ONE-TIME save + first-run cand audit, or both
+        # would re-run the full signature emission; the finally block
+        # unpersists it again
         store = sss.build_similarity_store(stored, t)
-        store.sig_store.count()  # materialize outside batch_s
+        store.sig_store.cache()
         j = sss.SemiStreamSimilarityJoin(
             stored=None, threshold=t, artifacts=store
         )
@@ -429,15 +498,27 @@ def _q48_100x(spark, d100: str) -> dict:
         ).save()
         j.flush_attribution()
         batch_runs, n_outs = [], []
-        for b in (1, 2):
+        # min-of-2 with the dedup-style >30% disagreement retry
+        # (VERDICT r14 task 6: [7.19, 12.90] published a 2.4x-span
+        # envelope because one of two runs rode a session-pressure
+        # spike); retries burn the ≡50/≡550 near-dup batches
+        b = 1
+        while len(batch_runs) < 2 or (
+            len(batch_runs) < 4
+            and b < len(probes)
+            and abs(batch_runs[-1] - batch_runs[-2])
+            > 0.3 * min(batch_runs[-2:])
+            and (deadline is None or time.monotonic() < deadline)
+        ):
             t0 = time.monotonic()
             out = j.process_batch(probes[b], b)
             n_outs.append(out.count())
             j.flush_attribution()
             batch_runs.append(round(time.monotonic() - t0, 3))
-        # EVERY timed batch must verify pairs (both probe sets carry
-        # the planted exact dups) — a zero means fixture drift and the
-        # published batch_s would be timing a match-free workload
+            b += 1
+        # EVERY timed batch must verify pairs (the probe sets carry
+        # planted exact or near dups) — a zero means fixture drift and
+        # the published batch_s would be timing a match-free workload
         assert min(n_outs) > 0, (
             f"timed probe batch verified no pairs (fixture drift?): {n_outs}"
         )
@@ -446,7 +527,11 @@ def _q48_100x(spark, d100: str) -> dict:
         # DETERMINISTIC on the fixed fixture, so it is computed once
         # per host and cached beside the store (one extra job on the
         # first run only, outside the timed window either way)
-        cand_cache = os.path.join(store_path, "cand.json")
+        # v2: batch 1's probe set changed in r15 (the b10 ids are
+        # excluded so the reference-regime point has real misses —
+        # ADVICE r14) and the fp key only covers engine files, so the
+        # old cache name must not be reused
+        cand_cache = os.path.join(store_path, "cand_v2.json")
         cached = _load_fp_cache(cand_cache)
         if cached is not None:
             n_cand = cached["cand"]
@@ -464,20 +549,24 @@ def _q48_100x(spark, d100: str) -> dict:
             )
             with open(cand_cache, "w") as f:
                 json.dump({"fp": _code_fingerprint(), "cand": n_cand}, f)
-        # the REFERENCE-REGIME batch (r14): DSim's scaling claim is
-        # fixed SMALL per-batch query volume against a growing DB
-        # (~10 queries/batch, DSim-Join/README.md:14 + its shipped
-        # log) — with the r14 key-directory fetch the marginal batch
-        # cost at that volume is fixed overhead, not store size, and
-        # this point publishes it (10 planted-dup probe docs, ids
-        # ≡ 1 mod 1000 below 10000, all with stored matches)
+        # the REFERENCE-REGIME batch (r14, fixed in r15): DSim's
+        # scaling claim is fixed SMALL per-batch query volume against
+        # a growing DB (~10 queries/batch, DSim-Join/README.md:14 +
+        # its shipped log) — 10 planted-dup probe docs, ids ≡ 1 mod
+        # 1000 below 10000, all with stored matches. These ids are
+        # EXCLUDED from every timed batch's probe set, so this batch
+        # genuinely misses and exercises the key-directory fetch —
+        # r14's version probed a subset of batch 1's ids, every key
+        # was already in the LRU, and the published number was the
+        # warm hit-path floor, not the fresh-query regime (ADVICE
+        # r14 medium).
         small = base.filter(
             (F.col("id") % 10 < 3)
             & (F.col("id") % 1000 == 1)
             & (F.col("id") < 10_000)
         )
         t0 = time.monotonic()
-        n_small = j.process_batch(small, 3).count()
+        n_small = j.process_batch(small, b).count()
         b10_s = round(time.monotonic() - t0, 3)
         j.flush_attribution()
         assert n_small > 0, "reference-regime batch verified no pairs"
@@ -498,12 +587,116 @@ def _q48_100x(spark, d100: str) -> dict:
             "probe_docs": probes[1].count(),
         }
     finally:
-        j.sig_store.unpersist()
-        if j.kv_store is not None:
-            j.kv_store.unpersist()
-        j.rep_store.unpersist()
-        j.cache.unpersist()
-        j.lru.unpersist()
+        j.close()  # releases cache/LRU state pins (r15)
+        for df in (j.sig_store, j.kv_store, j.rep_store, j.sig_freq):
+            if df is not None:
+                df.unpersist()
+
+
+def _q33_100x(spark, deadline: float | None = None) -> dict:
+    """Steady-state batches of the DS-Join equi pipeline against a
+    100x store (2M part-like rows vs sf0.1's 20k) at the HEADLINE's
+    per-batch probe volume (150k rows): the reference's central claim
+    axis is that the cached design's advantage grows with DB size
+    while per-batch query volume stays fixed (DS-Join/README.md:13-14,
+    the axis the r14 verdict marked q33 weak for lacking). Probes are
+    key-arithmetic, no stream fixture: 70% of each batch draws the
+    same 200k-key hot working set (cache hits from batch 1 on), 30%
+    comes from a batch-disjoint fresh band (guaranteed misses) — so a
+    steady batch exercises hit join, miss detect, store fetch, and
+    state upkeep in one measured window. The published batch_s is
+    min-of-2 with the dedup-style >30% disagreement retry (retries use
+    further fresh bands — a repeat of a used band would re-probe
+    cached keys and time the hit path instead). b1k_s is the
+    fixed-small-volume point (1k fresh keys — the reference's own
+    ~per-batch regime); fetch_share is the controller's MEASURED
+    store-fetch fraction over the timed batches."""
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.operators.semi_stream_join import (
+        SemiStreamJoin,
+    )
+    from tools.gen_stress_sf1 import ensure_q33_100x
+
+    d = ensure_q33_100x()
+    t0 = time.monotonic()
+    store = (
+        spark.read.parquet(os.path.join(d, "part_100x.parquet"))
+        .withColumnRenamed("p_partkey", "k")
+        .cache()
+    )
+    n_store = store.count()
+    load_s = round(time.monotonic() - t0, 3)
+    HOT, FRESH, HOT_SET = 105_000, 45_000, 200_000
+
+    def probe(b: int):
+        hot = spark.range(HOT).select(
+            (F.col("id") * 2654435761 % HOT_SET).alias("k")
+        )
+        fresh = spark.range(FRESH).select(
+            (HOT_SET + b * FRESH + F.col("id")).alias("k")
+        )
+        return hot.unionByName(fresh).withColumn("v", F.lit(1))
+
+    j = SemiStreamJoin(store=store, key="k")
+    try:
+        # warm-up batch: fetches the hot set, primes JIT + the
+        # attributor's accumulator baseline (batch 0's split is the
+        # estimate by design)
+        j.process_batch(probe(0), 0).count()
+        j.flush_attribution()
+        batch_runs, n_outs = [], []
+        b = 1
+        while len(batch_runs) < 2 or (
+            len(batch_runs) < 4
+            and abs(batch_runs[-1] - batch_runs[-2])
+            > 0.3 * min(batch_runs[-2:])
+            and (deadline is None or time.monotonic() < deadline)
+        ):
+            t0 = time.monotonic()
+            out = j.process_batch(probe(b), b)
+            n_outs.append(out.count())
+            j.flush_attribution()
+            batch_runs.append(round(time.monotonic() - t0, 3))
+            b += 1
+        # every probe key exists in the store — a zero-output batch
+        # means the probe arithmetic drifted off the key space
+        assert min(n_outs) == HOT + FRESH, f"unexpected out rows {n_outs}"
+        # measured fetch share over the timed batches (the controller
+        # history is the engine's own phase split; batch 0 excluded —
+        # its split is the designed estimate)
+        hist = [t for t in j.controller.history if t.batch_id >= 1 and t.measured]
+        fetch_share = None
+        if hist:
+            tot = sum(t.store_fetch_s + t.cache_maintain_s + t.join_s for t in hist)
+            if tot > 0:
+                fetch_share = round(
+                    sum(t.store_fetch_s for t in hist) / tot, 3
+                )
+        # the reference-regime fixed-volume point: 1k fresh keys
+        # (misses, directory-less store fetch) — the marginal batch
+        # cost at small volume against the 100x store
+        small = spark.range(1_000).select(
+            (HOT_SET + 20 * FRESH + F.col("id")).alias("k")
+        ).withColumn("v", F.lit(1))
+        t0 = time.monotonic()
+        n_small = j.process_batch(small, b).count()
+        j.flush_attribution()
+        b1k_s = round(time.monotonic() - t0, 3)
+        assert n_small == 1_000
+        return {
+            "load_s": load_s,
+            "batch_s": min(batch_runs),
+            "batch_runs": batch_runs,
+            "b1k_s": b1k_s,
+            "fetch_share": fetch_share,
+            "store_rows": n_store,
+            "probe_rows": HOT + FRESH,
+            "miss_keys": FRESH,
+        }
+    finally:
+        j.close()
+        store.unpersist()
 
 
 def _dedup_100x(spark, deadline: float | None = None) -> dict:
@@ -580,6 +773,26 @@ def _dedup_100x(spark, deadline: float | None = None) -> dict:
         )
         assert pairs.count() == n_pairs
         pair_runs.append(round(time.monotonic() - t0, 3))
+    # the SAME disagreement rule for the cluster stage (ADVICE r14:
+    # cluster_s was min-of-2 with no retry, so a pressure spike
+    # hitting both timed cluster runs published an unconverged number
+    # against the committed band) — re-clusters the already-verified
+    # pair set, so each retry is one label-propagation run
+    while (
+        len(cluster_runs) >= 2
+        and len(cluster_runs) < 4
+        and abs(cluster_runs[-1] - cluster_runs[-2])
+        > 0.3 * min(cluster_runs[-2:])
+        and (deadline is None or time.monotonic() < deadline)
+    ):
+        time.sleep(2)
+        _gc_level(spark)
+        t0 = time.monotonic()
+        clusters = duplicate_clusters(
+            docs.select(F.col("doc_id").alias("id")), pairs, stats={}
+        )
+        assert clusters.filter("keep").count() == n_keep
+        cluster_runs.append(round(time.monotonic() - t0, 3))
     # n_docs/kept re-emitted (ADVICE r13: the 100x blocks dropped the
     # r11 schema's keys; programmatic readers saw missing fields)
     return {
@@ -591,6 +804,48 @@ def _dedup_100x(spark, deadline: float | None = None) -> dict:
         "n_docs": n_docs,
         "kept": n_keep,
     }
+
+
+def _dedup_100x_isolated(budget_s: float) -> dict | None:
+    """dedup_100x in a FRESH subprocess session (VERDICT r14 task 4):
+    the committed [14, 42] band was bimodal purely by session position
+    — isolated runs land ≤ ~18 s, runs after the stress audits ride
+    the parent session's ContextCleaner backlog into 25-42 s. A fresh
+    process measures the point itself, the same isolation the closing
+    calibration already uses. Returns the protocol dict, or None if
+    the subprocess failed (caller falls back to the in-session run,
+    flagged by the published "isolated" key)."""
+    import subprocess
+
+    budget_s = max(60.0, min(330.0, budget_s))
+    code = (
+        "import sys,json,time;"
+        f"sys.path.insert(0,{REPO!r});"
+        "import bench;"
+        "from distributed_stream_processing_spark.session import get_spark;"
+        "spark=get_spark('bench-dedup');"
+        f"r=bench._dedup_100x(spark, deadline=time.monotonic()+{budget_s - 45:.0f});"
+        "print('DEDUP_JSON='+json.dumps(r))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=budget_s,
+            env=dict(os.environ),
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("DEDUP_JSON="):
+                return json.loads(ln.split("=", 1)[1])
+        print(
+            f"# dedup subprocess gave no DEDUP_JSON (rc={r.returncode}): "
+            f"{(r.stderr or '')[-300:]}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# dedup subprocess failed: {e}", file=sys.stderr)
+    return None
 
 
 def _run_stress(
@@ -800,15 +1055,15 @@ def main() -> None:
     # reserve pays for dedup_100x + the q48_100x point + the closing
     # calibration BEFORE the stress loops can spend that time on
     # extra runs.
-    # 780 s: the full idle r12 protocol measures ~720 s without the
-    # dedup point (cal ~25 + headline ~105 + stress loops ~350 incl.
-    # the per-window probes + q48_100x ~190 + fresh-session closing
-    # cal ~25) — 660 always squeezed dedup_100x out. r10/r11 ~650 s
-    # driver runs and this round's 718 s validation were captured
-    # fine; the deadline is soft (the JSON line always prints), it
-    # only decides what optional work is attempted.
+    # 820 s (r15: 780 + 40 for the q33_100x point): the full idle
+    # protocol measures ~720 s without q33_100x (cal ~25 + headline
+    # ~105 + stress loops ~350 incl. the per-window probes + dedup +
+    # q48_100x + fresh-session closing cal); driver captures up to
+    # 718 s are validated and the deadline is soft (the JSON line
+    # always prints — it only decides what optional work is
+    # attempted), so the +40 risks nothing but optional sections.
     deadline = time.monotonic() + int(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "820")
     )
     stress_deadline = deadline - RESERVE_TAIL_S
     skipped: list[str] = []
@@ -930,6 +1185,7 @@ def main() -> None:
     # 100x semi-stream similarity posture (VERDICT r9 task 5 / r10
     # task 2): fixed per-batch probe volume against a 100x store — the
     # reference's own scaling axis (DSim-Join/README.md:14)
+    q33_100x = None
     q48_100x = None
     dedup_100x = None
     # the 100x audits publish inside the sf1_stress JSON section, so
@@ -941,18 +1197,53 @@ def main() -> None:
         and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
-        # dedup posture at 100x FIRST (VERDICT r11 task 4: budget-
-        # skipped every round since creation — it is the cheaper,
-        # more predictable tail point, so it no longer queues behind
-        # q48_100x's variable store-load/first-batch costs)
+        # q33_100x FIRST (r15: the equi pipeline's store-scale point —
+        # the one axis the r14 verdict marked weak for being
+        # unmeasured; probe-bracketed like every 100x point)
+        if _tail_budget_ok(110):
+            try:
+                p_a = _probe(spark, specs, sf_dir)
+                q33_100x = _q33_100x(
+                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 260
+                )
+                p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# q33_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    q33_100x["batch_s_raw"] = q33_100x.pop("batch_s")
+                    q33_100x["batch_s"] = None
+                    reasons.append("win:q33_100x")
+                print(f"# q33 100x: {q33_100x}", file=sys.stderr)
+            except Exception as e:
+                print(f"# q33 100x skipped: {e}", file=sys.stderr)
+        else:
+            skipped.append("q33_100x (budget)")
+            print("# q33 100x skipped: budget", file=sys.stderr)
+
+        # dedup posture at 100x next (VERDICT r11 task 4: it had been
+        # budget-skipped every round since creation — it stays ahead
+        # of q48_100x's variable store-load/first-batch costs)
         if _tail_budget_ok(150):
             try:
                 p_a = _probe(spark, specs, sf_dir)
-                # second timed run allowed only while it leaves room
-                # for the q48_100x point + the closing calibration
-                dedup_100x = _dedup_100x(
-                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 160
+                # fresh-subprocess isolation first (VERDICT r14 task
+                # 4); in-session fallback keeps the point alive when
+                # the subprocess dies, and the published "isolated"
+                # key says which regime produced the number. Budget:
+                # whatever the tail can spare above the q48_100x need
+                # + the closing-cal reserve.
+                dedup_100x = _dedup_100x_isolated(
+                    deadline - CAL_CLOSE_RESERVE_S - 160 - time.monotonic()
                 )
+                if dedup_100x is not None:
+                    dedup_100x["isolated"] = 1
+                else:
+                    dedup_100x = _dedup_100x(
+                        spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 160
+                    )
+                    dedup_100x["isolated"] = 0
                 p_b = _probe(spark, specs, sf_dir)
                 print(
                     f"# dedup_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
@@ -990,7 +1281,9 @@ def main() -> None:
                 print("# q48 100x skipped: budget", file=sys.stderr)
             else:
                 p_a = _probe(spark, specs, sf_dir)
-                q48_100x = _q48_100x(spark, d100)
+                q48_100x = _q48_100x(
+                    spark, d100, deadline=deadline - CAL_CLOSE_RESERVE_S
+                )
                 p_b = _probe(spark, specs, sf_dir)
                 print(
                     f"# q48_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
@@ -1036,34 +1329,96 @@ def main() -> None:
             print("# scheme audit skipped: budget", file=sys.stderr)
 
         # measured candidate growth of the q48 probe path at 1x/10x
-        # (replaces the stale hard-coded constant — ADVICE r12). The
-        # stress timing loop already built+memoized both stores in
-        # this session, so each count is one broadcast join; fp-keyed
-        # per-dir caches make later runs free.
-        cands = []
+        # (replaces the stale hard-coded constant — ADVICE r12) plus
+        # the VERIFIED pair counts (VERDICT r14 task 3: cand/pairs_out
+        # at both scales separates chooser inefficiency from the
+        # corpus's true near-pair growth). The stress timing loop
+        # already built+memoized both stores in this session, so each
+        # count is one broadcast join (+ one verify join for pairs);
+        # fp-keyed per-dir caches make later runs free.
+        cands, pairs = [], []
         for scale in ("stress1x", "stress10x"):
             cpath = os.path.join(BASE_DIR, f"cand_{scale}.json")
             cached = _load_fp_cache(cpath)
-            if cached is not None:
+            if cached is not None and "pairs_out" in cached:
                 cands.append(cached["cand"])
+                pairs.append(cached["pairs_out"])
                 continue
-            if not _tail_budget_ok(45):
+            if not _tail_budget_ok(60):
                 cands.append(None)
+                pairs.append(None)
                 skipped.append(f"cand_{scale} (budget)")
                 continue
             try:
                 n = _pipeline_cand_count(
                     spark, os.path.join(BASE_DIR, scale)
                 )
+                m = _pipeline_pair_count(
+                    spark, os.path.join(BASE_DIR, scale)
+                )
                 with open(cpath, "w") as f:
-                    json.dump({"fp": _code_fingerprint(), "cand": n}, f)
+                    json.dump(
+                        {"fp": _code_fingerprint(), "cand": n, "pairs_out": m},
+                        f,
+                    )
                 cands.append(n)
+                pairs.append(m)
             except Exception as e:
                 print(f"# cand {scale} skipped: {e}", file=sys.stderr)
                 cands.append(None)
+                pairs.append(None)
         if any(c is not None for c in cands):
             stress["q48_cand_1x_10x"] = cands
-        print(f"# q48 pipeline cand 1x/10x: {cands}", file=sys.stderr)
+        if any(p is not None for p in pairs):
+            stress["q48_pairs_1x_10x"] = pairs
+        print(
+            f"# q48 pipeline cand 1x/10x: {cands} pairs_out: {pairs}",
+            file=sys.stderr,
+        )
+
+    # engine-parity A/B (VERDICT r14 task 5): when any headline moved
+    # >10% beyond the larger of the two rounds' published spreads, the
+    # round must self-attribute the move — r14's +33% q48 was resolved
+    # by a manual A/B living as prose. tools/ab_prev.py re-times the
+    # BIGGEST mover on the previous round's engine (a worktree of its
+    # verdict commit) AND the current tree, fresh subprocess each,
+    # back-to-back on this host window; prev≈cur reads "host window,
+    # engine parity", a reproduced delta reads "engine".
+    ab = None
+    try:
+        from tools.ab_prev import prev_round_rev, run_ab
+
+        prev_n, prev_rev = prev_round_rev()
+        prev_bench = None
+        if prev_n is not None:
+            with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
+                prev_bench = json.load(f)
+        ab_movers: list[tuple[float, str]] = []
+        if prev_bench and prev_rev:
+            for name, cur in timings.items():
+                p = prev_bench.get("queries", {}).get(name)
+                ps = prev_bench.get("spread_s", {}).get(
+                    name.split("_")[0], 0.0
+                )
+                if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
+                    ab_movers.append((abs(cur - p) / p, name))
+        if ab_movers:
+            mover = max(ab_movers)[1]
+            if _tail_budget_ok(170):
+                ab = {
+                    "q": mover.split("_")[0],
+                    **run_ab(mover, prev_rev, sf_dir, runs=1, timeout=120),
+                }
+                print(f"# engine-parity ab ({mover}): {ab}", file=sys.stderr)
+            else:
+                skipped.append(f"ab:{mover.split('_')[0]} (budget)")
+                print(
+                    f"# engine ab skipped (budget); movers: "
+                    f"{sorted(n for _, n in ab_movers)}",
+                    file=sys.stderr,
+                )
+    except Exception as e:
+        print(f"# engine ab skipped: {e}", file=sys.stderr)
 
     # closing calibration: fresh SUBPROCESS session, so it measures
     # the HOST against the committed idle envelope — the parent
@@ -1119,6 +1474,7 @@ def main() -> None:
         for k, v in (
             ("scheme_audit", scheme_audit),
             ("dedup_100x", dedup_100x),
+            ("q33_100x", q33_100x),
             ("q48_100x", q48_100x),
         ):
             if v is not None:
@@ -1186,6 +1542,11 @@ def main() -> None:
             # "contended" lists every detector that fired (absent =
             # clean window)
             "cal": [round(cal0, 2), round(cal1, 2)],
+            # engine-parity A/B of the round's biggest headline mover
+            # (prev-round engine vs current tree, fresh subprocesses,
+            # same window) — present only when a mover fired and the
+            # budget allowed the re-timing
+            **({"ab": ab} if ab else {}),
             # ADVICE r13: when the per-window bad-probe threshold was
             # RELAXED past the committed envelope (opening cal slow but
             # under the cal_start trip), say so — windows published as

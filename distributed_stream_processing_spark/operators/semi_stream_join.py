@@ -14,10 +14,14 @@ ONE DataFrame program per batch:
 * state: LRU last-seen upsert, eviction of keys older than the
   adaptive window, cache rebuild = (cache ∖ evicted) ∪ fetch
 
-Spark schedules the formerly-threaded stages from one DAG; the cache
-and LRU DataFrames are swapped per batch, localCheckpoint'ed (constant
-plan depth — the reference's X8) and coalesced (bounded partition
-width) on every swap.
+Spark schedules the formerly-threaded stages from one DAG. STATE
+(r15): the cache/LRU live as a base localCheckpoint plus flat
+append-only per-batch deltas (pinned probe-key/fetch checkpoint
+leaves); the O(state) latest-wins fold + eviction + re-checkpoint
+runs every min(compact_every, controller-window) batches — the X8
+lineage truncation amortized, with the per-batch cost O(batch), the
+eviction over-stay bounded by the window, and coalesce bounding
+partition width at each compaction.
 
 Semantic invariant (tested): output == plain stream ⋈ store for every
 cache state — the cache is transparent.
@@ -58,12 +62,12 @@ class SemiStreamJoin:
     admit_below_freq: int | None = None
     # full cache/LRU rewrite + checkpoint every K batches (r15): the
     # per-batch O(state) rewrite was the pipeline's fixed floor.
-    # Between compactions the state is a bounded lazy chain over the
-    # last base checkpoint (per-batch key/fetch deltas pinned, joins
-    # hinted, eviction filters applied lazily), so each batch's one
-    # action materializes only O(batch) rows. Forced to 1 when
-    # frequency admission is on — the per-key freq table is a
-    # groupBy over the whole chain and must stay per-batch exact.
+    # Between compactions the state is a flat append-only union of
+    # the base checkpoint and pinned per-batch deltas, so each
+    # batch's one action materializes only O(batch) rows; the real
+    # cadence is min(compact_every, controller window), which bounds
+    # the eviction over-stay. Forced to 1 when frequency admission is
+    # on — the per-key freq table must stay per-batch exact.
     compact_every: int = 8
     cache: DataFrame | None = None
     lru: DataFrame | None = None  # (key, last_seen)
@@ -99,7 +103,7 @@ class SemiStreamJoin:
         self._freq_rows: int = 0
         # persisted artifacts backing the state: base checkpoints
         # [cache, lru, freq] from the last compaction + each pending
-        # batch's (batch_id, key-set checkpoint, fetch cache) delta —
+        # batch's (batch_id, key-set, fetch) checkpoint-leaf delta —
         # released together at the next compaction (or close())
         self._base_pins: list[DataFrame] = [self.cache, self.lru, self.freq]
         self._pend: list[tuple] = []
@@ -133,7 +137,7 @@ class SemiStreamJoin:
 
         t0 = time.monotonic()
         # pinned per-batch key set (lazy checkpoint, materialized by
-        # the combined action's 'k' branch): the LRU chain references
+        # the combined action's 'k' branch): the state views reference
         # it until the next compaction, so it must not recompute
         # through the caller's batch DataFrame. toDF: the checkpoint
         # RDD inherits the batch's expression ids, and joining the
@@ -157,7 +161,20 @@ class SemiStreamJoin:
             F.broadcast(cached_hit.select(k)), k, "left_anti"
         )
         miss = batch.join(F.broadcast(missed_keys), k, "left_semi")
-        fetched = self.store.join(F.broadcast(missed_keys), k, "left_semi").cache()
+        # the fetch is pinned as a CHECKPOINT LEAF (LogicalRDD), not a
+        # cache: a .cache() here relies on the CacheManager
+        # substituting the fetch subtree wherever it is embedded, but
+        # the analyzer's relation dedup re-instances subtrees that
+        # share expression ids across join sides, after which the
+        # canonical lookup MISSES and the consumer silently re-executes
+        # the full fetch lineage — which contains the previous batches'
+        # fetches, so per-batch job counts DOUBLED (measured 20 -> 34
+        # -> 63 -> ... -> 1053 over seven batches). A leaf has no
+        # lineage to re-execute; every consumer scans its blocks.
+        # toDF gives each batch's leaf fresh output ids (all fetch
+        # leaves would otherwise inherit the store's).
+        fetch_in = self.store.join(F.broadcast(missed_keys), k, "left_semi")
+        fetched = lazy_local_checkpoint(fetch_in).toDF(*self.store.columns)
 
         # the output is checkpointed per batch (plain lazy
         # localCheckpoint: its joins lean on AQE's runtime broadcast
@@ -165,9 +182,8 @@ class SemiStreamJoin:
         # materialized by the combined action's 'o' branch — the
         # caller's eventual evaluation scans pinned blocks instead of
         # recomputing hit/miss/fetch through by-then-released state
-        out = hit.unionByName(miss.join(fetched, k, "inner")).localCheckpoint(
-            eager=False
-        )
+        out_in = hit.unionByName(miss.join(fetched, k, "inner"))
+        out = out_in.localCheckpoint(eager=False)
 
         # ---- state maintenance (X4-X6) ----
         # Deferred compaction (r15, mirrors the similarity pipeline):
@@ -194,6 +210,10 @@ class SemiStreamJoin:
         )
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
         new_freq = None
+        # checkpoint-input plans for the attribution walk: the leaves
+        # print as Scan ExistingRDD in the combined action, so the
+        # real fetch/output metrics live only on these plan objects
+        extra_roots = [("fetch", fetch_in), ("join", out_in)]
         if compact:
             # latest-wins fold of base + every pending key set; the
             # key-set joins carry explicit broadcast hints (these
@@ -247,12 +267,11 @@ class SemiStreamJoin:
             # admitted/hot keys are never stale (fresh last_seen, hot
             # excluded from admission), so filtering the whole union
             # equals r14's cache.anti(stale) ∪ admitted
-            new_cache = lazy_local_checkpoint(
-                cache_full.join(stale, k, "left_anti").coalesce(n_part)
-            )
-            new_lru = lazy_local_checkpoint(
-                lru_full.join(stale, k, "left_anti").coalesce(n_part)
-            )
+            cache_in = cache_full.join(stale, k, "left_anti").coalesce(n_part)
+            lru_in = lru_full.join(stale, k, "left_anti").coalesce(n_part)
+            new_cache = lazy_local_checkpoint(cache_in)
+            new_lru = lazy_local_checkpoint(lru_in)
+            extra_roots += [("maintain", cache_in), ("maintain", lru_in)]
         tagged = (
             missed_keys.select(F.lit("m").alias("t"))
             .unionAll(batch_keys.select(F.lit("k").alias("t")))
@@ -278,7 +297,9 @@ class SemiStreamJoin:
         if new_freq is not None:
             # admission forces compact_every=1, so freq always rides a
             # compaction batch
-            new_freq = lazy_local_checkpoint(new_freq.coalesce(n_part))
+            freq_in = new_freq.coalesce(n_part)
+            new_freq = lazy_local_checkpoint(freq_in)
+            extra_roots.append(("maintain", freq_in))
             tagged = tagged.unionAll(new_freq.select(F.lit("f").alias("t")))
             walk_order.append(len(branch_phases))
             branch_phases.append("maintain")
@@ -341,6 +362,7 @@ class SemiStreamJoin:
                 phases=branch_phases,
                 tags=branch_tags,
                 walk_order=walk_order,
+                extra=extra_roots,
             )
             if phases is not None:
                 # "maintain" is absent between compactions — state

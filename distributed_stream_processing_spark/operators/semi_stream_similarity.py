@@ -52,6 +52,14 @@ information-theoretically dead at this batch volume), and even at the
 reference's own 10-doc batches (484/4096 buckets) the bucket filter
 cost more than the full directory scan it pruned (0.54 s vs 0.23 s;
 tools/exp_fetch_prune*.py).
+
+STATE (r15): cache/LRU live as a base localCheckpoint plus flat
+append-only per-batch deltas (probe-key + fetch checkpoint LEAVES —
+LogicalRDDs, so no consumer can ever re-execute another batch's
+lineage); the O(state) latest-wins fold + eviction + re-checkpoint
+runs every min(compact_every, controller-window) batches. This
+removed the per-batch fixed floor (the unconditional state rewrite)
+while keeping eviction over-stay bounded by the window.
 """
 
 from __future__ import annotations
@@ -456,12 +464,13 @@ class SemiStreamSimilarityJoin:
     # full cache/LRU rewrite + checkpoint every K batches (r15): the
     # per-batch state swap was the pipeline's fixed floor — empty
     # batches cost 2.0-4.3 s rewriting O(state) rows that hadn't
-    # changed. Between compactions the state is a bounded lazy chain
-    # (base checkpoint + per-batch pinned probe-key/fetch deltas +
-    # hinted anti-joins), so a batch's one action materializes only
-    # O(batch) rows; every Kth batch pays the O(state) rewrite once
-    # (X8 lineage truncation, amortized). Eviction semantics are
-    # UNCHANGED — the stale filters ride the chain and apply lazily.
+    # changed. Between compactions the state is a flat append-only
+    # union (base checkpoint + pinned per-batch probe-key/fetch
+    # leaves), so a batch's one action materializes only O(batch)
+    # rows; every min(K, controller-window)-th batch pays the
+    # O(state) latest-wins fold + eviction once (X8 lineage
+    # truncation, amortized; eviction over-stay bounded by the
+    # window).
     compact_every: int = 8
     sig_store: DataFrame | None = None
     kv_store: DataFrame | None = None
@@ -616,8 +625,16 @@ class SemiStreamSimilarityJoin:
         t = self.threshold
         # the probe side (one micro-batch of chosen probe rows) is the
         # small side of every join below — broadcast it so the cached
-        # signature store is only ever SCANNED, never shuffled
-        probe = self._probe_rows(batch).cache()
+        # signature store is only ever SCANNED, never shuffled. Pinned
+        # as a CHECKPOINT LEAF, not a cache: relation dedup re-instances
+        # cache subtrees embedded across join sides, after which the
+        # CacheManager lookup misses and each consumer re-runs the
+        # whole probe emission (see the fetch note below for the
+        # measured blast radius of that failure mode)
+        probe_in = self._probe_rows(batch)
+        probe = lazy_local_checkpoint(probe_in).toDF(
+            "a_id", "a_sz", "sk", "b_kind"
+        )
 
         t0 = time.monotonic()
         # pinned per-batch key set (lazy checkpoint, materialized by
@@ -654,12 +671,23 @@ class SemiStreamSimilarityJoin:
         # rows-per-KEY with a single-long broadcast semi-join: the
         # engine's analogue of the reference's indexed point lookup
         # (module docstring; measured 7.9-8.6 s -> ~0.6 s per batch at
-        # the 100x store)
-        fetched = (
+        # the 100x store). Pinned as a CHECKPOINT LEAF (LogicalRDD),
+        # not a cache: the analyzer's relation dedup re-instances
+        # subtrees that share expression ids across join sides, after
+        # which the CacheManager's canonical lookup MISSES and the
+        # consumer silently re-executes the fetch lineage — which
+        # embeds the state view and therefore every prior pending
+        # batch's fetch, doubling per-batch job counts (measured
+        # 20 -> 1053 over seven batches on the equi twin). A leaf has
+        # no lineage to re-execute; toDF gives each batch's leaf fresh
+        # output ids.
+        fetch_in = (
             self.kv_store.join(F.broadcast(missed_keys), _KEY, "left_semi")
             .select("sk", F.explode("rows").alias("r"))
             .select("sk", "r.b_id", "r.b_sz", "r.b_kind")
-            .cache()
+        )
+        fetched = lazy_local_checkpoint(fetch_in).toDF(
+            "sk", "b_id", "b_sz", "b_kind"
         )
 
         # b_kind is an equi-key: each probe row joins only the store
@@ -733,7 +761,8 @@ class SemiStreamSimilarityJoin:
         # output serialized before the state swap; this runs 1, so at
         # thousands of batches the output tail never stalls the
         # pipeline).
-        out = lazy_local_checkpoint(_verify(pairs, t, self._mapping is not None))
+        out_in = _verify(pairs, t, self._mapping is not None)
+        out = lazy_local_checkpoint(out_in)
 
         # ---- signature-keyed LRU / eviction / cache rebuild ----
         # Deferred compaction (r15): the O(state) latest-wins fold +
@@ -767,6 +796,7 @@ class SemiStreamSimilarityJoin:
         n_part = int(
             self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
+        extra_roots = [("fetch", fetch_in), ("join", probe_in), ("join", out_in)]
         if compact:
             # latest-wins fold of base + every pending key set (later
             # batches override last_seen), then the eviction filter —
@@ -788,12 +818,13 @@ class SemiStreamSimilarityJoin:
                 ).select(*_KEY),
                 self._lru_rows,
             )
-            new_cache = lazy_local_checkpoint(
-                cache_full.join(stale, _KEY, "left_anti").coalesce(n_part)
+            cache_in = cache_full.join(stale, _KEY, "left_anti").coalesce(
+                n_part
             )
-            new_lru = lazy_local_checkpoint(
-                lru_full.join(stale, _KEY, "left_anti").coalesce(n_part)
-            )
+            lru_in = lru_full.join(stale, _KEY, "left_anti").coalesce(n_part)
+            new_cache = lazy_local_checkpoint(cache_in)
+            new_lru = lazy_local_checkpoint(lru_in)
+            extra_roots += [("maintain", cache_in), ("maintain", lru_in)]
         # THE one action of the batch: a single job materializes the
         # verified output checkpoint, the per-batch pinned deltas (and
         # on compaction batches both state checkpoints), and the
@@ -876,7 +907,8 @@ class SemiStreamSimilarityJoin:
 
         def _attribute_and_observe():
             split = attributor.attribute(
-                counts_df, phases=phases, tags=tags, walk_order=walk_order
+                counts_df, phases=phases, tags=tags, walk_order=walk_order,
+                extra=extra_roots,
             )
             if split is not None:
                 fetch_s, maintain_s = split["fetch"], split.get("maintain", 0.0)

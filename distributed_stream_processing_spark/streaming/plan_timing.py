@@ -255,7 +255,17 @@ class PlanTimeAttributor:
         phases: list[str],
         tags: list[str],
         walk_order: list[int] | None = None,
+        extra: list | None = None,
     ) -> dict[str, float] | None:
+        """``extra``: [(phase, DataFrame)] whose RESOLVED physical
+        plans are walked FIRST, in order (owning shared subtrees).
+        Since r15 the per-batch deltas (fetch, probe, output) are
+        checkpoint LEAVES — their execution happens in the leaf RDD's
+        own plan, which the combined action's tree prints as Scan
+        ExistingRDD — so the real fetch/probe/verify metrics live only
+        on the checkpoint INPUTS' plan objects (the same instances the
+        RDD executes; localCheckpoint resolves and memoizes them at
+        call time)."""
         try:
             root = df._jdf.queryExecution().executedPlan()
             branches = _find_union(root)
@@ -292,6 +302,11 @@ class PlanTimeAttributor:
                     stack.extend(_children_named(node, name))
                 return acc
 
+            for phase, xdf in extra or []:
+                totals.setdefault(phase, 0.0)
+                totals[phase] += max(
+                    _walk(xdf._jdf.queryExecution().executedPlan()), 0.0
+                )
             for idx in walk_order or range(len(phases)):
                 acc = 0.0
                 for b in by_tag.pop(tags[idx], []):

@@ -160,19 +160,44 @@ def test_lineitem_scan_column_pruned(spark, specs, name):
 
 def _captured_batch_plans(spark, specs, name, monkeypatch):
     """Run a registered semi-stream pipeline and return each batch's
-    combined-action executed-plan string, captured at the attribution
-    seam (the only place the per-batch plan is reachable)."""
+    plan text: the combined-action executed plan (captured at the
+    attribution seam) PLUS the static plans of everything the batch
+    routed through lazy_local_checkpoint. Since r15 the per-batch
+    fetch/probe deltas are pinned as checkpoint LEAVES (LogicalRDD),
+    so the combined action prints them as Scan ExistingRDD — their
+    join/explode shapes only exist in the checkpoint inputs' resolved
+    plans, captured here at the checkpoint seam."""
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_join as ssj,
+    )
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_similarity as sss,
+    )
+    from distributed_stream_processing_spark.streaming.checkpoint import (
+        lazy_local_checkpoint as real_ckpt,
+    )
     from distributed_stream_processing_spark.streaming.plan_timing import (
         PlanTimeAttributor,
     )
 
     plans: list[str] = []
+    pending: list[str] = []
+
+    def capture_ckpt(df):
+        out = real_ckpt(df)
+        # the checkpoint resolved (and memoized) the input's physical
+        # plan AQE-off inside real_ckpt — read it back for the audit
+        pending.append(_plan(df))
+        return out
 
     def capture(self, df, *a, **k):
-        plans.append(_plan(df))
+        plans.append("\n".join(pending + [_plan(df)]))
+        pending.clear()
         return None  # estimate fallback — capture only
 
     monkeypatch.setattr(PlanTimeAttributor, "attribute", capture)
+    for mod in (ssj, sss):
+        monkeypatch.setattr(mod, "lazy_local_checkpoint", capture_ckpt)
     specs[name].fn(spark, SF)  # per-batch actions run inside
     return plans
 

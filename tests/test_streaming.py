@@ -88,6 +88,36 @@ def test_replay_batches_partition_stream(spark, sf_smoke):
     assert sum(b.count() for _, b in batches) == li.count()
 
 
+def test_semi_stream_jobs_per_batch_bounded(spark):
+    """r15 regression pin for the exponential-lineage bug class: the
+    per-batch deltas must be CHECKPOINT LEAVES. When they were caches,
+    the analyzer's relation dedup re-instanced the subtrees embedded
+    across join sides, the CacheManager lookup missed, and every batch
+    re-executed all prior batches' fetch lineage — per-batch Spark JOB
+    counts doubled (measured 20 -> 34 -> 63 -> 129 -> 261 -> 525 ->
+    1053 over seven batches). With leaves they are flat; this asserts
+    the last non-compaction batch launches no more jobs than an early
+    one (wide slack — any regrowth is geometric, not marginal)."""
+    store = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    j = SemiStreamJoin(store=store, key="k", compact_every=100)
+    sc = spark.sparkContext
+    jobs = []
+    for b in range(6):
+        batch = spark.range(b * 500, b * 500 + 1_000).withColumnRenamed(
+            "id", "k"
+        )
+        j0 = sc._jsc.sc().dagScheduler().nextJobId()
+        assert j.process_batch(batch, b).count() == 1_000
+        j.flush_attribution()
+        jobs.append(sc._jsc.sc().dagScheduler().nextJobId() - j0)
+    j.close()
+    # under the bug jobs[5] was ~16x jobs[1]; flat regimes differ by
+    # at most a couple of AQE-pruned stages
+    assert jobs[5] <= jobs[1] + 4, f"per-batch job counts grew: {jobs}"
+
+
 def test_lru_eviction_bounds_cache(spark, sf_smoke):
     """With a tiny window, old uncontacted keys must leave the cache."""
     cat = Catalog(spark, sf_smoke)

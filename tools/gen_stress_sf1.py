@@ -156,6 +156,48 @@ def ensure_dedup_100x(base_dir: str = BASE_DIR) -> str:
     return d
 
 
+def gen_part_100x(path: str, rng: np.random.RandomState, n: int) -> None:
+    """A part-like stored dimension at 100x sf0.1 (2M rows, same
+    schema/width as testdata's part table) for the q33_100x point:
+    the DS-Join pipeline's store side, big enough that per-batch
+    store-side work is measurable and any accidental store shuffle
+    or broadcast would dominate."""
+    nouns = ["ring", "bolt", "washer", "gear", "cam", "rod", "pin", "nut"]
+    adjs = ["large", "hot", "small", "cold", "round", "flat", "long", "dim"]
+    names = np.array(
+        [f"{adjs[i % 8]} {nouns[(i // 8) % 8]}" for i in range(64)]
+    )
+    types = np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"])
+    keys = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(keys),
+            "p_name": pa.array(names[keys % 64]),
+            "p_brand": pa.array([f"Brand#{int(k)}" for k in keys % 25]),
+            "p_type": pa.array(types[keys % 5]),
+            "p_size": pa.array((keys % 50 + 1).astype(np.int32)),
+            "p_retailprice": pa.array(
+                np.round(900.0 + (keys % 20000) * 0.1, 2)
+            ),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=ROW_GROUP_ROWS)
+
+
+def ensure_q33_100x(base_dir: str = BASE_DIR) -> str:
+    """100x equi-join store (2M part rows ≈ 100x sf0.1's 20k) for the
+    q33_100x bench point — the DS-Join scaling axis (advantage grows
+    with DB size at fixed per-batch query volume, DS-Join/README.md).
+    Probe batches are derived arithmetically in bench.py from the key
+    space, so only the store is a fixture."""
+    d = os.path.join(base_dir, "q33_100x")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part_100x.parquet")
+    if not os.path.exists(path) or not _splittable(path):
+        gen_part_100x(path, np.random.RandomState(42 + 33), 2_000_000)
+    return d
+
+
 def ensure_stress(base_dir: str = BASE_DIR) -> dict[str, str]:
     """Generate (if missing) both scale points; returns {name: dir}."""
     out = {}
