@@ -144,7 +144,12 @@ class SemiStreamJoin:
         # batch against any batch_keys-derived plan would otherwise
         # trip the analyzer's conflicting-reference check (dedup
         # declines to rewrite output-level duplicates)
-        batch_keys = lazy_local_checkpoint(batch.select(k).distinct()).toDF(k)
+        # (coalesce(8): batch-sized key set, read only by broadcasts
+        # and compaction folds — keeps empty batches off the 32-task
+        # scheduling floor)
+        batch_keys = lazy_local_checkpoint(
+            batch.select(k).distinct().coalesce(8)
+        ).toDF(k)
         # hit/miss split, SCAN-SIDE (r15): one semi-scan of the cache
         # against the broadcast batch keys yields the (batch-bounded)
         # matching cache rows; the batch then joins THOSE by broadcast.

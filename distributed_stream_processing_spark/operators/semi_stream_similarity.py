@@ -645,8 +645,12 @@ class SemiStreamSimilarityJoin:
         # ids; re-aliasing keeps batch-side joins against
         # probe_keys-derived plans clear of the analyzer's
         # conflicting-reference check)
+        # coalesce(8): the key set is batch-sized by construction, and
+        # every later read is a broadcast collect or a compaction fold
+        # — 8 partitions keep those reads off the 32-task scheduling
+        # floor that dominates EMPTY batches
         probe_keys = lazy_local_checkpoint(
-            probe.select(*_KEY).distinct()
+            probe.select(*_KEY).distinct().coalesce(8)
         ).toDF(*_KEY)
         # the LRU holds exactly the keys whose store rows are already
         # cached OR known absent from the store (negative caching:

@@ -1,0 +1,114 @@
+"""12-batch soak of the semi-stream similarity pipeline at the 100x
+store: 5 real ~500-doc probe batches interleaved with EMPTY batches,
+one session (VERDICT r13 task + r15 task 2).
+
+What it evidences:
+* real-batch walls stay FLAT while cache/LRU state grows — per-batch
+  cost tracks batch volume, not accumulated state (the bounded-state
+  requirement for unbounded streams);
+* EMPTY-batch walls are the pipeline's per-batch fixed floor. r14
+  measured 2.0-4.3 s (the unconditional O(state) rewrite +
+  checkpoint); r15's deferred compaction targets <= ~1 s, with the
+  amortized O(state) fold visible as a spike on the compaction batch
+  (cadence = min(compact_every, controller window)).
+
+Usage: PYTHONPATH=/root/repo python3 tools/soak_q48.py
+Prints one line per batch: kind, wall, out rows, pending deltas, and
+whether that batch compacted; then a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from fractions import Fraction
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from distributed_stream_processing_spark.functions.text import tokens
+    from distributed_stream_processing_spark.operators import (
+        semi_stream_similarity as sss,
+    )
+    from distributed_stream_processing_spark.session import get_spark
+    from tools.gen_stress_sf1 import ensure_dedup_100x
+
+    spark = get_spark("soak-q48")
+    d100 = ensure_dedup_100x()
+    t = Fraction(3, 4)
+    docs = spark.read.parquet(os.path.join(d100, "documents.parquet"))
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
+    store_path = os.path.join(d100, "q48store")
+    if os.path.isdir(os.path.join(store_path, "groups")):
+        j = sss.load_similarity_store(spark, store_path, t)
+    else:
+        stored = base.filter(F.col("id") % 10 >= 3)
+        j = sss.SemiStreamSimilarityJoin(
+            stored=None,
+            threshold=t,
+            artifacts=sss.build_similarity_store(stored, t),
+        )
+    # 5 real ~500-doc batches (planted-dup classes) interleaved with
+    # empty batches: real/empty/real/empty/... (12 total)
+    real_classes = [0, 1, 501, 50, 550]
+    batches = []
+    for i, cls in enumerate(real_classes):
+        batches.append(
+            (
+                "real",
+                base.filter(
+                    (F.col("id") % 10 < 3) & (F.col("id") % 1000 == cls)
+                ),
+            )
+        )
+        batches.append(("empty", base.filter(F.lit(False))))
+    while len(batches) < 12:
+        batches.append(("empty", base.filter(F.lit(False))))
+    walls: dict[str, list[float]] = {"real": [], "empty": []}
+    compact_walls: list[float] = []
+    for b, (kind, batch) in enumerate(batches):
+        pend_before = len(j._pend)
+        t0 = time.monotonic()
+        n = j.process_batch(batch, b).count()
+        j.flush_attribution()
+        w = round(time.monotonic() - t0, 2)
+        compacted = len(j._pend) == 0 and pend_before > 0
+        cache_rows = None
+        if compacted:
+            compact_walls.append(w)
+        else:
+            walls[kind].append(w)
+        print(
+            f"batch {b:2d} {kind:5s}: {w:6.2f}s out {n:6d} "
+            f"pend {pend_before}->{len(j._pend)}"
+            + (" COMPACTION" if compacted else ""),
+            flush=True,
+        )
+    # state size at the end (one extra job, outside the walls)
+    n_cache = j.cache.count()
+    n_lru = j.lru.count()
+    j.close()
+    print(
+        json.dumps(
+            {
+                "real_walls": walls["real"],
+                "empty_walls": walls["empty"],
+                "compaction_walls": compact_walls,
+                "cache_rows_final": n_cache,
+                "lru_rows_final": n_lru,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
