@@ -83,16 +83,15 @@ IDLE_SPREAD_DEFAULT_S = 0.8
 # tripwire fires at 2x these — above every clean reading, well below
 # genuine contention (r11 contended q48 computed 7.7).
 EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
-# reserved tail budget: the q33_100x point (~90 s: 2M-row store load
-# + warm-up + 2-4 timed batches + the 1k fixed-volume batch) +
-# dedup_100x (~90-150 s) + the q48_100x point (~110-160 s warm) + the
-# closing calibration — the pieces that contended hosts historically
-# dropped first, paid for off the top. q33_100x runs FIRST in the
-# r15 tail: it is this round's missing evidence axis (the r14 weak
-# mark) and the cheapest point; dedup keeps its r11 priority over
-# q48_100x (whose saved store makes its warm path predictable).
-# (+80 in r15 for the q33 point, matched by +40 bench budget)
-RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "500"))
+# reserved POST-STRESS budget (r15: the 100x points moved AHEAD of
+# the stress loops — they are the committed evidence and a throttled
+# host can blow one 10x run to 200+ s; the stress loops now degrade
+# instead of the evidence). What still runs after stress and must be
+# paid for: the fp-cached scheme/cand audits (~10 s warm), the
+# optional engine-parity A/B (~130-170 s, sheds first), and the
+# closing calibration (CAL_CLOSE_RESERVE_S, reserved separately by
+# every gate).
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "170"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -151,7 +150,15 @@ def _probe(spark, specs, sf_dir: str) -> float:
     runs of one probe on an otherwise idle host (measured: 1.08 /
     4.81 / 0.81 s across three consecutive post-dedup probes), and a
     cleaner burst is session lifecycle, not window contention.
-    ~3 s per call, ~8 s when the retry fires."""
+    ~3 s per call, ~8 s when the retry fires.
+
+    Each probe also takes a CPU-speed reading (_cpu_probe): the host's
+    frequency-throttled phases slow the 1-second Spark probe by the
+    same factor it slows everything else, keeping it NEAR its own 2x
+    threshold while multi-second points run 2-3x slow (r15 measured
+    exactly that). A throttled reading returns a sentinel 99.0 that
+    trips every _probe_bad threshold, so the bracketed point's window
+    is flagged; the stderr line carries the real numbers."""
     _gc_level(spark)
     p = min(
         _run_noop(spark, specs, CAL_QUERY, sf_dir),
@@ -165,6 +172,14 @@ def _probe(spark, specs, sf_dir: str) -> float:
             _run_noop(spark, specs, CAL_QUERY, sf_dir),
             _run_noop(spark, specs, CAL_QUERY, sf_dir),
         )
+    c = _cpu_probe()
+    if c > 1.5 * CPU_IDLE_S:
+        print(
+            f"# probe window CPU-THROTTLED: cpu {c:.2f}s "
+            f"(full-speed {CPU_IDLE_S}s), spark probe {p:.2f}s",
+            file=sys.stderr,
+        )
+        return 99.0
     return p
 
 
@@ -1203,18 +1218,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    # stress timing loops (the only part bounded by stress_deadline)
-    stress = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        stress = _run_stress(
-            spark, specs, sf_dir, stress_deadline, skipped, reasons
-        )
-
-    # ---- reserved tail: EVERY published timing runs before the
-    # closing calibration (ADVICE r11: the tail audits used to run
-    # outside the bracket), each 100x point probe-bracketed so a
-    # contended window nulls ITS quotable numbers, not the block's.
-    # The closing calibration's own budget is reserved throughout.
+    # ---- 100x points: run BEFORE the stress loops (r15) — a
+    # throttled host can blow a single 10x stress run to 200+ s (r15
+    # trial: 215 s), and when the 100x points queued behind it they
+    # were budget-starved; they are this round's committed evidence,
+    # so they get the budget first and the stress loops degrade
+    # instead. Each point is probe-bracketed so a contended window
+    # nulls ITS quotable numbers, not the block's; the closing
+    # calibration's budget stays reserved throughout.
     def _tail_budget_ok(need: float) -> bool:
         return time.monotonic() + need <= deadline - CAL_CLOSE_RESERVE_S
 
@@ -1224,13 +1235,8 @@ def main() -> None:
     q33_100x = None
     q48_100x = None
     dedup_100x = None
-    # the 100x audits publish inside the sf1_stress JSON section, so
-    # when the stress fixtures themselves failed (stress is None)
-    # there is nowhere to attach their results — don't burn ~5 min of
-    # audit work that would be silently discarded
     if (
-        stress is not None
-        and not os.environ.get("SPARK_GRAFT_SKIP_SF1")
+        not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
         # q33_100x FIRST (r15: the equi pipeline's store-scale point —
@@ -1334,6 +1340,13 @@ def main() -> None:
         except Exception as e:
             print(f"# q48 100x skipped: {e}", file=sys.stderr)
 
+    # stress timing loops (the only part bounded by stress_deadline)
+    stress = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        stress = _run_stress(
+            spark, specs, sf_dir, stress_deadline, skipped, reasons
+        )
+
     # signature-scheme audit on the sparse-vocab stress corpus: the
     # stress documents (2k-word vocab, 8-100-token docs) flip the
     # pipeline's scheme chooser to the deletion layout for the long
@@ -1429,6 +1442,10 @@ def main() -> None:
         if prev_n is not None:
             with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
                 prev_bench = json.load(f)
+            # the driver wraps the bench line: {n, rc, tail,
+            # parsed: {metric, queries, ...}} — unwrap it
+            if "queries" not in prev_bench:
+                prev_bench = prev_bench.get("parsed") or {}
         ab_movers: list[tuple[float, str]] = []
         if prev_bench and prev_rev:
             for name, cur in timings.items():
@@ -1495,8 +1512,14 @@ def main() -> None:
     )
 
     contended = sorted(set(reasons))
+    if stress is None and any(
+        v is not None for v in (scheme_audit, dedup_100x, q33_100x, q48_100x)
+    ):
+        # the stress fixtures failed but the 100x points ran — publish
+        # them under the same section rather than dropping evidence
+        stress = {}
     if stress is not None:
-        if "cal_start" in reasons:
+        if "cal_start" in reasons and "ratio_10x" in stress:
             # the whole run started on a contended host — no window
             # was clean, including the per-point probes themselves
             stress["ratio_10x"] = None
@@ -1508,6 +1531,14 @@ def main() -> None:
                 for k, v in scheme_audit.items()
                 if k not in ("vsl_groups", "fp")
             }
+        if q33_100x is not None:
+            # probe_rows/miss_keys are code constants (printed with the
+            # full dict on stderr) — the line budget keeps measurements
+            q33_100x = {
+                k: v
+                for k, v in q33_100x.items()
+                if k not in ("probe_rows", "miss_keys")
+            }
         for k, v in (
             ("scheme_audit", scheme_audit),
             ("dedup_100x", dedup_100x),
@@ -1517,7 +1548,11 @@ def main() -> None:
             if v is not None:
                 stress[k] = v
         if skipped:
-            stress["budget_skipped"] = skipped
+            # strip the uniform suffix — every entry here IS a budget
+            # skip, and the line budget is tight (r6 lesson)
+            stress["budget_skipped"] = [
+                x.replace(" (budget)", "") for x in skipped
+            ]
     total = round(sum(timings.values()), 3)
     # the full baseline context (workload shapes, output-bound caveats,
     # attribution notes) lives in BASELINE.md and stderr — the JSON
@@ -1525,7 +1560,10 @@ def main() -> None:
     # timing because a 4.4 KB line outran the driver's ~2 KB tail
     # capture; the line must stay well under that (guarded below).
     print(
-        "# baseline context: q33=DS-Join equi-join 600k rows/4 batches; "
+        "# baseline map: q33=DS-Join 2.2x claim; q48=DSim 2099ms/batch; "
+        "q16=Dima 13785ms build; q29=KV-match 9.72ms/cand (moved off "
+        "the JSON line in r15 — line budget). "
+        "baseline context: q33=DS-Join equi-join 600k rows/4 batches; "
         "q48=DSim cached sim join 1.5kx3.5k docs/3 batches "
         "(output-bound at sf0.1: ~1.2M cand pairs, ~550k rows per batch "
         "vs ~10-doc reference batches); q16=full exact 5k-doc self-join "
@@ -1614,15 +1652,6 @@ def main() -> None:
             # engaged from batch 1 on
             **({"ctl": ctl} if ctl else {}),
             **({"sf1_stress": stress} if stress else {}),
-            # which BASELINE.md row each headline maps to (compact —
-            # full context in the stderr note; the line ran ~1514 bytes
-            # with every r14 section published — guard at 1600 below)
-            "baseline_map": {
-                "q33": "DS-Join 2.2x claim",
-                "q48": "DSim 2099ms/batch",
-                "q16": "Dima 13785ms build",
-                "q29": "KV-match 9.72ms/cand",
-            },
         },
         separators=(",", ":"),
     )

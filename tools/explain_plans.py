@@ -169,7 +169,14 @@ def main() -> None:
         "per-corpus payload table broadcasts under the 64 MB threshold "
         "at test scale; at 100 TB it becomes a shuffled hash join on the "
         "deduped pair ids, never on signature rows). No sort-merge join "
-        "appears in any registered plan or per-batch action.\n\n"
+        "appears in any registered plan or per-batch action. The "
+        "per-batch BHJ count GROWS by ~2 per pending batch (r15): the "
+        "state is a flat union of the base checkpoint and per-batch "
+        "checkpoint-leaf deltas, and Catalyst pushes the hit/miss "
+        "semi-joins through the union into each leg (the broadcast "
+        "exchange is shared across legs); the growth is BOUNDED by the "
+        "compaction cadence min(compact_every=8, controller window), "
+        "which folds the legs back into one base.\n\n"
         "State-plan join ladder (operators/skew.bounded_broadcast): the "
         "per-batch state plans compile AQE-off (lazy_local_checkpoint), "
         "so joins against checkpointed state (unknown stats) carry "
