@@ -83,15 +83,15 @@ IDLE_SPREAD_DEFAULT_S = 0.8
 # tripwire fires at 2x these — above every clean reading, well below
 # genuine contention (r11 contended q48 computed 7.7).
 EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
-# reserved POST-STRESS budget (r15: the 100x points moved AHEAD of
-# the stress loops — they are the committed evidence and a throttled
-# host can blow one 10x run to 200+ s; the stress loops now degrade
-# instead of the evidence). What still runs after stress and must be
-# paid for: the fp-cached scheme/cand audits (~10 s warm), the
-# optional engine-parity A/B (~130-170 s, sheds first), and the
-# closing calibration (CAL_CLOSE_RESERVE_S, reserved separately by
-# every gate).
-RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "170"))
+# reserved POST-STRESS budget (r16 ordering, VERDICT r15 tasks 1-3:
+# dedup_100x runs FIRST for the calmest window, the 10x stress trio
+# next — it was the round's one starved axis — then, from this
+# reserve: the fp-cached scheme/cand audits (~10 s warm), the
+# engine-parity A/B (~110-170 s — committed evidence, never sheds
+# before the 100x points), the q33/q48 100x maintenance points
+# (~40/140 s warm, first to degrade), and the closing calibration
+# (CAL_CLOSE_RESERVE_S, reserved separately by every gate).
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "330"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -119,6 +119,37 @@ def _cpu_probe() -> float:
     for _ in range(3_000_000):
         x = x * 1.0000001 % 2.0
     return time.monotonic() - t0
+
+
+# committed FULL-SPEED wall for the fixed IO/page-cache probe
+# (_io_probe: 8 warm re-reads of the 11 MB sf0.1 lineitem parquet —
+# ~88 MB of page-cache reads). r15's verdict found the CPU probe
+# blessing readings taken in a regime 3-4x slower on Spark 100x
+# workloads: the degradation was IO/page-cache-side, a dimension
+# instruction-rate probing provably cannot see (VERDICT r15 item 1).
+# Calibrated on this container: 0.011-0.015 s over repeated calm
+# samples; io_slow fires at 3x (page-cache reads have more natural
+# variance than the CPU loop).
+IO_IDLE_S = 0.04
+_IO_PROBE_FILE = "/root/testdata/sf0.1/lineitem.parquet"
+
+
+def _io_probe() -> float:
+    """Seconds for a fixed amount of warm page-cache file reads (one
+    untimed pass primes the cache so the number measures RE-read
+    throughput, not first-touch disk)."""
+    try:
+        with open(_IO_PROBE_FILE, "rb") as f:
+            while f.read(1 << 20):
+                pass
+        t0 = time.monotonic()
+        for _ in range(8):
+            with open(_IO_PROBE_FILE, "rb") as f:
+                while f.read(1 << 20):
+                    pass
+        return time.monotonic() - t0
+    except Exception:
+        return -1.0  # probe file missing: publish the sentinel, never fail
 
 
 def _run_noop(spark, specs, name: str, d: str) -> float:
@@ -293,11 +324,9 @@ def _q48_split(spark, d: str):
     from pyspark.sql import functions as F
 
     from distributed_stream_processing_spark.functions.text import tokens
-    from distributed_stream_processing_spark.operators import (
-        semi_stream_similarity as sss,
-    )
     from distributed_stream_processing_spark.plans.olap_plans import (
         _SIM_STORE_MEMO,
+        _load_or_build_sim_store,
     )
     from distributed_stream_processing_spark.session import session_key
 
@@ -310,7 +339,10 @@ def _q48_split(spark, d: str):
     stored = base.filter(F.col("id") % 10 >= 3)
     key = (session_key(spark), d)
     if key not in _SIM_STORE_MEMO:
-        _SIM_STORE_MEMO[key] = sss.build_similarity_store(stored, t)
+        # disk-backed under writable fixture dirs (r16) — same loader
+        # as the registered q48 spec, so the memo and the saved store
+        # agree on provenance
+        _SIM_STORE_MEMO[key] = _load_or_build_sim_store(spark, d, stored, t)
     return stream, stored, _SIM_STORE_MEMO[key], t
 
 
@@ -598,16 +630,30 @@ def _q48_100x(spark, d100: str, deadline: float | None = None) -> dict:
         # was already in the LRU, and the published number was the
         # warm hit-path floor, not the fresh-query regime (ADVICE
         # r14 medium).
-        small = base.filter(
-            (F.col("id") % 10 < 3)
-            & (F.col("id") % 1000 == 1)
-            & (F.col("id") < 10_000)
-        )
-        t0 = time.monotonic()
-        n_small = j.process_batch(small, b).count()
-        b10_s = round(time.monotonic() - t0, 3)
-        j.flush_attribution()
-        assert n_small > 0, "reference-regime batch verified no pairs"
+        # b10 gets the same min-of-2 treatment as the steady batches
+        # (VERDICT r15 item 4: a single unbracketed run published
+        # 5.37 s where a re-run read 44.5 s — neither quotable). Both
+        # runs must be FRESH-miss batches (re-probing used ids would
+        # time the warm hit path — the exact ADVICE r14 defect): run 1
+        # keeps the committed exact-dup class (≡1 mod 1000, < 10k,
+        # excluded from every timed batch); run 2 uses the planted
+        # NEAR-dup class ≡150 mod 1000 (< 10k), untouched by the
+        # warm-up (≡0), the timed batches (≡1/≡501), and the retry
+        # classes (≡50/≡550) — same ~10-doc volume, real verified
+        # output, all misses.
+        b10_runs = []
+        for i, cls in enumerate((1, 150)):
+            small = base.filter(
+                (F.col("id") % 10 < 3)
+                & (F.col("id") % 1000 == cls)
+                & (F.col("id") < 10_000)
+            )
+            t0 = time.monotonic()
+            n_small = j.process_batch(small, b + i).count()
+            j.flush_attribution()
+            b10_runs.append(round(time.monotonic() - t0, 3))
+            assert n_small > 0, "reference-regime batch verified no pairs"
+        b10_s = min(b10_runs)
         # stored_docs / probe_docs re-emitted as measured counts
         # (ADVICE r13: the 100x blocks dropped the r11 schema's keys);
         # cand is batch 1's probe; the two timed probe sets are
@@ -619,6 +665,7 @@ def _q48_100x(spark, d100: str, deadline: float | None = None) -> dict:
             "batch_s": min(batch_runs),
             "batch_runs": batch_runs,
             "b10_s": b10_s,
+            "b10_runs": b10_runs,
             "cand": n_cand,
             "out_rows": min(n_outs),
             "stored_docs": stored.count(),
@@ -1115,6 +1162,7 @@ def main() -> None:
     _run_noop(spark, specs, CAL_QUERY, sf_dir)
     cal0 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
     cpu0 = _cpu_probe()
+    io0 = _io_probe()
     global _CAL0
     _CAL0 = cal0  # per-run bad-window threshold input (_probe_bad)
     if cal0 > 2 * CAL_IDLE_S:
@@ -1126,9 +1174,16 @@ def main() -> None:
         # scales ran in the same regime — which the per-point probes
         # cannot see. Flag it loudly; cpu is published either way.
         reasons.append("cpu_slow")
+    if io0 > 3 * IO_IDLE_S:
+        # the host's IO/page-cache regime is degraded — the dimension
+        # the CPU probe provably missed in r15 (its r14-engine A/B
+        # baselines were 3-4x slow at clean CPU readings; VERDICT r15
+        # item 1). Spark walls from such a window are lower bounds.
+        reasons.append("io_slow")
     print(
         f"# cpu probe open: {cpu0:.2f}s (full-speed envelope "
-        f"{CPU_IDLE_S}s)",
+        f"{CPU_IDLE_S}s); io probe open: {io0:.3f}s (envelope "
+        f"{IO_IDLE_S}s)",
         file=sys.stderr,
     )
     print(
@@ -1239,51 +1294,25 @@ def main() -> None:
         not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
-        # q33_100x FIRST (r15: the equi pipeline's store-scale point —
-        # the one axis the r14 verdict marked weak for being
-        # unmeasured; probe-bracketed like every 100x point)
-        if _tail_budget_ok(110):
-            try:
-                p_a = _probe(spark, specs, sf_dir)
-                q33_100x = _q33_100x(
-                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 260
-                )
-                p_b = _probe(spark, specs, sf_dir)
-                print(
-                    f"# q33_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
-                    file=sys.stderr,
-                )
-                if _probe_bad(p_a) or _probe_bad(p_b):
-                    q33_100x["batch_s_raw"] = q33_100x.pop("batch_s")
-                    q33_100x["batch_s"] = None
-                    reasons.append("win:q33_100x")
-                print(f"# q33 100x: {q33_100x}", file=sys.stderr)
-            except Exception as e:
-                print(f"# q33 100x skipped: {e}", file=sys.stderr)
-        else:
-            skipped.append("q33_100x (budget)")
-            print("# q33 100x skipped: budget", file=sys.stderr)
-
-        # dedup posture at 100x next (VERDICT r11 task 4: it had been
-        # budget-skipped every round since creation — it stays ahead
-        # of q48_100x's variable store-load/first-batch costs)
+        # dedup_100x FIRST among the heavy points (VERDICT r15 task 3:
+        # the full-speed reading needs the calmest window a run gets —
+        # immediately after the headline loop, before the stress churn
+        # and the similarity-store loads; fresh-subprocess isolation
+        # means the parent session's state can't contaminate it either
+        # way). The published "isolated" key says which regime
+        # produced the number. Budget: leave the stress loops at
+        # least ~150 s plus the reserved tail.
         if _tail_budget_ok(150):
             try:
                 p_a = _probe(spark, specs, sf_dir)
-                # fresh-subprocess isolation first (VERDICT r14 task
-                # 4); in-session fallback keeps the point alive when
-                # the subprocess dies, and the published "isolated"
-                # key says which regime produced the number. Budget:
-                # whatever the tail can spare above the q48_100x need
-                # + the closing-cal reserve.
                 dedup_100x = _dedup_100x_isolated(
-                    deadline - CAL_CLOSE_RESERVE_S - 160 - time.monotonic()
+                    stress_deadline - 150 - time.monotonic()
                 )
                 if dedup_100x is not None:
                     dedup_100x["isolated"] = 1
                 else:
                     dedup_100x = _dedup_100x(
-                        spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 160
+                        spark, deadline=stress_deadline - 150
                     )
                     dedup_100x["isolated"] = 0
                 p_b = _probe(spark, specs, sf_dir)
@@ -1304,43 +1333,14 @@ def main() -> None:
             skipped.append("dedup_100x (budget)")
             print("# dedup 100x skipped: budget", file=sys.stderr)
 
-        try:
-            from tools.gen_stress_sf1 import ensure_dedup_100x
-
-            d100 = ensure_dedup_100x()
-            # ~130s warm (saved store ~10-30s load + two timed batches
-            # ~20-45s each; the cand count is cached after the first
-            # run) / ~400s cold (first run on a host builds + saves
-            # the 100x index); only attempt what the remaining budget
-            # actually covers
-            need = (
-                130
-                if os.path.isdir(os.path.join(d100, "q48store", "groups"))
-                else 400
-            )
-            if not _tail_budget_ok(need):
-                skipped.append("q48_100x (budget)")
-                print("# q48 100x skipped: budget", file=sys.stderr)
-            else:
-                p_a = _probe(spark, specs, sf_dir)
-                q48_100x = _q48_100x(
-                    spark, d100, deadline=deadline - CAL_CLOSE_RESERVE_S
-                )
-                p_b = _probe(spark, specs, sf_dir)
-                print(
-                    f"# q48_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
-                    file=sys.stderr,
-                )
-                if _probe_bad(p_a) or _probe_bad(p_b):
-                    # contended window: raw runs stay, the quotable
-                    # steady-batch number goes null
-                    q48_100x["batch_s"] = None
-                    reasons.append("win:q48_100x")
-                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
-        except Exception as e:
-            print(f"# q48 100x skipped: {e}", file=sys.stderr)
-
-    # stress timing loops (the only part bounded by stress_deadline)
+    # stress timing loops next (VERDICT r15 task 2: the 10x axis was
+    # the round's one strictly-regressed evidence line — every
+    # ratio_10x/pairs_out@10x point published null on budget. It now
+    # runs BEFORE the q33/q48 100x points: those are judge-reproduced
+    # maintenance evidence, the 10x trio is the starved axis. The
+    # stress similarity stores are disk-backed since r16
+    # (plans/olap_plans._load_or_build_sim_store), so the 10x q48
+    # pre-warm costs a parquet load, not an index build.)
     stress = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         stress = _run_stress(
@@ -1425,14 +1425,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # engine-parity A/B (VERDICT r14 task 5): when any headline moved
-    # >10% beyond the larger of the two rounds' published spreads, the
-    # round must self-attribute the move — r14's +33% q48 was resolved
-    # by a manual A/B living as prose. tools/ab_prev.py re-times the
-    # BIGGEST mover on the previous round's engine (a worktree of its
-    # verdict commit) AND the current tree, fresh subprocess each,
-    # back-to-back on this host window; prev≈cur reads "host window,
-    # engine parity", a reproduced delta reads "engine".
+    # engine-parity A/B (VERDICT r14 task 5, r15 task 1): when any
+    # headline moved >10% beyond the larger of the two rounds'
+    # published spreads, re-time the BIGGEST mover on the previous
+    # round's engine (a worktree of its verdict commit) AND the
+    # current tree; when nothing moved, A/B the FLAGSHIP (q48) anyway
+    # — the cross-round parity statement is committed evidence either
+    # way, and r15's lesson is that it must come from the hook, not
+    # from hand-run sessions in unflagged windows. tools/ab_prev.py
+    # runs the legs INTERLEAVED (prev, cur, prev — two disagreeing
+    # prev legs flag mid-A/B window drift) with CPU + IO probes
+    # bracketing every leg; prev≈cur reads "host window, engine
+    # parity", a delta reproduced across both prev legs reads
+    # "engine". It runs BEFORE the q33/q48 100x maintenance points so
+    # a budget squeeze degrades those, not this.
     ab = None
     try:
         from tools.ab_prev import prev_round_rev, run_ab
@@ -1455,8 +1461,12 @@ def main() -> None:
                 )
                 if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
                     ab_movers.append((abs(cur - p) / p, name))
-        if ab_movers:
-            mover = max(ab_movers)[1]
+        if prev_rev:
+            mover = (
+                max(ab_movers)[1]
+                if ab_movers
+                else "q48_semi_stream_similarity"
+            )
             if _tail_budget_ok(170):
                 ab = {
                     "q": mover.split("_")[0],
@@ -1473,6 +1483,72 @@ def main() -> None:
     except Exception as e:
         print(f"# engine ab skipped: {e}", file=sys.stderr)
 
+    # the 100x store-scale points LAST among the optional sections
+    # (r16): both are judge-reproduced r15 evidence — maintenance this
+    # round — so they absorb the budget squeeze instead of the 10x
+    # axis or the A/B. Probe-bracketed as before.
+    if (
+        not os.environ.get("SPARK_GRAFT_SKIP_SF1")
+        and not os.environ.get("SPARK_GRAFT_SKIP_100X")
+    ):
+        if _tail_budget_ok(110):
+            try:
+                p_a = _probe(spark, specs, sf_dir)
+                q33_100x = _q33_100x(
+                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 150
+                )
+                p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# q33_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    q33_100x["batch_s_raw"] = q33_100x.pop("batch_s")
+                    q33_100x["batch_s"] = None
+                    reasons.append("win:q33_100x")
+                print(f"# q33 100x: {q33_100x}", file=sys.stderr)
+            except Exception as e:
+                print(f"# q33 100x skipped: {e}", file=sys.stderr)
+        else:
+            skipped.append("q33_100x (budget)")
+            print("# q33 100x skipped: budget", file=sys.stderr)
+
+        try:
+            from tools.gen_stress_sf1 import ensure_dedup_100x
+
+            d100 = ensure_dedup_100x()
+            # ~140s warm (saved store ~10-60s load + two timed batches
+            # ~20-45s each + the bracketed b10 pair; the cand count is
+            # cached after the first run) / ~400s cold (first run on a
+            # host builds + saves the 100x index); only attempt what
+            # the remaining budget actually covers
+            need = (
+                140
+                if os.path.isdir(os.path.join(d100, "q48store", "groups"))
+                else 400
+            )
+            if not _tail_budget_ok(need):
+                skipped.append("q48_100x (budget)")
+                print("# q48 100x skipped: budget", file=sys.stderr)
+            else:
+                p_a = _probe(spark, specs, sf_dir)
+                q48_100x = _q48_100x(
+                    spark, d100, deadline=deadline - CAL_CLOSE_RESERVE_S
+                )
+                p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# q48_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    # contended window: raw runs stay, the quotable
+                    # steady-batch number goes null
+                    q48_100x["batch_s"] = None
+                    reasons.append("win:q48_100x")
+                print(f"# q48 100x: {q48_100x}", file=sys.stderr)
+        except Exception as e:
+            print(f"# q48 100x skipped: {e}", file=sys.stderr)
+
     # closing calibration: fresh SUBPROCESS session, so it measures
     # the HOST against the committed idle envelope — the parent
     # session's accumulated state (the r11 cal_end ambiguity) cannot
@@ -1486,6 +1562,9 @@ def main() -> None:
     _gc_level(spark)
     time.sleep(3)
     cpu1 = _cpu_probe()
+    io1 = _io_probe()
+    if io1 > 3 * IO_IDLE_S:
+        reasons.append("io_slow_end")
     cal1, cal_mode = _closing_cal(sf_dir)
     if cal1 is not None and cal1 > 2 * CAL_IDLE_S:
         print(
@@ -1581,32 +1660,29 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r15 note: both semi-stream pipelines defer the O(state) "
-        "cache/LRU fold to every min(8, controller-window) batches; "
-        "between compactions state is a base checkpoint + flat "
-        "per-batch CHECKPOINT-LEAF deltas (a .cache()'d delta is "
-        "silently defeated by analyzer relation-dedup and re-executes "
-        "prior batches' lineage — job counts doubled per batch until "
-        "pinned by test_semi_stream_jobs_per_batch_bounded). Miss "
-        "detect and the equi hit/miss split are scan-side (state is "
-        "semi-scanned against broadcast batch keys; the old shape "
-        "collected O(state) to the driver every batch). q33_100x is "
-        "the new equi-pipeline store-scale point (2M-row store, 150k "
-        "probes/batch, 45k misses, b1k fixed-volume, measured fetch "
-        "share). q48_100x: b10 ids excluded from timed batches (real "
-        "misses now), disagreement retry via near-dup classes 50/550. "
-        "dedup_100x runs in a fresh subprocess (isolated key), "
-        "cluster retry added. cpu:[open,close] publishes a fixed "
-        "single-thread CPU probe — this container throttles to "
-        "~0.5x in phases that steal counters and 1s Spark probes "
-        "miss; cpu_slow flags it. ab:{q,prev,cur,rev} self-attributes "
-        "the biggest headline mover via tools/ab_prev.py (same-window "
-        "fresh-subprocess A/B vs the previous round's engine). "
-        "Same-window A/Bs this round: q48 sf0.1 r14 20.5 vs r15 10.3; "
-        "q48_100x steady r14 55.3 vs r15 15.1, b10 14.9 vs 8.8. "
-        "Per-window attribution, fresh-subprocess closing cal, "
-        "fingerprint-keyed audit caches, layout-versioned stores (v5) "
-        "all carried from r12-r14.",
+        "# r16 note: protocol reordered per VERDICT r15 — dedup_100x "
+        "first (calmest window, isolated subprocess), 10x stress trio "
+        "next (the r15-starved axis; stress similarity stores now "
+        "DISK-BACKED under each fixture dir, so the 10x pre-warm is a "
+        "parquet load, not an index build), then audits, the "
+        "engine-parity A/B (interleaved prev,cur,prev legs with CPU + "
+        "IO probes and raw legs published; runs on the flagship even "
+        "with no mover), and the q33/q48 100x maintenance points "
+        "last (first to degrade on budget). io:[open,close] is the "
+        "new warm page-cache re-read probe (IO_IDLE_S envelope) — "
+        "the regime dimension the CPU probe provably missed when "
+        "r15's A/B table was taken (judge: claimed 3.7x/2.0x wins "
+        "reproduce at ~1.2-1.35x/parity; BASELINE.md corrected in "
+        "r16). b10 is min-of-2 over DISJOINT fresh-miss classes "
+        "(1/150 mod 1000, <10k) with b10_runs published. Engine "
+        "changes this round: hit join broadcasts only the hit KEY "
+        "set (cached_hit rows unbounded by batch — ADVICE r15), "
+        "checkpoint-leaf state pins are released at the RDD level "
+        "(DataFrame.unpersist was a no-op on leaves), compaction "
+        "maintain_s amortized over the folded batches before "
+        "controller.observe. Per-window attribution, fresh-subprocess "
+        "closing cal, fingerprint-keyed audit caches, layout-"
+        "versioned stores (v5) all carried from r12-r15.",
         file=sys.stderr,
     )
     line = json.dumps(
@@ -1629,6 +1705,10 @@ def main() -> None:
             # committed full-speed CPU_IDLE_S — the host-frequency
             # context every wall above must be read against
             "cpu": [round(cpu0, 2), round(cpu1, 2)],
+            # fixed warm page-cache re-reads at [open, close] vs
+            # IO_IDLE_S — the regime dimension the CPU probe cannot
+            # see (VERDICT r15 item 1); -1 = probe file missing
+            "io": [round(io0, 3), round(io1, 3)],
             # engine-parity A/B of the round's biggest headline mover
             # (prev-round engine vs current tree, fresh subprocesses,
             # same window) — present only when a mover fired and the

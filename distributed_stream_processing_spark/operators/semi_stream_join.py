@@ -46,6 +46,7 @@ from distributed_stream_processing_spark.streaming.plan_timing import (
 from distributed_stream_processing_spark.operators.skew import bounded_broadcast
 from distributed_stream_processing_spark.streaming.checkpoint import (
     lazy_local_checkpoint,
+    release_checkpoint,
 )
 
 
@@ -69,6 +70,12 @@ class SemiStreamJoin:
     # the eviction over-stay. Forced to 1 when frequency admission is
     # on — the per-key freq table must stay per-batch exact.
     compact_every: int = 8
+    # pluggable keyed remote fetch (SURVEY S7; sources/fetcher.py):
+    # any object with fetch(missed_keys) -> DataFrame in the store's
+    # schema. None = the default in-session scan-side semi-join; a
+    # PushdownKeyedFetcher turns the miss path into the external
+    # WHERE key IN (...) shape a 100 TB store needs.
+    fetcher: object | None = None
     cache: DataFrame | None = None
     lru: DataFrame | None = None  # (key, last_seen)
     freq: DataFrame | None = None  # (key, n_batches_seen)
@@ -148,11 +155,11 @@ class SemiStreamJoin:
         # and compaction folds — keeps empty batches off the 32-task
         # scheduling floor)
         batch_keys = lazy_local_checkpoint(
-            batch.select(k).distinct().coalesce(8)
-        ).toDF(k)
+            batch.select(k).distinct().coalesce(8), cols=[k]
+        )
         # hit/miss split, SCAN-SIDE (r15): one semi-scan of the cache
         # against the broadcast batch keys yields the (batch-bounded)
-        # matching cache rows; the batch then joins THOSE by broadcast.
+        # matching cache rows; the batch then joins THOSE.
         # The previous shape joined batch x cache directly and left
         # the strategy to AQE — fine while the cache auto-broadcasts,
         # but a store-scale cache (the q33_100x axis) falls to a
@@ -160,11 +167,21 @@ class SemiStreamJoin:
         # This shape scans the cache and shuffles nothing, whatever
         # the cache size — the same fix the similarity fetch got in
         # r14.
+        # Only the hit KEY set is explicitly broadcast (ADVICE r15):
+        # it is ≤ the batch's distinct keys by construction, whereas
+        # cached_hit's ROWS are store-rows-per-batch-key — unbounded
+        # by batch row count for multi-row-per-key or wide-payload
+        # stores, and an explicit hint is honored even under AQE (no
+        # runtime fallback, so a large hit set was a driver-collect
+        # OOM). The hit join itself is left to AQE: both sides are
+        # batch-key-bounded, so the worst case is a shuffle of the
+        # actual hit volume, never of the cache.
         cached_hit = cache.join(F.broadcast(batch_keys), k, "left_semi")
-        hit = batch.join(F.broadcast(cached_hit), k, "inner")
-        missed_keys = batch_keys.join(
-            F.broadcast(cached_hit.select(k)), k, "left_anti"
+        hit_keys = cached_hit.select(k).distinct()
+        hit = batch.join(F.broadcast(hit_keys), k, "left_semi").join(
+            cached_hit, k, "inner"
         )
+        missed_keys = batch_keys.join(F.broadcast(hit_keys), k, "left_anti")
         miss = batch.join(F.broadcast(missed_keys), k, "left_semi")
         # the fetch is pinned as a CHECKPOINT LEAF (LogicalRDD), not a
         # cache: a .cache() here relies on the CacheManager
@@ -178,8 +195,15 @@ class SemiStreamJoin:
         # lineage to re-execute; every consumer scans its blocks.
         # toDF gives each batch's leaf fresh output ids (all fetch
         # leaves would otherwise inherit the store's).
-        fetch_in = self.store.join(F.broadcast(missed_keys), k, "left_semi")
-        fetched = lazy_local_checkpoint(fetch_in).toDF(*self.store.columns)
+        if self.fetcher is not None:
+            fetch_in = self.fetcher.fetch(missed_keys)
+        else:
+            fetch_in = self.store.join(
+                F.broadcast(missed_keys), k, "left_semi"
+            )
+        fetched = lazy_local_checkpoint(
+            fetch_in, cols=list(self.store.columns)
+        )
 
         # the output is checkpointed per batch (plain lazy
         # localCheckpoint: its joins lean on AQE's runtime broadcast
@@ -213,12 +237,25 @@ class SemiStreamJoin:
         compact = len(self._pend) + 1 >= max(
             1, min(self.compact_every, window)
         )
+        # batches the compaction fold covers (ADVICE r15): captured
+        # here, before the release path resets _pend — the measured
+        # maintain_s spike is amortized over these batches below
+        n_folded = len(self._pend) + 1 if compact else 1
         n_part = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
         new_freq = None
         # checkpoint-input plans for the attribution walk: the leaves
         # print as Scan ExistingRDD in the combined action, so the
-        # real fetch/output metrics live only on these plan objects
-        extra_roots = [("fetch", fetch_in), ("join", out_in)]
+        # real fetch/output metrics live only on these plan objects.
+        # Join extras are walked before the fetch extra (ADVICE r15),
+        # so any genuinely-shared accumulators (cached-relation scans)
+        # land in the join phase — but note the KNOWN BIAS: fetch_in's
+        # resolved plan physically embeds one execution of the
+        # miss-detect subtree (it runs inside the fetch leaf's RDD),
+        # and those per-plan metrics are indivisible from the fetch
+        # walk. fetch_s therefore includes one cache semi-scan per
+        # batch; the bias grows the controller window (more caching),
+        # which is the conservative direction for the policy.
+        extra_roots = [("join", out_in), ("fetch", fetch_in)]
         if compact:
             # latest-wins fold of base + every pending key set; the
             # key-set joins carry explicit broadcast hints (these
@@ -318,14 +355,16 @@ class SemiStreamJoin:
         if compact:
             # the compaction checkpoints absorbed every pending delta
             # — release them, this batch's, and the previous base
-            # together (bounded CacheManager on unbounded streams)
+            # together (release_checkpoint: RDD-level block release,
+            # a DataFrame.unpersist here was a no-op on checkpoint
+            # leaves and blocks floated with GC lag — ADVICE r15)
             for _, bk_i, f_i in self._pend:
-                bk_i.unpersist()
-                f_i.unpersist()
+                release_checkpoint(bk_i)
+                release_checkpoint(f_i)
             for d in self._base_pins:
-                d.unpersist()
-            fetched.unpersist()
-            batch_keys.unpersist()
+                release_checkpoint(d)
+            release_checkpoint(fetched)
+            release_checkpoint(batch_keys)
             self._pend = []
             # exact bounds off the compaction's own count branches
             self._lru_rows = int(counts.get("l", 0))
@@ -371,9 +410,16 @@ class SemiStreamJoin:
             )
             if phases is not None:
                 # "maintain" is absent between compactions — state
-                # maintenance is deferred, the phase genuinely cost ~0
+                # maintenance is deferred, the phase genuinely cost
+                # ~0. At compaction the O(state) fold arrives as one
+                # batch's spike; amortize it over the n_folded batches
+                # it covered (ADVICE r15) — the controller compares
+                # PER-BATCH fetch vs maintenance, and an unamortized
+                # spike shrinks the window, which itself sets the
+                # compaction cadence (feedback oscillation the
+                # reference's per-batch policy never faced).
                 fetch_s = phases["fetch"]
-                maintain_s = phases.get("maintain", 0.0)
+                maintain_s = phases.get("maintain", 0.0) / n_folded
                 join_s, measured = phases["join"], True
             else:
                 # fallback: miss-fraction attribution (DSim's
@@ -409,10 +455,10 @@ class SemiStreamJoin:
         must not process further batches afterwards."""
         self.flush_attribution()
         for _, bk_i, f_i in self._pend:
-            bk_i.unpersist()
-            f_i.unpersist()
+            release_checkpoint(bk_i)
+            release_checkpoint(f_i)
         for d in self._base_pins:
-            d.unpersist()
+            release_checkpoint(d)
         self._pend, self._base_pins = [], []
 
 

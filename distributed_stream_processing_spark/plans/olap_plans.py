@@ -79,6 +79,42 @@ def q44_pivot_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_STORE_MEMO: dict = {}
 
 
+def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
+    """Disk-backed corpus index (r16): a WRITABLE sf_dir (the
+    gitignored stress fixtures) keeps the saved artifacts beside the
+    data under ``q48store/``, so only the first run on a host pays the
+    index build — the same amortization the 100x bench point uses,
+    and the reference's own posture (its signature collection lives
+    in the durable remote store). Read-only dirs (the driver's
+    /root/testdata) build in-session and memoize as before. A stale
+    or partial save (layout version mismatch, killed mid-write)
+    rebuilds loudly; ``groups/`` is written LAST and gates the load."""
+    import os
+    import shutil
+    import sys
+
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        build_similarity_store,
+        load_similarity_artifacts,
+        save_similarity_artifacts,
+    )
+
+    path = os.path.join(sf_dir, "q48store")
+    if os.path.isdir(os.path.join(path, "groups")):
+        try:
+            return load_similarity_artifacts(spark, path, t)
+        except Exception as e:
+            print(f"# saved q48 store at {path} stale: {e}", file=sys.stderr)
+            shutil.rmtree(path, ignore_errors=True)
+    store = build_similarity_store(stored, t)
+    if os.access(sf_dir, os.W_OK):
+        try:
+            save_similarity_artifacts(store, path)
+        except Exception as e:  # best-effort: shared/odd mounts tolerated
+            print(f"# q48 store save to {path} skipped: {e}", file=sys.stderr)
+    return store
+
+
 @query(
     "q48_semi_stream_similarity",
     oracle="""
@@ -106,7 +142,6 @@ _SIM_STORE_MEMO: dict = {}
 )
 def q48_semi_stream_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_stream_processing_spark.operators.semi_stream_similarity import (
-        build_similarity_store,
         run_semi_stream_similarity,
     )
 
@@ -118,7 +153,9 @@ def q48_semi_stream_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict_stale_sessions(_SIM_STORE_MEMO, sk)
     key = (sk, sf_dir)
     if key not in _SIM_STORE_MEMO:
-        _SIM_STORE_MEMO[key] = build_similarity_store(stored, Fraction(3, 4))
+        _SIM_STORE_MEMO[key] = _load_or_build_sim_store(
+            spark, sf_dir, stored, Fraction(3, 4)
+        )
     return run_semi_stream_similarity(
         stream, stored, Fraction(3, 4), n_batches=3,
         artifacts=_SIM_STORE_MEMO[key],

@@ -25,18 +25,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+def lazy_local_checkpoint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """NOT safe under concurrent planning on the same session (the
     conf toggle is session-scoped); the semi-stream pipelines run
     batches sequentially on the driver, which is the intended use.
     Only checkpoint plans whose joins carry explicit broadcast hints
     — static planning picks sort-merge for unhinted joins with
-    unknown stats."""
+    unknown stats.
+
+    ``cols``: optional output column names (the ``toDF`` rename the
+    pipelines apply so a leaf gets fresh expression ids), applied HERE
+    so the returned frame still carries the ``_ckpt_jrdd`` handle —
+    the underlying checkpointed JVM RDD, which ``release_checkpoint``
+    needs because ``DataFrame.unpersist()`` cannot release checkpoint
+    blocks (they are RDD-level persisted, not CacheManager entries;
+    ADVICE r15)."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(key)
     spark.conf.set(key, "false")
     try:
-        return df.localCheckpoint(eager=False)
+        out = df.localCheckpoint(eager=False)
     finally:
         spark.conf.set(key, prev)
+    jrdd = None
+    try:
+        plan = out._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            jrdd = plan.rdd()
+    except Exception:
+        jrdd = None
+    if cols is not None:
+        out = out.toDF(*cols)
+    out._ckpt_jrdd = jrdd
+    return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Actually free the executor blocks behind a pipeline state pin.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries; a
+    localCheckpoint's blocks are persisted on the underlying RDD, so
+    for checkpoint leaves it is a no-op and block release otherwise
+    happens nondeterministically via Python GC → py4j detach →
+    ContextCleaner (ADVICE r15 — with 2+ pinned leaves per batch,
+    executor storage on long streams floats with GC lag). This
+    unpersists the held checkpoint RDD (``_ckpt_jrdd``, captured by
+    ``lazy_local_checkpoint``) when present, and falls back to the
+    CacheManager unpersist for plain ``.cache()`` pins.
+
+    Only call on a pin no consumer will read again: a localCheckpoint
+    has no lineage to recompute from, so a read-after-release fails
+    loudly with a missing-block error."""
+    jrdd = getattr(df, "_ckpt_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+        df._ckpt_jrdd = None
+    else:
+        df.unpersist()

@@ -183,8 +183,8 @@ def _captured_batch_plans(spark, specs, name, monkeypatch):
     plans: list[str] = []
     pending: list[str] = []
 
-    def capture_ckpt(df):
-        out = real_ckpt(df)
+    def capture_ckpt(df, *a, **k):
+        out = real_ckpt(df, *a, **k)
         # the checkpoint resolved (and memoized) the input's physical
         # plan AQE-off inside real_ckpt — read it back for the audit
         pending.append(_plan(df))

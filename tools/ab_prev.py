@@ -1,26 +1,31 @@
-"""Engine-parity A/B for headline movers (VERDICT r14 task 5).
+"""Engine-parity A/B for headline movers (VERDICT r14 task 5, r15 task 1).
 
 When a headline query moves >10% beyond its published spread between
 rounds, the question is always the same: did the ENGINE move, or the
-host window? r14 answered it with an ad-hoc same-session A/B that
-lived as prose in BASELINE.md; this makes it a reproducible artifact:
+host window? r15's answer was taken in an unflagged degraded window
+and overstated the round's win ~3x (VERDICT r15), so the protocol is
+now drift-resistant by construction:
 
 * the previous round's engine is materialized as a git worktree of
-  that round's last commit (``--grep "round N:"`` — the verdict
-  commit, i.e. the tree the judge graded);
-* BOTH engines run the mover in fresh subprocess sessions,
-  back-to-back on the same host window (warm-up run + timed runs,
-  min published) — same isolation as bench.py's closing calibration;
-* bench.py invokes this automatically (budget allowing) and
-  publishes ``ab: {q, prev, cur, rev}`` in the JSON line; the judge
-  can re-run it by hand:
+  that round's verdict commit (the tree the judge graded);
+* the legs run INTERLEAVED — prev, cur, prev — each a fresh
+  subprocess session (warm-up + timed runs, min published): if the
+  two prev legs disagree by >30% the host window drifted MID-A/B and
+  the pair is published with ``drift: 1`` (raw legs always included);
+* every leg is bracketed by the CPU-speed probe (instruction rate)
+  AND the IO/page-cache probe (timed warm re-read of a fixed file) —
+  the two host-regime dimensions r15 established can degrade
+  independently of each other and of steal accounting;
+* bench.py invokes this automatically and publishes the compact
+  ``ab`` block in the JSON line; the judge re-runs it by hand:
 
     PYTHONPATH=/root/repo python3 tools/ab_prev.py q48_semi_stream_similarity
     PYTHONPATH=/root/repo python3 tools/ab_prev.py q33_semi_stream_cached_join <rev>
 
-A prev/cur pair within mutual noise says "host window, engine
-parity"; a pair that reproduces the move says "engine" — either way
-the attribution is a number in the round's artifact, not archaeology.
+A prev/cur pair within mutual leg spread says "host window, engine
+parity"; a pair that reproduces the move across BOTH prev legs says
+"engine" — either way the attribution is numbers in the round's
+artifact, not archaeology.
 """
 
 from __future__ import annotations
@@ -39,12 +44,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _time_in_subprocess(
     tree: str, query: str, sf_dir: str, runs: int = 2, timeout: float = 240
-) -> float:
-    """min-of-``runs`` seconds for one registered query executed from
-    ``tree`` in a fresh subprocess session (one extra warm-up run
-    absorbs session JIT + memoized store builds)."""
+) -> list[float]:
+    """Timed seconds for ``runs`` executions of one registered query
+    from ``tree`` in a fresh subprocess session (one extra warm-up run
+    absorbs session JIT + memoized store builds). Returns the raw run
+    list (caller publishes min AND the runs)."""
     code = (
-        "import sys,time;"
+        "import sys,time,json;"
         f"sys.path.insert(0,{tree!r});"
         "from distributed_stream_processing_spark.plans import load_all;"
         "from distributed_stream_processing_spark.session import get_spark;"
@@ -55,8 +61,8 @@ def _time_in_subprocess(
         f"for _ in range({runs}):\n"
         "    t0=time.monotonic()\n"
         "    fn(spark,d).write.mode('overwrite').format('noop').save()\n"
-        "    ts.append(time.monotonic()-t0)\n"
-        "print('AB_S=%.3f'%min(ts))"
+        "    ts.append(round(time.monotonic()-t0,3))\n"
+        "print('AB_RUNS='+json.dumps(ts))"
     )
     r = subprocess.run(
         [sys.executable, "-c", code],
@@ -66,32 +72,37 @@ def _time_in_subprocess(
         env=dict(os.environ),
     )
     for ln in r.stdout.splitlines():
-        if ln.startswith("AB_S="):
-            return float(ln.split("=", 1)[1])
+        if ln.startswith("AB_RUNS="):
+            return json.loads(ln.split("=", 1)[1])
     raise RuntimeError(
-        f"no AB_S from {tree} (rc={r.returncode}): {(r.stderr or '')[-300:]}"
+        f"no AB_RUNS from {tree} (rc={r.returncode}): {(r.stderr or '')[-300:]}"
     )
 
 
 def prev_round_rev() -> tuple[int | None, str | None]:
-    """(round, commit) of the latest recorded round: round from the
-    newest BENCH_r{N}.json, commit from the last log entry mentioning
-    'round N:' (the round's verdict commit — the graded tree)."""
-    ns = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    if not ns:
-        return None, None
-    n = max(ns)
-    out = subprocess.run(
-        ["git", "-C", REPO, "log", "--format=%H", "-1", f"--grep=round {n}:"],
-        capture_output=True,
-        text=True,
+    """(round, commit) of the newest round whose verdict commit exists
+    in the log. Scans DOWN from max BENCH_r{N}: in post-round contexts
+    the driver has already written BENCH_r{N}.json but the 'round N:'
+    verdict commit doesn't exist yet (the judge hit exactly this —
+    VERDICT r15 item 2), so the previous graded tree is the largest N
+    whose commit IS in the log."""
+    ns = sorted(
+        {
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        },
+        reverse=True,
     )
-    rev = out.stdout.strip().splitlines()[0] if out.stdout.strip() else None
-    return n, rev
+    for n in ns:
+        out = subprocess.run(
+            ["git", "-C", REPO, "log", "--format=%H", "-1", f"--grep=round {n}:"],
+            capture_output=True,
+            text=True,
+        )
+        if out.stdout.strip():
+            return n, out.stdout.strip().splitlines()[0]
+    return None, None
 
 
 def run_ab(
@@ -101,8 +112,15 @@ def run_ab(
     runs: int = 2,
     timeout: float = 240,
 ) -> dict:
-    """Time ``query`` on the previous engine (worktree of ``rev``) and
-    the current tree, fresh subprocess each, same host window."""
+    """Interleaved A/B of ``query``: prev-engine leg (worktree of
+    ``rev``), current-tree leg, prev-engine leg again — fresh
+    subprocess each, same host window, each leg bracketed by the CPU
+    and IO probes. Published numbers: min over each engine's legs,
+    every raw leg, both probe series, and ``drift: 1`` when the two
+    prev legs disagree >30% (the window moved mid-A/B — treat the
+    pair as context, not evidence)."""
+    import bench  # repo-root module; probes shared with the JSON line
+
     wt = tempfile.mkdtemp(prefix="abprev_")
     shutil.rmtree(wt)  # worktree add requires a nonexistent path
     subprocess.run(
@@ -111,9 +129,30 @@ def run_ab(
         capture_output=True,
     )
     try:
-        prev_s = _time_in_subprocess(wt, query, sf_dir, runs, timeout)
-        cur_s = _time_in_subprocess(REPO, query, sf_dir, runs, timeout)
-        return {"prev": round(prev_s, 3), "cur": round(cur_s, 3), "rev": rev[:8]}
+        cpu: list[float] = [round(bench._cpu_probe(), 2)]
+        io: list[float] = [round(bench._io_probe(), 3)]
+        legs: list[tuple[str, list[float]]] = []
+        for engine, tree in (("prev", wt), ("cur", REPO), ("prev", wt)):
+            legs.append(
+                (engine, _time_in_subprocess(tree, query, sf_dir, runs, timeout))
+            )
+            cpu.append(round(bench._cpu_probe(), 2))
+        io.append(round(bench._io_probe(), 3))
+        prev_legs = [min(t) for e, t in legs if e == "prev"]
+        cur_legs = [min(t) for e, t in legs if e == "cur"]
+        drift = (
+            len(prev_legs) >= 2
+            and abs(prev_legs[0] - prev_legs[1]) > 0.3 * min(prev_legs)
+        )
+        return {
+            "prev": round(min(prev_legs), 3),
+            "cur": round(min(cur_legs), 3),
+            "legs": [[e] + t for e, t in legs],
+            "cpu": cpu,
+            "io": io,
+            **({"drift": 1} if drift else {}),
+            "rev": rev[:8],
+        }
     finally:
         subprocess.run(
             ["git", "-C", REPO, "worktree", "remove", "--force", wt],
