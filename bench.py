@@ -152,6 +152,27 @@ def _io_probe() -> float:
         return -1.0  # probe file missing: publish the sentinel, never fail
 
 
+# 1-minute load average above which the host is hosting SOMEONE
+# ELSE's work: the r16 garbage window read loadavg 9-15 with ZERO
+# local processes while BOTH the CPU probe (0.13-0.32) and the IO
+# probe (0.007-0.022) read clean — the only signal that caught that
+# regime. Our own 32-way Spark bursts push the 1-min average too
+# (the opening calibration's two q29 runs alone reach ~2-4), so the
+# flag threshold is generous, fires only on the OPENING reading
+# (taken before the heavy sections), and the raw values are
+# published either way.
+LOAD_IDLE_1M = 6.0
+
+
+def _loadavg() -> float:
+    """1-minute system load average (host-neighbor pressure signal —
+    see LOAD_IDLE_1M)."""
+    try:
+        return os.getloadavg()[0]
+    except Exception:
+        return -1.0
+
+
 def _run_noop(spark, specs, name: str, d: str) -> float:
     t0 = time.monotonic()
     specs[name].fn(spark, d).write.mode("overwrite").format("noop").save()
@@ -1163,6 +1184,7 @@ def main() -> None:
     cal0 = _run_noop(spark, specs, CAL_QUERY, sf_dir)
     cpu0 = _cpu_probe()
     io0 = _io_probe()
+    load0 = _loadavg()
     global _CAL0
     _CAL0 = cal0  # per-run bad-window threshold input (_probe_bad)
     if cal0 > 2 * CAL_IDLE_S:
@@ -1180,10 +1202,13 @@ def main() -> None:
         # baselines were 3-4x slow at clean CPU readings; VERDICT r15
         # item 1). Spark walls from such a window are lower bounds.
         reasons.append("io_slow")
+    if load0 > LOAD_IDLE_1M:
+        # neighbor pressure: the r16 regime BOTH micro-probes missed
+        reasons.append("load_high")
     print(
         f"# cpu probe open: {cpu0:.2f}s (full-speed envelope "
         f"{CPU_IDLE_S}s); io probe open: {io0:.3f}s (envelope "
-        f"{IO_IDLE_S}s)",
+        f"{IO_IDLE_S}s); loadavg open: {load0:.1f} (flag {LOAD_IDLE_1M})",
         file=sys.stderr,
     )
     print(
@@ -1563,6 +1588,7 @@ def main() -> None:
     time.sleep(3)
     cpu1 = _cpu_probe()
     io1 = _io_probe()
+    load1 = _loadavg()
     if io1 > 3 * IO_IDLE_S:
         reasons.append("io_slow_end")
     cal1, cal_mode = _closing_cal(sf_dir)
@@ -1709,6 +1735,11 @@ def main() -> None:
             # IO_IDLE_S — the regime dimension the CPU probe cannot
             # see (VERDICT r15 item 1); -1 = probe file missing
             "io": [round(io0, 3), round(io1, 3)],
+            # 1-min load average at [open, close] — neighbor pressure,
+            # the signal that caught the r16 garbage window both
+            # micro-probes missed (close reading includes our own
+            # tail; only the open reading flags)
+            "load": [round(load0, 1), round(load1, 1)],
             # engine-parity A/B of the round's biggest headline mover
             # (prev-round engine vs current tree, fresh subprocesses,
             # same window) — present only when a mover fired and the

@@ -181,7 +181,15 @@ class SemiStreamJoin:
         hit = batch.join(F.broadcast(hit_keys), k, "left_semi").join(
             cached_hit, k, "inner"
         )
-        missed_keys = batch_keys.join(F.broadcast(hit_keys), k, "left_anti")
+        # the missed-key set is pinned as its own CHECKPOINT LEAF: the
+        # fetch plan then embeds only a leaf scan, so the miss-detect
+        # work (cache semi scan + key distinct + anti) is attributed
+        # to the JOIN phase via the checkpoint-input extra instead of
+        # riding inside the fetch leaf's RDD and inflating fetch_s —
+        # the controller signal a zero-miss batch must read ~0 on
+        # (pinned by test_attributor_survives_aqe_pruned_fetch_branch)
+        missed_in = batch_keys.join(F.broadcast(hit_keys), k, "left_anti")
+        missed_keys = lazy_local_checkpoint(missed_in, cols=[k])
         miss = batch.join(F.broadcast(missed_keys), k, "left_semi")
         # the fetch is pinned as a CHECKPOINT LEAF (LogicalRDD), not a
         # cache: a .cache() here relies on the CacheManager
@@ -247,15 +255,17 @@ class SemiStreamJoin:
         # print as Scan ExistingRDD in the combined action, so the
         # real fetch/output metrics live only on these plan objects.
         # Join extras are walked before the fetch extra (ADVICE r15),
-        # so any genuinely-shared accumulators (cached-relation scans)
-        # land in the join phase — but note the KNOWN BIAS: fetch_in's
-        # resolved plan physically embeds one execution of the
-        # miss-detect subtree (it runs inside the fetch leaf's RDD),
-        # and those per-plan metrics are indivisible from the fetch
-        # walk. fetch_s therefore includes one cache semi-scan per
-        # batch; the bias grows the controller window (more caching),
-        # which is the conservative direction for the policy.
-        extra_roots = [("join", out_in), ("fetch", fetch_in)]
+        # and the miss-detect rides its OWN leaf input (missed_in), so
+        # fetch_in's plan embeds nothing but the store scan + one
+        # leaf-scan broadcast — fetch_s is exactly the store-fetch
+        # cost the controller's window policy feeds on, and a
+        # zero-miss batch reads it ~0
+        # (test_attributor_survives_aqe_pruned_fetch_branch).
+        extra_roots = [
+            ("join", out_in),
+            ("join", missed_in),
+            ("fetch", fetch_in),
+        ]
         if compact:
             # latest-wins fold of base + every pending key set; the
             # key-set joins carry explicit broadcast hints (these
@@ -352,6 +362,9 @@ class SemiStreamJoin:
         n_keys = int(counts.get("k", 0))
         total_s = time.monotonic() - t0
 
+        # the missed-key leaf's consumers (fetch leaf, miss join, 'm'
+        # branch) all ran inside the combined action — release it now
+        release_checkpoint(missed_keys)
         if compact:
             # the compaction checkpoints absorbed every pending delta
             # — release them, this batch's, and the previous base

@@ -734,9 +734,16 @@ class SemiStreamSimilarityJoin:
         hit_keys = self.lru.select(*_KEY).join(
             F.broadcast(probe_keys), _KEY, "left_semi"
         )
-        missed_keys = probe_keys.join(
+        # pinned as its own CHECKPOINT LEAF so the fetch plan embeds
+        # only a leaf scan: the miss-detect work (LRU semi scan +
+        # anti) is attributed to the JOIN phase via the missed_in
+        # extra instead of riding inside the fetch leaf's RDD and
+        # inflating fetch_s — the signal that grows the controller
+        # window must read ~0 on a zero-miss batch
+        missed_in = probe_keys.join(
             F.broadcast(hit_keys), _KEY, "left_anti"
         )
+        missed_keys = lazy_local_checkpoint(missed_in, cols=list(_KEY))
         # the miss fetch reads the KEY DIRECTORY — one row per distinct
         # sk, matched groups exploded back to flat cache rows. Scans
         # rows-per-KEY with a single-long broadcast semi-join: the
@@ -874,15 +881,17 @@ class SemiStreamSimilarityJoin:
         n_part = int(
             self.sig_store.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        # join extras precede the fetch extra (ADVICE r15) so shared
-        # cached-relation accumulators land in the join phase. KNOWN
-        # BIAS, documented not fixed: fetch_in's resolved plan embeds
-        # one execution of the miss-detect subtree (the LRU semi scan
-        # runs inside the fetch leaf's RDD) and its per-plan metrics
-        # are indivisible from the fetch walk — fetch_s includes that
-        # scan, which grows the controller window (more caching), the
-        # conservative direction for the policy.
-        extra_roots = [("join", probe_in), ("join", out_in), ("fetch", fetch_in)]
+        # join extras precede the fetch extra (ADVICE r15), and the
+        # miss-detect rides its own leaf input (missed_in) — fetch_in
+        # embeds only the key-directory scan + one leaf-scan
+        # broadcast, so fetch_s is exactly the store-fetch cost the
+        # window policy feeds on
+        extra_roots = [
+            ("join", probe_in),
+            ("join", missed_in),
+            ("join", out_in),
+            ("fetch", fetch_in),
+        ]
         if compact:
             # latest-wins fold of base + every pending key set (later
             # batches override last_seen), then the eviction filter —
@@ -945,11 +954,13 @@ class SemiStreamSimilarityJoin:
         n_keys = int(counts.get("p", 0))
         total_s = time.monotonic() - t0
 
-        # the probe leaf's only consumers (hit/miss → out) ran inside
-        # the combined action above; release its blocks for real
-        # (RDD-level — DataFrame.unpersist was a no-op on checkpoint
-        # leaves and executor storage floated with GC lag, ADVICE r15)
+        # the probe and missed-key leaves' only consumers (hit/miss →
+        # out, fetch leaf, the m branch) ran inside the combined
+        # action above; release their blocks for real (RDD-level —
+        # DataFrame.unpersist was a no-op on checkpoint leaves and
+        # executor storage floated with GC lag, ADVICE r15)
         release_checkpoint(probe)
+        release_checkpoint(missed_keys)
         if compact:
             # the compaction checkpoints absorbed every pending delta
             # (including this batch's fetch/probe keys) — release them

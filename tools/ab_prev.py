@@ -131,12 +131,14 @@ def run_ab(
     try:
         cpu: list[float] = [round(bench._cpu_probe(), 2)]
         io: list[float] = [round(bench._io_probe(), 3)]
+        lavg: list[float] = [round(bench._loadavg(), 1)]
         legs: list[tuple[str, list[float]]] = []
         for engine, tree in (("prev", wt), ("cur", REPO), ("prev", wt)):
             legs.append(
                 (engine, _time_in_subprocess(tree, query, sf_dir, runs, timeout))
             )
             cpu.append(round(bench._cpu_probe(), 2))
+            lavg.append(round(bench._loadavg(), 1))
         io.append(round(bench._io_probe(), 3))
         prev_legs = [min(t) for e, t in legs if e == "prev"]
         cur_legs = [min(t) for e, t in legs if e == "cur"]
@@ -150,6 +152,7 @@ def run_ab(
             "legs": [[e] + t for e, t in legs],
             "cpu": cpu,
             "io": io,
+            "load": lavg,
             **({"drift": 1} if drift else {}),
             "rev": rev[:8],
         }

@@ -44,7 +44,11 @@ HEADLINE_SUBSET = [
 
 
 def _probes() -> dict:
-    return {"cpu": round(bench._cpu_probe(), 3), "io": round(bench._io_probe(), 3)}
+    return {
+        "cpu": round(bench._cpu_probe(), 3),
+        "io": round(bench._io_probe(), 3),
+        "load": round(bench._loadavg(), 1),
+    }
 
 
 def main() -> None:
