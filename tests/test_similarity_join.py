@@ -615,3 +615,44 @@ def test_semi_stream_empty_batch_flows(spark, corpus):
     got = _pairs(out0.unionByName(out1))
     want = _pairs(brute_force_similarity_join(stream, stored, T))
     assert got == want != set()
+
+
+def test_vsl_pricing_rides_corpus_broadcast_not_per_batch_join(
+    spark, corpus, monkeypatch
+):
+    """r16 (VERDICT r15 task 6): with the corpus-lifetime sc.broadcast
+    pricing in place, the per-batch probe plan must carry NO pricing
+    join and NO scan of the hot frequency table — the V-selection's
+    Arrow pass prices internally, so an empty batch's plan does no
+    pricing work at all (the old shape re-collected and re-shipped
+    the ~1M-row table on every batch, the measured empty-batch floor
+    at the 100x VSL store). Output equality with the join-based path
+    is pinned by test_vsl_unclustered_fallback; this pins the SHAPE.
+    """
+    import distributed_stream_processing_spark.operators.semi_stream_similarity as sss
+    import distributed_stream_processing_spark.operators.similarity_join as sj
+
+    monkeypatch.setattr(
+        sj,
+        "choose_signature_schemes",
+        lambda stored, groups, *a, **k: {g: True for g in range(len(groups))},
+    )
+    stored = corpus.filter(F.col("id") >= 30)
+    store = sss.build_similarity_store(stored, T)
+    assert any(store.vsl.values()) and store.sig_freq is not None
+    j = sss.SemiStreamSimilarityJoin(threshold=T, artifacts=store)
+    assert j._freq_bc is not None, "corpus pricing broadcast not built"
+    batch = corpus.filter(F.col("id") < 30)
+    plan = (
+        j._probe_rows(batch)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, f"pricing join leaked into the probe plan:\n{plan}"
+    # the broadcast is shared: a second pipeline over the same store
+    # must reuse the same handle, not re-collect the table
+    j2 = sss.SemiStreamSimilarityJoin(threshold=T, artifacts=store)
+    assert j2._freq_bc is j._freq_bc
+    j.close()
+    j2.close()
