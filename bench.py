@@ -83,15 +83,14 @@ IDLE_SPREAD_DEFAULT_S = 0.8
 # tripwire fires at 2x these — above every clean reading, well below
 # genuine contention (r11 contended q48 computed 7.7).
 EXPECTED_10X = {"q21": 2.5, "q29": 1.8, "q48": 1.7}
-# reserved POST-STRESS budget (r16 ordering, VERDICT r15 tasks 1-3:
-# dedup_100x runs FIRST for the calmest window, the 10x stress trio
-# next — it was the round's one starved axis — then, from this
-# reserve: the fp-cached scheme/cand audits (~10 s warm), the
-# engine-parity A/B (~110-170 s — committed evidence, never sheds
-# before the 100x points), the q33/q48 100x maintenance points
-# (~40/140 s warm, first to degrade), and the closing calibration
-# (CAL_CLOSE_RESERVE_S, reserved separately by every gate).
-RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "330"))
+# reserved POST-STRESS budget (r16 ordering, VERDICT r15 tasks 1-3
+# in priority order: the engine-parity A/B runs FIRST of the optional
+# sections, dedup_100x second, the 10x stress trio third; what still
+# runs after stress and must be paid from this reserve: the fp-cached
+# scheme/cand audits (~10 s warm) and the q33/q48 100x maintenance
+# points (~40/140 s warm, first to degrade). The closing calibration
+# (CAL_CLOSE_RESERVE_S) is reserved separately by every gate.
+RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "270"))
 # reserved for the closing calibration at the very end: quiesce + one
 # ~25 s subprocess, twice when the first reading is bad; the worst
 # case is two subprocesses each at their 60 s cap plus settles
@@ -923,7 +922,13 @@ def _dedup_100x_isolated(budget_s: float) -> dict | None:
     flagged by the published "isolated" key)."""
     import subprocess
 
-    budget_s = max(60.0, min(330.0, budget_s))
+    # cap 200: a window that can't finish the full protocol inside
+    # ~200 s will not produce the full-speed reading the point exists
+    # for (calm-window runs measure 60-130 s incl. session startup),
+    # and the r16 trial showed a timed-out attempt's budget is simply
+    # burned — the cap bounds the waste so the A/B, the 10x trio, and
+    # the 100x points survive a degraded window
+    budget_s = max(60.0, min(200.0, budget_s))
     code = (
         "import sys,json,time;"
         f"sys.path.insert(0,{REPO!r});"
@@ -1008,6 +1013,15 @@ def _run_stress(
     # A point's window is bad when either bracketing probe exceeds the
     # committed envelope.
     win_bad: set[str] = set()
+    # strict-envelope cleanliness, tracked separately: _probe_bad's
+    # threshold RELAXES to 2x this run's opening calibration on a
+    # slow-start host, so when cal_start fired the relaxed-clean
+    # windows are suspect — but a window whose probes sit inside the
+    # ABSOLUTE committed envelope (2x CAL_IDLE_S) is verifiably clean
+    # regardless of how the run started, and its ratio survives the
+    # cal_start wholesale null (r16: a degraded opening minute nulled
+    # ratios whose own stress windows probed 0.89 s)
+    strict_bad: set[str] = set()
     p_prev = _probe(spark, specs, sf_dir)
     print(f"# stress window probe: {p_prev:.2f}s", file=sys.stderr)
     for scale, name in points:
@@ -1116,6 +1130,8 @@ def _run_stress(
         p_next = _probe(spark, specs, sf_dir)
         if _probe_bad(p_prev) or _probe_bad(p_next):
             win_bad.add(f"{q}_{sc}")
+        if max(p_prev, p_next) > 2 * CAL_IDLE_S:
+            strict_bad.add(q)
         print(f"# stress window probe: {p_next:.2f}s", file=sys.stderr)
         p_prev = p_next
     # per-query ratio: published only when BOTH scales completed >=2
@@ -1141,6 +1157,8 @@ def _run_stress(
         "queries": out,
         "data_ratio": 10.0,
         "ratio_10x": ratios,
+        # consumed by main()'s cal_start rule, stripped from the line
+        "_strict_bad": strict_bad,
         # q48_cand_1x_10x (the workload-growth context for the
         # ratios) is measured — not hard-coded — in main() after this
         # loop, reusing the session-memoized stores and fp-keyed
@@ -1169,7 +1187,13 @@ def main() -> None:
     # always prints — it only decides what optional work is
     # attempted), so the +40 risks nothing but optional sections.
     deadline = time.monotonic() + int(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "820")
+        # 850 (r16: 820 + 30): the r16 section set at full speed
+        # measures ~680 s (cal ~25 + headline ~100 + ab ~110 + dedup
+        # ~90 + stress ~150 + audits ~5 + q48_100x ~140 + q33_100x
+        # ~45 + closing-cal reserve) — the +30 buys the q48_100x gate
+        # margin on a mid-degraded window; the deadline stays soft
+        # (the JSON line always prints, only optional sections shed)
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "850")
     )
     stress_deadline = deadline - RESERVE_TAIL_S
     skipped: list[str] = []
@@ -1298,16 +1322,73 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    # ---- 100x points: run BEFORE the stress loops (r15) — a
-    # throttled host can blow a single 10x stress run to 200+ s (r15
-    # trial: 215 s), and when the 100x points queued behind it they
-    # were budget-starved; they are this round's committed evidence,
-    # so they get the budget first and the stress loops degrade
-    # instead. Each point is probe-bracketed so a contended window
-    # nulls ITS quotable numbers, not the block's; the closing
+    # ---- optional sections, in VERDICT r15 priority order: the
+    # engine-parity A/B first (task 1 — the round's committed
+    # cross-round evidence; the r16 trial lost it to a dedup budget
+    # black hole when it ran last), dedup_100x second (task 3 — wants
+    # the earliest/calmest window of the heavies), the 10x stress
+    # trio third (task 2), then the q33/q48 100x maintenance points
+    # (first to degrade). Each is probe-bracketed so a contended
+    # window nulls ITS quotable numbers, not the block's; the closing
     # calibration's budget stays reserved throughout.
     def _tail_budget_ok(need: float) -> bool:
         return time.monotonic() + need <= deadline - CAL_CLOSE_RESERVE_S
+
+    # engine-parity A/B (VERDICT r14 task 5, r15 task 1): when any
+    # headline moved >10% beyond the larger of the two rounds'
+    # published spreads, re-time the BIGGEST mover on the previous
+    # round's engine (a worktree of its verdict commit) AND the
+    # current tree; when nothing moved, A/B the FLAGSHIP (q48) anyway
+    # — the cross-round parity statement is committed evidence either
+    # way, and r15's lesson is that it must come from the hook, not
+    # from hand-run sessions in unflagged windows. tools/ab_prev.py
+    # runs the legs INTERLEAVED (prev, cur, prev — two disagreeing
+    # prev legs flag mid-A/B window drift) with CPU + IO + load
+    # probes; prev≈cur reads "host window, engine parity", a delta
+    # reproduced across both prev legs reads "engine".
+    ab = None
+    try:
+        from tools.ab_prev import prev_round_rev, run_ab
+
+        prev_n, prev_rev = prev_round_rev()
+        prev_bench = None
+        if prev_n is not None:
+            with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
+                prev_bench = json.load(f)
+            # the driver wraps the bench line: {n, rc, tail,
+            # parsed: {metric, queries, ...}} — unwrap it
+            if "queries" not in prev_bench:
+                prev_bench = prev_bench.get("parsed") or {}
+        ab_movers: list[tuple[float, str]] = []
+        if prev_bench and prev_rev:
+            for name, cur in timings.items():
+                p = prev_bench.get("queries", {}).get(name)
+                ps = prev_bench.get("spread_s", {}).get(
+                    name.split("_")[0], 0.0
+                )
+                if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
+                    ab_movers.append((abs(cur - p) / p, name))
+        if prev_rev:
+            mover = (
+                max(ab_movers)[1]
+                if ab_movers
+                else "q48_semi_stream_similarity"
+            )
+            if _tail_budget_ok(170):
+                ab = {
+                    "q": mover.split("_")[0],
+                    **run_ab(mover, prev_rev, sf_dir, runs=1, timeout=120),
+                }
+                print(f"# engine-parity ab ({mover}): {ab}", file=sys.stderr)
+            else:
+                skipped.append(f"ab:{mover.split('_')[0]} (budget)")
+                print(
+                    f"# engine ab skipped (budget); movers: "
+                    f"{sorted(n for _, n in ab_movers)}",
+                    file=sys.stderr,
+                )
+    except Exception as e:
+        print(f"# engine ab skipped: {e}", file=sys.stderr)
 
     # 100x semi-stream similarity posture (VERDICT r9 task 5 / r10
     # task 2): fixed per-batch probe volume against a 100x store — the
@@ -1319,15 +1400,32 @@ def main() -> None:
         not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
-        # dedup_100x FIRST among the heavy points (VERDICT r15 task 3:
-        # the full-speed reading needs the calmest window a run gets —
-        # immediately after the headline loop, before the stress churn
-        # and the similarity-store loads; fresh-subprocess isolation
-        # means the parent session's state can't contaminate it either
-        # way). The published "isolated" key says which regime
-        # produced the number. Budget: leave the stress loops at
-        # least ~150 s plus the reserved tail.
-        if _tail_budget_ok(150):
+        # dedup_100x next (VERDICT r15 task 3: the full-speed reading
+        # needs the calmest window a run gets; fresh-subprocess
+        # isolation means the parent session's state can't contaminate
+        # it either way). The published "isolated" key says which
+        # regime produced the number. Budget: leave the stress loops
+        # at least ~150 s plus the reserved tail — and when the
+        # ISOLATED attempt times out on a degraded host, the
+        # in-session fallback must NOT double-spend the budget it just
+        # consumed (the r16 trial lost the A/B, the 10x trio, and both
+        # 100x points to exactly that: a timed-out subprocess followed
+        # by an unbounded 212 s in-session run).
+        cpu_now, load_now = _cpu_probe(), _loadavg()
+        if not (cpu_now < 1.5 * CPU_IDLE_S and load_now < LOAD_IDLE_1M):
+            # the point exists to publish a FULL-SPEED reading
+            # (VERDICT r15 task 3: "run the dedup subprocess first
+            # when cpu opens clean") — attempting it in a visibly
+            # degraded window burns up to the 200 s cap for a number
+            # the band can't use, and starves the 10x trio + q48_100x
+            # behind it (r16 trials measured exactly that)
+            skipped.append("dedup_100x (window)")
+            print(
+                f"# dedup 100x skipped: window not calm (cpu "
+                f"{cpu_now:.2f}s, load {load_now:.1f})",
+                file=sys.stderr,
+            )
+        elif _tail_budget_ok(150):
             try:
                 p_a = _probe(spark, specs, sf_dir)
                 dedup_100x = _dedup_100x_isolated(
@@ -1335,17 +1433,26 @@ def main() -> None:
                 )
                 if dedup_100x is not None:
                     dedup_100x["isolated"] = 1
-                else:
+                elif time.monotonic() < stress_deadline - 210:
                     dedup_100x = _dedup_100x(
                         spark, deadline=stress_deadline - 150
                     )
                     dedup_100x["isolated"] = 0
+                else:
+                    skipped.append("dedup_100x (budget)")
+                    print(
+                        "# dedup 100x in-session fallback skipped: the "
+                        "isolated attempt consumed the budget",
+                        file=sys.stderr,
+                    )
                 p_b = _probe(spark, specs, sf_dir)
                 print(
                     f"# dedup_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
                     file=sys.stderr,
                 )
-                if _probe_bad(p_a) or _probe_bad(p_b):
+                if dedup_100x is not None and (
+                    _probe_bad(p_a) or _probe_bad(p_b)
+                ):
                     dedup_100x["pairs_s_raw"] = dedup_100x.pop("pairs_s")
                     dedup_100x["cluster_s_raw"] = dedup_100x.pop("cluster_s")
                     dedup_100x["pairs_s"] = None
@@ -1450,94 +1557,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # engine-parity A/B (VERDICT r14 task 5, r15 task 1): when any
-    # headline moved >10% beyond the larger of the two rounds'
-    # published spreads, re-time the BIGGEST mover on the previous
-    # round's engine (a worktree of its verdict commit) AND the
-    # current tree; when nothing moved, A/B the FLAGSHIP (q48) anyway
-    # — the cross-round parity statement is committed evidence either
-    # way, and r15's lesson is that it must come from the hook, not
-    # from hand-run sessions in unflagged windows. tools/ab_prev.py
-    # runs the legs INTERLEAVED (prev, cur, prev — two disagreeing
-    # prev legs flag mid-A/B window drift) with CPU + IO probes
-    # bracketing every leg; prev≈cur reads "host window, engine
-    # parity", a delta reproduced across both prev legs reads
-    # "engine". It runs BEFORE the q33/q48 100x maintenance points so
-    # a budget squeeze degrades those, not this.
-    ab = None
-    try:
-        from tools.ab_prev import prev_round_rev, run_ab
-
-        prev_n, prev_rev = prev_round_rev()
-        prev_bench = None
-        if prev_n is not None:
-            with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
-                prev_bench = json.load(f)
-            # the driver wraps the bench line: {n, rc, tail,
-            # parsed: {metric, queries, ...}} — unwrap it
-            if "queries" not in prev_bench:
-                prev_bench = prev_bench.get("parsed") or {}
-        ab_movers: list[tuple[float, str]] = []
-        if prev_bench and prev_rev:
-            for name, cur in timings.items():
-                p = prev_bench.get("queries", {}).get(name)
-                ps = prev_bench.get("spread_s", {}).get(
-                    name.split("_")[0], 0.0
-                )
-                if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
-                    ab_movers.append((abs(cur - p) / p, name))
-        if prev_rev:
-            mover = (
-                max(ab_movers)[1]
-                if ab_movers
-                else "q48_semi_stream_similarity"
-            )
-            if _tail_budget_ok(170):
-                ab = {
-                    "q": mover.split("_")[0],
-                    **run_ab(mover, prev_rev, sf_dir, runs=1, timeout=120),
-                }
-                print(f"# engine-parity ab ({mover}): {ab}", file=sys.stderr)
-            else:
-                skipped.append(f"ab:{mover.split('_')[0]} (budget)")
-                print(
-                    f"# engine ab skipped (budget); movers: "
-                    f"{sorted(n for _, n in ab_movers)}",
-                    file=sys.stderr,
-                )
-    except Exception as e:
-        print(f"# engine ab skipped: {e}", file=sys.stderr)
-
     # the 100x store-scale points LAST among the optional sections
     # (r16): both are judge-reproduced r15 evidence — maintenance this
     # round — so they absorb the budget squeeze instead of the 10x
-    # axis or the A/B. Probe-bracketed as before.
+    # axis or the A/B. q48_100x goes FIRST of the two: it is the
+    # flagship scaling point (the reference's own claim axis,
+    # DSim-Join/README.md:14) and carries the bracketed b10 pair
+    # (VERDICT r15 task 4) — trials showed only one of the two fits a
+    # degraded window, and q33_100x is the cheaper re-run next round.
     if (
         not os.environ.get("SPARK_GRAFT_SKIP_SF1")
         and not os.environ.get("SPARK_GRAFT_SKIP_100X")
     ):
-        if _tail_budget_ok(110):
-            try:
-                p_a = _probe(spark, specs, sf_dir)
-                q33_100x = _q33_100x(
-                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S - 150
-                )
-                p_b = _probe(spark, specs, sf_dir)
-                print(
-                    f"# q33_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
-                    file=sys.stderr,
-                )
-                if _probe_bad(p_a) or _probe_bad(p_b):
-                    q33_100x["batch_s_raw"] = q33_100x.pop("batch_s")
-                    q33_100x["batch_s"] = None
-                    reasons.append("win:q33_100x")
-                print(f"# q33 100x: {q33_100x}", file=sys.stderr)
-            except Exception as e:
-                print(f"# q33 100x skipped: {e}", file=sys.stderr)
-        else:
-            skipped.append("q33_100x (budget)")
-            print("# q33 100x skipped: budget", file=sys.stderr)
-
         try:
             from tools.gen_stress_sf1 import ensure_dedup_100x
 
@@ -1558,7 +1589,8 @@ def main() -> None:
             else:
                 p_a = _probe(spark, specs, sf_dir)
                 q48_100x = _q48_100x(
-                    spark, d100, deadline=deadline - CAL_CLOSE_RESERVE_S
+                    spark, d100,
+                    deadline=deadline - CAL_CLOSE_RESERVE_S - 50,
                 )
                 p_b = _probe(spark, specs, sf_dir)
                 print(
@@ -1573,6 +1605,28 @@ def main() -> None:
                 print(f"# q48 100x: {q48_100x}", file=sys.stderr)
         except Exception as e:
             print(f"# q48 100x skipped: {e}", file=sys.stderr)
+
+        if _tail_budget_ok(60):
+            try:
+                p_a = _probe(spark, specs, sf_dir)
+                q33_100x = _q33_100x(
+                    spark, deadline=deadline - CAL_CLOSE_RESERVE_S
+                )
+                p_b = _probe(spark, specs, sf_dir)
+                print(
+                    f"# q33_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
+                    file=sys.stderr,
+                )
+                if _probe_bad(p_a) or _probe_bad(p_b):
+                    q33_100x["batch_s_raw"] = q33_100x.pop("batch_s")
+                    q33_100x["batch_s"] = None
+                    reasons.append("win:q33_100x")
+                print(f"# q33 100x: {q33_100x}", file=sys.stderr)
+            except Exception as e:
+                print(f"# q33 100x skipped: {e}", file=sys.stderr)
+        else:
+            skipped.append("q33_100x (budget)")
+            print("# q33 100x skipped: budget", file=sys.stderr)
 
     # closing calibration: fresh SUBPROCESS session, so it measures
     # the HOST against the committed idle envelope — the parent
@@ -1624,10 +1678,18 @@ def main() -> None:
         # them under the same section rather than dropping evidence
         stress = {}
     if stress is not None:
-        if "cal_start" in reasons and "ratio_10x" in stress:
-            # the whole run started on a contended host — no window
-            # was clean, including the per-point probes themselves
-            stress["ratio_10x"] = None
+        strict_bad = stress.pop("_strict_bad", set())
+        if "cal_start" in reasons and stress.get("ratio_10x"):
+            # the run started on a contended host, so the per-point
+            # bad-window threshold was RELAXED — null only the ratios
+            # whose own windows exceeded the ABSOLUTE committed
+            # envelope; a ratio whose stress windows probed inside
+            # 2x CAL_IDLE_S is verifiably clean whatever the opening
+            # minute looked like
+            stress["ratio_10x"] = {
+                q: (None if q in strict_bad else r)
+                for q, r in stress["ratio_10x"].items()
+            }
         if scheme_audit is not None:
             # vsl_groups/fp are deterministic and live in the cache
             # file + stderr; the JSON line carries only headline counts

@@ -76,7 +76,11 @@ def release_checkpoint(df: DataFrame) -> None:
 
     Only call on a pin no consumer will read again: a localCheckpoint
     has no lineage to recompute from, so a read-after-release fails
-    loudly with a missing-block error."""
+    loudly with a missing-block error. Spark logs one WARN per release
+    ("was locally checkpointed ... cannot be recomputed after
+    unpersisting") — that is the JVM restating this contract, not a
+    fault; the pipelines release only leaves whose consumers all ran
+    inside the batch's completed combined action."""
     jrdd = getattr(df, "_ckpt_jrdd", None)
     if jrdd is not None:
         try:
