@@ -1412,6 +1412,17 @@ def main() -> None:
         # 100x points to exactly that: a timed-out subprocess followed
         # by an unbounded 212 s in-session run).
         cpu_now, load_now = _cpu_probe(), _loadavg()
+        if cpu_now < 1.5 * CPU_IDLE_S and load_now >= LOAD_IDLE_1M:
+            # the 1-min average may still be carrying OUR OWN just-
+            # finished A/B subprocesses (32-way legs; e-folding 60 s)
+            # — settle briefly and re-read before writing the window
+            # off: 45 s decays self-load ~2x, neighbor load stays
+            time.sleep(45)
+            load_now = _loadavg()
+            print(
+                f"# dedup gate re-read after settle: load {load_now:.1f}",
+                file=sys.stderr,
+            )
         if not (cpu_now < 1.5 * CPU_IDLE_S and load_now < LOAD_IDLE_1M):
             # the point exists to publish a FULL-SPEED reading
             # (VERDICT r15 task 3: "run the dedup subprocess first
