@@ -73,8 +73,18 @@ def main() -> None:
         batches.append(("empty", base.filter(F.lit(False))))
     while len(batches) < 12:
         batches.append(("empty", base.filter(F.lit(False))))
+    sc = spark.sparkContext._jsc.sc()
+
+    def n_persisted() -> int:
+        # RDD-level storage registry: checkpoint leaves live here, not
+        # in the CacheManager — the count the r16 release path bounds
+        # (ADVICE r15: unpersist was a no-op on leaves and storage on
+        # long streams floated with GC lag)
+        return len(sc.getRDDStorageInfo())
+
     walls: dict[str, list[float]] = {"real": [], "empty": []}
     compact_walls: list[float] = []
+    persisted: list[int] = []
     for b, (kind, batch) in enumerate(batches):
         pend_before = len(j._pend)
         t0 = time.monotonic()
@@ -82,14 +92,14 @@ def main() -> None:
         j.flush_attribution()
         w = round(time.monotonic() - t0, 2)
         compacted = len(j._pend) == 0 and pend_before > 0
-        cache_rows = None
         if compacted:
             compact_walls.append(w)
         else:
             walls[kind].append(w)
+        persisted.append(n_persisted())
         print(
             f"batch {b:2d} {kind:5s}: {w:6.2f}s out {n:6d} "
-            f"pend {pend_before}->{len(j._pend)}"
+            f"pend {pend_before}->{len(j._pend)} rdds {persisted[-1]}"
             + (" COMPACTION" if compacted else ""),
             flush=True,
         )
@@ -97,6 +107,17 @@ def main() -> None:
     n_cache = j.cache.count()
     n_lru = j.lru.count()
     j.close()
+    time.sleep(2)  # release is async (unpersist blocking=False)
+    rdds_after_close = n_persisted()
+    # boundedness check: persisted-RDD count must not grow past the
+    # structural budget (batch outputs accumulate one leaf each — the
+    # caller owns those — plus base state + pending deltas bounded by
+    # the compaction cadence); a leak reads as monotone growth beyond
+    # outputs+state
+    budget = len(batches) + 2 * 3 + 8  # outputs + bases + deltas + slack
+    assert max(persisted) <= budget, (
+        f"persisted RDDs grew past the structural budget: {persisted}"
+    )
     print(
         json.dumps(
             {
@@ -105,6 +126,8 @@ def main() -> None:
                 "compaction_walls": compact_walls,
                 "cache_rows_final": n_cache,
                 "lru_rows_final": n_lru,
+                "persisted_rdds": persisted,
+                "rdds_after_close": rdds_after_close,
             }
         )
     )
