@@ -1322,15 +1322,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    # ---- optional sections, in VERDICT r15 priority order: the
-    # engine-parity A/B first (task 1 — the round's committed
-    # cross-round evidence; the r16 trial lost it to a dedup budget
-    # black hole when it ran last), dedup_100x second (task 3 — wants
-    # the earliest/calmest window of the heavies), the 10x stress
-    # trio third (task 2), then the q33/q48 100x maintenance points
-    # (first to degrade). Each is probe-bracketed so a contended
-    # window nulls ITS quotable numbers, not the block's; the closing
-    # calibration's budget stays reserved throughout.
+    # ---- optional sections: the engine-parity A/B always first
+    # (VERDICT r15 task 1 — the round's committed cross-round
+    # evidence; the r16 trial lost it to a dedup budget black hole
+    # when it ran last), then the heavy sections in a ROUND-PARITY
+    # ROTATED order (VERDICT r16 task 2 — see the rotation block
+    # below). Each is probe-bracketed so a contended window nulls ITS
+    # quotable numbers, not the block's; the closing calibration's
+    # budget stays reserved throughout.
     def _tail_budget_ok(need: float) -> bool:
         return time.monotonic() + need <= deadline - CAL_CLOSE_RESERVE_S
 
@@ -1342,10 +1341,13 @@ def main() -> None:
     # — the cross-round parity statement is committed evidence either
     # way, and r15's lesson is that it must come from the hook, not
     # from hand-run sessions in unflagged windows. tools/ab_prev.py
-    # runs the legs INTERLEAVED (prev, cur, prev — two disagreeing
-    # prev legs flag mid-A/B window drift) with CPU + IO + load
-    # probes; prev≈cur reads "host window, engine parity", a delta
-    # reproduced across both prev legs reads "engine".
+    # runs the legs INTERLEAVED and SYMMETRIC since r17 (prev, cur,
+    # prev, cur — >=2 legs per ENGINE; r16's single cur leg could not
+    # distinguish "cur regressed" from "the window's slow phase
+    # landed on the middle leg", which fabricated BENCH_r16's
+    # no-drift 1.86x q33 regression — VERDICT r16 item 1) with CPU +
+    # IO + load probes; a cross-engine verdict publishes ONLY when
+    # each engine's own legs agree internally within 30%.
     ab = None
     try:
         from tools.ab_prev import prev_round_rev, run_ab
@@ -1374,7 +1376,10 @@ def main() -> None:
                 if ab_movers
                 else "q48_semi_stream_similarity"
             )
-            if _tail_budget_ok(170):
+            # 4 symmetric legs (r17) cost ~1/3 more than r16's 3:
+            # each leg is a fresh session (~15-20 s startup) + warmup
+            # + 1 timed run; 225 s covers the q33/q48-class movers
+            if _tail_budget_ok(225):
                 ab = {
                     "q": mover.split("_")[0],
                     **run_ab(mover, prev_rev, sf_dir, runs=1, timeout=120),
@@ -1396,11 +1401,13 @@ def main() -> None:
     q33_100x = None
     q48_100x = None
     dedup_100x = None
-    if (
-        not os.environ.get("SPARK_GRAFT_SKIP_SF1")
-        and not os.environ.get("SPARK_GRAFT_SKIP_100X")
-    ):
-        # dedup_100x next (VERDICT r15 task 3: the full-speed reading
+    stress = None
+    scheme_audit = None
+    skip_sf1 = bool(os.environ.get("SPARK_GRAFT_SKIP_SF1"))
+    skip_100x = skip_sf1 or bool(os.environ.get("SPARK_GRAFT_SKIP_100X"))
+
+    def _sec_dedup_100x(priority: bool) -> None:
+        # dedup_100x (VERDICT r15 task 3: the full-speed reading
         # needs the calmest window a run gets; fresh-subprocess
         # isolation means the parent session's state can't contaminate
         # it either way). The published "isolated" key says which
@@ -1411,6 +1418,13 @@ def main() -> None:
         # consumed (the r16 trial lost the A/B, the 10x trio, and both
         # 100x points to exactly that: a timed-out subprocess followed
         # by an unbounded 212 s in-session run).
+        # ``priority``: this round's rotation owes the ARTIFACT this
+        # point (VERDICT r16 task 2 — two rounds running it was
+        # text-only) — a non-calm window downgrades to an attempt
+        # whose quotable numbers null on bad probes, never a skip.
+        nonlocal dedup_100x
+        if skip_100x:
+            return
         cpu_now, load_now = _cpu_probe(), _loadavg()
         if cpu_now < 1.5 * CPU_IDLE_S and load_now >= LOAD_IDLE_1M:
             # the 1-min average may still be carrying OUR OWN just-
@@ -1423,7 +1437,8 @@ def main() -> None:
                 f"# dedup gate re-read after settle: load {load_now:.1f}",
                 file=sys.stderr,
             )
-        if not (cpu_now < 1.5 * CPU_IDLE_S and load_now < LOAD_IDLE_1M):
+        calm = cpu_now < 1.5 * CPU_IDLE_S and load_now < LOAD_IDLE_1M
+        if not calm and not priority:
             # the point exists to publish a FULL-SPEED reading
             # (VERDICT r15 task 3: "run the dedup subprocess first
             # when cpu opens clean") — attempting it in a visibly
@@ -1437,6 +1452,13 @@ def main() -> None:
                 file=sys.stderr,
             )
         elif _tail_budget_ok(150):
+            if not calm:
+                print(
+                    f"# dedup 100x window not calm (cpu {cpu_now:.2f}s, "
+                    f"load {load_now:.1f}) but rotation-priority — "
+                    "attempting isolated; quotables null on bad probes",
+                    file=sys.stderr,
+                )
             try:
                 p_a = _probe(spark, specs, sf_dir)
                 dedup_100x = _dedup_100x_isolated(
@@ -1476,30 +1498,33 @@ def main() -> None:
             skipped.append("dedup_100x (budget)")
             print("# dedup 100x skipped: budget", file=sys.stderr)
 
-    # stress timing loops next (VERDICT r15 task 2: the 10x axis was
-    # the round's one strictly-regressed evidence line — every
-    # ratio_10x/pairs_out@10x point published null on budget. It now
-    # runs BEFORE the q33/q48 100x points: those are judge-reproduced
-    # maintenance evidence, the 10x trio is the starved axis. The
-    # stress similarity stores are disk-backed since r16
-    # (plans/olap_plans._load_or_build_sim_store), so the 10x q48
-    # pre-warm costs a parquet load, not an index build.)
-    stress = None
-    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+    def _sec_stress() -> None:
+        # stress timing loops (VERDICT r15 task 2: the 10x axis was
+        # the round's one strictly-regressed evidence line — every
+        # ratio_10x/pairs_out@10x point published null on budget).
+        # The stress similarity stores are disk-backed since r16
+        # (plans/olap_plans._load_or_build_sim_store), so the 10x q48
+        # pre-warm costs a parquet load, not an index build. The
+        # deterministic fixture audits (scheme audit, cand/pairs
+        # counts) ride along: they depend on the stress fixtures and
+        # are cached per host, so they cost ~nothing after run 1.
+        nonlocal stress, scheme_audit
+        if skip_sf1:
+            return
         stress = _run_stress(
             spark, specs, sf_dir, stress_deadline, skipped, reasons
         )
+        if stress is None:
+            return
 
-    # signature-scheme audit on the sparse-vocab stress corpus: the
-    # stress documents (2k-word vocab, 8-100-token docs) flip the
-    # pipeline's scheme chooser to the deletion layout for the long
-    # groups; record the flags and the measured candidate cut vs
-    # forced all-equality. The counts are DETERMINISTIC on the fixed
-    # fixture (no timings), so the result is computed once per host
-    # and cached beside the fixture (ADVICE r11: also fixes the
-    # duplicated path literal — the directory comes from BASE_DIR).
-    scheme_audit = None
-    if stress is not None:
+        # signature-scheme audit on the sparse-vocab stress corpus: the
+        # stress documents (2k-word vocab, 8-100-token docs) flip the
+        # pipeline's scheme chooser to the deletion layout for the long
+        # groups; record the flags and the measured candidate cut vs
+        # forced all-equality. The counts are DETERMINISTIC on the fixed
+        # fixture (no timings), so the result is computed once per host
+        # and cached beside the fixture (ADVICE r11: also fixes the
+        # duplicated path literal — the directory comes from BASE_DIR).
         from tools.gen_stress_sf1 import BASE_DIR
 
         cache_path = os.path.join(BASE_DIR, "scheme_audit.json")
@@ -1568,18 +1593,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # the 100x store-scale points LAST among the optional sections
-    # (r16): both are judge-reproduced r15 evidence — maintenance this
-    # round — so they absorb the budget squeeze instead of the 10x
-    # axis or the A/B. q48_100x goes FIRST of the two: it is the
-    # flagship scaling point (the reference's own claim axis,
-    # DSim-Join/README.md:14) and carries the bracketed b10 pair
-    # (VERDICT r15 task 4) — trials showed only one of the two fits a
-    # degraded window, and q33_100x is the cheaper re-run next round.
-    if (
-        not os.environ.get("SPARK_GRAFT_SKIP_SF1")
-        and not os.environ.get("SPARK_GRAFT_SKIP_100X")
-    ):
+    def _sec_q48_100x() -> None:
+        # the flagship 100x store-scale point (the reference's own
+        # claim axis, DSim-Join/README.md:14), carrying the bracketed
+        # b10 pair (VERDICT r15 task 4)
+        nonlocal q48_100x
+        if skip_100x:
+            return
         try:
             from tools.gen_stress_sf1 import ensure_dedup_100x
 
@@ -1617,6 +1637,10 @@ def main() -> None:
         except Exception as e:
             print(f"# q48 100x skipped: {e}", file=sys.stderr)
 
+    def _sec_q33_100x() -> None:
+        nonlocal q33_100x
+        if skip_100x:
+            return
         if _tail_budget_ok(60):
             try:
                 p_a = _probe(spark, specs, sf_dir)
@@ -1638,6 +1662,47 @@ def main() -> None:
         else:
             skipped.append("q33_100x (budget)")
             print("# q33 100x skipped: budget", file=sys.stderr)
+
+    # round-parity rotation of the heavy optional sections (VERDICT
+    # r16 task 2): a fixed priority list starves its TAIL on every
+    # degraded host — two rounds running, at least one 100x point was
+    # text-only evidence. The heavies now rotate by the parity of the
+    # ROUND THIS RUN BECOMES (newest BENCH_r{N} + 1): odd rounds lead
+    # with the points the fixed order starved (q33_100x, then
+    # dedup_100x at rotation priority — attempted even in a non-calm
+    # window, quotables nulling on bad probes) and run q48_100x last;
+    # even rounds run the r16 order (dedup, stress trio, q48, q33).
+    # Every point lands at least every second BENCH artifact, and the
+    # JSON line's "rot" key says which regime produced this one.
+    import glob as _glob
+    import re as _re
+
+    ns = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    round_n = (max(ns) + 1) if ns else 1
+    rot = round_n % 2
+    print(
+        f"# rotation: round r{round_n} parity {rot} -> "
+        + (
+            "q33_100x, dedup_100x(priority), stress, q48_100x"
+            if rot
+            else "dedup_100x, stress, q48_100x, q33_100x"
+        ),
+        file=sys.stderr,
+    )
+    if rot:
+        _sec_q33_100x()
+        _sec_dedup_100x(priority=True)
+        _sec_stress()
+        _sec_q48_100x()
+    else:
+        _sec_dedup_100x(priority=False)
+        _sec_stress()
+        _sec_q48_100x()
+        _sec_q33_100x()
 
     # closing calibration: fresh SUBPROCESS session, so it measures
     # the HOST against the committed idle envelope — the parent
@@ -1759,29 +1824,25 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r16 note: protocol reordered per VERDICT r15 — dedup_100x "
-        "first (calmest window, isolated subprocess), 10x stress trio "
-        "next (the r15-starved axis; stress similarity stores now "
-        "DISK-BACKED under each fixture dir, so the 10x pre-warm is a "
-        "parquet load, not an index build), then audits, the "
-        "engine-parity A/B (interleaved prev,cur,prev legs with CPU + "
-        "IO probes and raw legs published; runs on the flagship even "
-        "with no mover), and the q33/q48 100x maintenance points "
-        "last (first to degrade on budget). io:[open,close] is the "
-        "new warm page-cache re-read probe (IO_IDLE_S envelope) — "
-        "the regime dimension the CPU probe provably missed when "
-        "r15's A/B table was taken (judge: claimed 3.7x/2.0x wins "
-        "reproduce at ~1.2-1.35x/parity; BASELINE.md corrected in "
-        "r16). b10 is min-of-2 over DISJOINT fresh-miss classes "
-        "(1/150 mod 1000, <10k) with b10_runs published. Engine "
-        "changes this round: hit join broadcasts only the hit KEY "
-        "set (cached_hit rows unbounded by batch — ADVICE r15), "
-        "checkpoint-leaf state pins are released at the RDD level "
-        "(DataFrame.unpersist was a no-op on leaves), compaction "
-        "maintain_s amortized over the folded batches before "
-        "controller.observe. Per-window attribution, fresh-subprocess "
-        "closing cal, fingerprint-keyed audit caches, layout-"
-        "versioned stores (v5) all carried from r12-r15.",
+        "# r17 note: two protocol changes per VERDICT r16. (1) The "
+        "engine-parity A/B is SYMMETRIC — prev,cur,prev,cur legs, >=2 "
+        "per engine; a cross-engine verdict (parity/cur_slower/"
+        "cur_faster) publishes only when each engine's own legs agree "
+        "internally within 30%, else drift:1 + verdict:window. r16's "
+        "single-cur-leg interleave fabricated a no-drift 1.86x q33 "
+        "regression (judge re-runs: -7%/+24%/parity). (2) The heavy "
+        "optional sections ROTATE by round parity (JSON key rot): odd "
+        "rounds lead with q33_100x + dedup_100x (dedup at rotation "
+        "priority — attempted even in a non-calm window, quotables "
+        "null on bad probes) and run q48_100x last; even rounds keep "
+        "the r16 order. Every 100x point lands at least every second "
+        "BENCH artifact instead of the fixed tail starving on every "
+        "degraded host. Carried from earlier rounds: io:[open,close] "
+        "warm page-cache probe, load:[open,close] neighbor-pressure "
+        "probe, b10 min-of-2 over DISJOINT fresh-miss classes, "
+        "per-window attribution, fresh-subprocess closing cal, "
+        "fingerprint-keyed audit caches, layout-versioned stores (v5), "
+        "disk-backed stress similarity stores.",
         file=sys.stderr,
     )
     line = json.dumps(
@@ -1831,6 +1892,10 @@ def main() -> None:
             **({"contended": contended} if contended else {}),
             "sf": float(sf),
             "runs": runs,
+            # round-parity rotation regime of the heavy optional
+            # sections (1 = q33/dedup-first, 0 = r16 order) — says
+            # which points were owed to THIS artifact
+            "rot": rot,
             # measured/total controller batches (batch 0 = designed
             # estimate); both pipelines must show the measured split
             # engaged from batch 1 on

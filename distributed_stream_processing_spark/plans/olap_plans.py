@@ -88,10 +88,23 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     in the durable remote store). Read-only dirs (the driver's
     /root/testdata) build in-session and memoize as before. A stale
     or partial save (layout version mismatch, killed mid-write)
-    rebuilds loudly; ``groups/`` is written LAST and gates the load."""
+    rebuilds loudly; ``groups/`` is written LAST and gates the load.
+
+    Concurrency-safe since r17 (VERDICT r16 task 5): the old path
+    rmtree'd a stale store in place and saved the rebuild directly to
+    ``path`` — two sessions probing the same fixture dir could race
+    one's rmtree against the other's ``groups/`` gate read. Now every
+    mutation of the live path is a single atomic ``os.rename``: a
+    stale store is renamed ASIDE (exactly one builder wins; losers
+    just rebuild in-session), the rebuild is saved to a
+    uniquely-suffixed temp dir, and the temp is renamed INTO place
+    only if no other builder already won that rename. Readers
+    therefore only ever see a complete store or no store
+    (tests/test_similarity_join.py pins two concurrent builders)."""
     import os
     import shutil
     import sys
+    import uuid
 
     from distributed_stream_processing_spark.operators.semi_stream_similarity import (
         build_similarity_store,
@@ -105,13 +118,26 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
             return load_similarity_artifacts(spark, path, t)
         except Exception as e:
             print(f"# saved q48 store at {path} stale: {e}", file=sys.stderr)
-            shutil.rmtree(path, ignore_errors=True)
+            aside = f"{path}.stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, aside)  # atomic: one session wins
+                shutil.rmtree(aside, ignore_errors=True)
+            except OSError:
+                pass  # another session already moved/replaced it
     store = build_similarity_store(stored, t)
     if os.access(sf_dir, os.W_OK):
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
         try:
-            save_similarity_artifacts(store, path)
+            save_similarity_artifacts(store, tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost the publish race (or a live store reappeared):
+                # keep the in-session store, drop our temp
+                shutil.rmtree(tmp, ignore_errors=True)
         except Exception as e:  # best-effort: shared/odd mounts tolerated
             print(f"# q48 store save to {path} skipped: {e}", file=sys.stderr)
+            shutil.rmtree(tmp, ignore_errors=True)
     return store
 
 

@@ -24,6 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# release accounting (VERDICT r16 item 4): release_checkpoint's JVM
+# unpersist is deliberately best-effort — but if the _ckpt_jrdd handle
+# silently broke (a py4j/Spark upgrade changing the LogicalRDD shape),
+# every release would no-op and state would revert to leak-by-GC, the
+# exact failure mode this module exists to kill. The counters make
+# that visible: the soak (tools/soak_q48.py) asserts succeeded ==
+# attempted on top of its persisted-RDD boundedness check.
+RELEASE_STATS = {"attempted": 0, "succeeded": 0}
+
 
 def lazy_local_checkpoint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """NOT safe under concurrent planning on the same session (the
@@ -83,9 +92,15 @@ def release_checkpoint(df: DataFrame) -> None:
     inside the batch's completed combined action."""
     jrdd = getattr(df, "_ckpt_jrdd", None)
     if jrdd is not None:
+        RELEASE_STATS["attempted"] += 1
         try:
             jrdd.unpersist(False)
+            RELEASE_STATS["succeeded"] += 1
         except Exception:
+            # best-effort by contract (a release can lose a race with
+            # session teardown) — but counted, so a SYSTEMATICALLY
+            # broken handle fails the soak's release assertion instead
+            # of silently reverting to leak-by-GC
             pass
         df._ckpt_jrdd = None
     else:

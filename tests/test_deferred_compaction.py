@@ -79,9 +79,9 @@ def test_deferred_fold_multi_delta_equivalence(spark):
     b.close()
 
 
-def _n_persisted_rdds(spark) -> int:
+def _persisted_rdd_ids(spark) -> set[int]:
     info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    return len(info)
+    return {x.id() for x in info}
 
 
 def test_close_releases_checkpoint_blocks(spark):
@@ -89,11 +89,16 @@ def test_close_releases_checkpoint_blocks(spark):
     executor blocks: checkpoint leaves are RDD-level persisted, so a
     CacheManager unpersist is a no-op on them (ADVICE r15) and storage
     on long streams floated with GC lag. Batch OUTPUTS stay pinned by
-    design (the caller owns them)."""
+    design (the caller owns them).
+
+    Tracked by RDD-id SETS, not counts: a PRIOR test's async
+    unpersists (blocking=False) drain concurrently with this test, and
+    a falling total count reads as "no pins held" even while this
+    pipeline's own pins sit resident (flaked exactly so in-suite)."""
     store = spark.range(2_000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
-    n0 = _n_persisted_rdds(spark)
+    ids0 = _persisted_rdd_ids(spark)
     j = SemiStreamJoin(store=store, key="k", compact_every=3,
                        controller=_fixed_controller(3))
     outs = []
@@ -102,19 +107,53 @@ def test_close_releases_checkpoint_blocks(spark):
             "id", "k"
         )
         outs.append(j.process_batch(batch, i))
-    n_open = _n_persisted_rdds(spark)
-    assert n_open > n0, "state pins should hold persisted RDDs while open"
+    new_open = _persisted_rdd_ids(spark) - ids0
+    assert new_open, "state pins should hold persisted RDDs while open"
     j.close()
     # block removal is async (unpersist(blocking=False)); poll briefly
     budget = 6 + len(outs)  # outputs stay + small slack for the store
     for _ in range(40):
-        if _n_persisted_rdds(spark) - n0 <= budget:
+        if len(_persisted_rdd_ids(spark) - ids0) <= budget:
             break
         time.sleep(0.25)
-    n_closed = _n_persisted_rdds(spark) - n0
+    n_closed = len(_persisted_rdd_ids(spark) - ids0)
     assert n_closed <= budget, (
-        f"{n_closed} persisted RDDs remain after close() "
-        f"(budget {budget}: outputs + slack) — state pins leaked"
+        f"{n_closed} of this pipeline's persisted RDDs remain after "
+        f"close() (budget {budget}: outputs + slack) — state pins leaked"
     )
     # outputs must still be readable after close (pinned blocks)
     assert all(o.count() > 0 for o in outs)
+
+
+def test_release_stats_count_attempts_and_successes(spark):
+    """release_checkpoint swallows per-call failures by contract, but a
+    SYSTEMATICALLY broken _ckpt_jrdd handle must be visible: the
+    module counters (asserted by tools/soak_q48.py on top of the
+    boundedness check) record attempted vs succeeded releases
+    (VERDICT r16 item 4)."""
+    from distributed_stream_processing_spark.streaming.checkpoint import (
+        RELEASE_STATS,
+        lazy_local_checkpoint,
+        release_checkpoint,
+    )
+
+    df = lazy_local_checkpoint(
+        spark.range(100).select(F.col("id").alias("k"))
+    )
+    df.count()
+    assert df._ckpt_jrdd is not None, "checkpoint handle not captured"
+    before = dict(RELEASE_STATS)
+    release_checkpoint(df)
+    assert RELEASE_STATS["attempted"] == before["attempted"] + 1
+    assert RELEASE_STATS["succeeded"] == before["succeeded"] + 1
+
+    # a broken handle counts the attempt but NOT the success
+    class _Broken:
+        def unpersist(self, blocking):
+            raise RuntimeError("detached py4j handle")
+
+    df2 = spark.range(10).select(F.col("id").alias("k"))
+    df2._ckpt_jrdd = _Broken()
+    release_checkpoint(df2)
+    assert RELEASE_STATS["attempted"] == before["attempted"] + 2
+    assert RELEASE_STATS["succeeded"] == before["succeeded"] + 1

@@ -8,10 +8,17 @@ now drift-resistant by construction:
 
 * the previous round's engine is materialized as a git worktree of
   that round's verdict commit (the tree the judge graded);
-* the legs run INTERLEAVED — prev, cur, prev — each a fresh
-  subprocess session (warm-up + timed runs, min published): if the
-  two prev legs disagree by >30% the host window drifted MID-A/B and
-  the pair is published with ``drift: 1`` (raw legs always included);
+* the legs run INTERLEAVED and SYMMETRIC — prev, cur, prev, cur —
+  ≥2 legs per ENGINE, each a fresh subprocess session (warm-up +
+  timed runs, min published). r16's asymmetric (prev, cur, prev)
+  shape carried ONE cur leg: both prev legs could land in calm
+  phases while the middle leg ate a slow phase, producing a
+  false no-drift "regression" (BENCH_r16's q33 block read 7.0 vs
+  13.0 s; three judge re-runs read -7%/+24%/parity — VERDICT r16
+  item 1). Now a cross-engine verdict is published ONLY when each
+  engine's own legs agree internally within 30%; otherwise the
+  pair carries ``drift: 1`` and ``verdict: "window"`` (raw legs
+  always included);
 * every leg is bracketed by the CPU-speed probe (instruction rate)
   AND the IO/page-cache probe (timed warm re-read of a fixed file) —
   the two host-regime dimensions r15 established can degrade
@@ -105,6 +112,29 @@ def prev_round_rev() -> tuple[int | None, str | None]:
     return None, None
 
 
+def adjudicate(
+    prev_legs: list[float], cur_legs: list[float]
+) -> tuple[bool, str]:
+    """(drift, verdict) for a symmetric leg set. A cross-engine claim
+    requires BOTH engines' own legs to agree internally within 30%
+    (max-min over min leg); otherwise the window moved mid-A/B →
+    ``(True, "window")``. With both engines internally steady, a
+    min-leg delta >30% is an engine claim ("cur_slower"/"cur_faster");
+    <=30% is "parity" — inside this host's demonstrated window noise
+    (judge q33 re-runs spanned -7%..+24% on identical trees,
+    VERDICT r16 item 1)."""
+
+    def _agree(xs: list[float]) -> bool:
+        return len(xs) >= 2 and max(xs) - min(xs) <= 0.3 * min(xs)
+
+    if not (_agree(prev_legs) and _agree(cur_legs)):
+        return True, "window"
+    delta = (min(cur_legs) - min(prev_legs)) / min(prev_legs)
+    if abs(delta) <= 0.3:
+        return False, "parity"
+    return False, "cur_slower" if delta > 0 else "cur_faster"
+
+
 def run_ab(
     query: str,
     rev: str,
@@ -112,13 +142,21 @@ def run_ab(
     runs: int = 2,
     timeout: float = 240,
 ) -> dict:
-    """Interleaved A/B of ``query``: prev-engine leg (worktree of
-    ``rev``), current-tree leg, prev-engine leg again — fresh
-    subprocess each, same host window, each leg bracketed by the CPU
-    and IO probes. Published numbers: min over each engine's legs,
-    every raw leg, both probe series, and ``drift: 1`` when the two
-    prev legs disagree >30% (the window moved mid-A/B — treat the
-    pair as context, not evidence)."""
+    """SYMMETRIC interleaved A/B of ``query``: prev, cur, prev, cur —
+    two legs per ENGINE (worktree of ``rev`` vs the current tree),
+    fresh subprocess each, same host window, the whole sequence
+    bracketed by the CPU/IO/load probes with per-leg CPU+load
+    readings between legs.
+
+    Published numbers: min over each engine's legs, every raw leg,
+    the probe series, per-engine internal leg agreement, and a
+    ``verdict``: "parity" / "cur_slower" / "cur_faster" ONLY when
+    BOTH engines' own legs agree internally within 30% (min-leg
+    delta >30% between engines = a claim; <=30% = parity inside this
+    host's demonstrated window noise); otherwise ``drift: 1`` and
+    ``verdict: "window"`` — the window moved mid-A/B and the pair is
+    context, not evidence. The r16 protocol's single cur leg could
+    not make this distinction (VERDICT r16 item 1)."""
     import bench  # repo-root module; probes shared with the JSON line
 
     wt = tempfile.mkdtemp(prefix="abprev_")
@@ -133,7 +171,12 @@ def run_ab(
         io: list[float] = [round(bench._io_probe(), 3)]
         lavg: list[float] = [round(bench._loadavg(), 1)]
         legs: list[tuple[str, list[float]]] = []
-        for engine, tree in (("prev", wt), ("cur", REPO), ("prev", wt)):
+        for engine, tree in (
+            ("prev", wt),
+            ("cur", REPO),
+            ("prev", wt),
+            ("cur", REPO),
+        ):
             legs.append(
                 (engine, _time_in_subprocess(tree, query, sf_dir, runs, timeout))
             )
@@ -142,13 +185,11 @@ def run_ab(
         io.append(round(bench._io_probe(), 3))
         prev_legs = [min(t) for e, t in legs if e == "prev"]
         cur_legs = [min(t) for e, t in legs if e == "cur"]
-        drift = (
-            len(prev_legs) >= 2
-            and abs(prev_legs[0] - prev_legs[1]) > 0.3 * min(prev_legs)
-        )
+        drift, verdict = adjudicate(prev_legs, cur_legs)
         return {
             "prev": round(min(prev_legs), 3),
             "cur": round(min(cur_legs), 3),
+            "verdict": verdict,
             "legs": [[e] + t for e, t in legs],
             "cpu": cpu,
             "io": io,

@@ -38,6 +38,9 @@ def main() -> None:
         semi_stream_similarity as sss,
     )
     from distributed_stream_processing_spark.session import get_spark
+    from distributed_stream_processing_spark.streaming.checkpoint import (
+        RELEASE_STATS,
+    )
     from tools.gen_stress_sf1 import ensure_dedup_100x
 
     spark = get_spark("soak-q48")
@@ -118,6 +121,17 @@ def main() -> None:
     assert max(persisted) <= budget, (
         f"persisted RDDs grew past the structural budget: {persisted}"
     )
+    # release accounting (VERDICT r16 item 4): the boundedness check
+    # above would pass for a while on GC luck even with a broken
+    # _ckpt_jrdd handle; the counters fail it deterministically. The
+    # soak swaps state every real batch, so releases MUST have run.
+    assert RELEASE_STATS["attempted"] > 0, (
+        "no checkpoint releases attempted — the release path is dead"
+    )
+    assert RELEASE_STATS["succeeded"] == RELEASE_STATS["attempted"], (
+        f"checkpoint releases failing silently: {RELEASE_STATS} "
+        "(broken _ckpt_jrdd handle reverts state to leak-by-GC)"
+    )
     print(
         json.dumps(
             {
@@ -128,6 +142,10 @@ def main() -> None:
                 "lru_rows_final": n_lru,
                 "persisted_rdds": persisted,
                 "rdds_after_close": rdds_after_close,
+                "ckpt_releases": [
+                    RELEASE_STATS["succeeded"],
+                    RELEASE_STATS["attempted"],
+                ],
             }
         )
     )
