@@ -1845,8 +1845,7 @@ def main() -> None:
         "disk-backed stress similarity stores.",
         file=sys.stderr,
     )
-    line = json.dumps(
-        {
+    payload = {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
@@ -1901,17 +1900,68 @@ def main() -> None:
             # engaged from batch 1 on
             **({"ctl": ctl} if ctl else {}),
             **({"sf1_stress": stress} if stress else {}),
-        },
-        separators=(",", ":"),
-    )
+    }
+
+    def _ser(o) -> str:
+        return json.dumps(o, separators=(",", ":"))
+
     # 1600: r14's restored 100x protocol keys (ADVICE r13) add ~100
     # bytes; the hard risk line is the driver's ~2 KB tail capture
     # (r6 lost the headline to a 4.4 KB line), so 1600 keeps ~25%
-    # margin while letting the blocks stay self-describing
+    # margin while letting the blocks stay self-describing. r17: the
+    # rotation means a round can carry ALL four 100x sections plus
+    # the 4-leg ab block at once — rather than warn and hope, the
+    # line now SELF-TRIMS, least-quotable detail first (every trimmed
+    # value is already printed in full on stderr above): raw runs
+    # arrays, then the ab probe series, then the ab legs. The "trim"
+    # key records what was dropped.
+    line = _ser(payload)
+    if len(line) > 1600:
+        print("# FULL (pre-trim) bench line: " + line, file=sys.stderr)
+        trims: list[str] = []
+        st = payload.get("sf1_stress") or {}
+        steps = [
+            (
+                "stress_runs",
+                lambda: [
+                    pt.pop("runs", None)
+                    for scales in (st.get("queries") or {}).values()
+                    for pt in scales.values()
+                ],
+            ),
+            (
+                "100x_runs",
+                lambda: [
+                    st[k].pop(rk, None)
+                    for k in ("q48_100x", "q33_100x", "dedup_100x")
+                    if isinstance(st.get(k), dict)
+                    for rk in ("batch_runs", "b10_runs", "runs")
+                ],
+            ),
+            (
+                "ab_probes",
+                lambda: [
+                    payload["ab"].pop(k, None)
+                    for k in ("cpu", "io", "load")
+                    if payload.get("ab")
+                ],
+            ),
+            (
+                "ab_legs",
+                lambda: payload.get("ab", {}).pop("legs", None),
+            ),
+        ]
+        for name, fn in steps:
+            if len(line) <= 1600:
+                break
+            fn()
+            trims.append(name)
+            payload["trim"] = trims
+            line = _ser(payload)
     if len(line) > 1600:
         print(
-            f"# WARNING: bench JSON line is {len(line)} bytes "
-            "(driver tail capture risk above ~2 KB — trim sections)",
+            f"# WARNING: bench JSON line is {len(line)} bytes even "
+            "after trims (driver tail capture risk above ~2 KB)",
             file=sys.stderr,
         )
     print(line)

@@ -29,10 +29,11 @@ now drift-resistant by construction:
     PYTHONPATH=/root/repo python3 tools/ab_prev.py q48_semi_stream_similarity
     PYTHONPATH=/root/repo python3 tools/ab_prev.py q33_semi_stream_cached_join <rev>
 
-A prev/cur pair within mutual leg spread says "host window, engine
-parity"; a pair that reproduces the move across BOTH prev legs says
-"engine" — either way the attribution is numbers in the round's
-artifact, not archaeology.
+``verdict: "parity"`` says the engines are indistinguishable inside
+this host's demonstrated window noise; ``"cur_slower"/"cur_faster"``
+is an engine claim that reproduced on both of each engine's legs;
+``"window"`` says the host moved mid-A/B — either way the attribution
+is numbers in the round's artifact, not archaeology.
 """
 
 from __future__ import annotations
