@@ -30,6 +30,20 @@ pipeline: ``sk, b_id, b_sz, b_kind``). Implementations here:
   source compiles to ``WHERE key IN (...)``. The driver collect is
   bounded by the per-batch miss count, the same bound the reference's
   ``in()`` batches rely on.
+
+When to flip the default (measured at the 100x store, 75.4M-row sigs
+collection — tools/exp_fetch_pushdown.py, table in BASELINE.md r17):
+pushdown is O(misses) ONLY when the source is physically CLUSTERED on
+the key (sk-range-partitioned files: 0.09 s at 10 keys vs the ~0.7-
+0.9 s warm O(store) scan floor, converging at ~300k fetched rows
+where output volume dominates); against an unclustered source the
+pushed In filter prunes nothing and still reads the whole store. So:
+stay with the default scan while the store fits cluster memory;
+switch to ``PushdownKeyedFetcher`` over a key-clustered/indexed
+source when the store outgrows page cache (the scan floor becomes
+disk-bound and store-size-linear: 5.75-22 s measured cold at 1 GB)
+or when batches are small relative to the store (<=1k misses: 3-7x
+under the warm scan). Both conditions hold in the 100 TB regime.
 """
 
 from __future__ import annotations
