@@ -1683,7 +1683,9 @@ def main() -> None:
         if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     round_n = (max(ns) + 1) if ns else 1
-    rot = round_n % 2
+    # dev override (the driver never sets it): force a parity to
+    # exercise either dispatch order without faking BENCH artifacts
+    rot = int(os.environ.get("SPARK_GRAFT_ROT", round_n % 2))
     print(
         f"# rotation: round r{round_n} parity {rot} -> "
         + (
