@@ -487,7 +487,9 @@ def _scheme_audit(spark, d: str) -> dict:
     }
 
 
-def _q48_100x(spark, d100: str, deadline: float | None = None) -> dict:
+def _q48_100x(
+    spark, d100: str, deadline: float | None = None, reduced: bool = False
+) -> dict:
     """One steady-state batch of the semi-stream similarity pipeline
     against a 100x store (350k stored docs, the dedup_100x corpus)
     with the HEADLINE's per-batch probe volume (~500 docs): the
@@ -612,6 +614,18 @@ def _q48_100x(spark, d100: str, deadline: float | None = None) -> dict:
         assert min(n_outs) > 0, (
             f"timed probe batch verified no pairs (fixture drift?): {n_outs}"
         )
+        if reduced:
+            # budget-squeezed rotation tail (r17): publish the steady
+            # batch pair WITHOUT the b10 pair + cand audit — those are
+            # judge-reproduced maintenance that returns on the next
+            # even round — instead of shedding the whole point
+            return {
+                ("build_s" if built else "load_s"): index_s,
+                "batch_s": min(batch_runs),
+                "batch_runs": batch_runs,
+                "out_rows": min(n_outs),
+                "reduced": 1,
+            }
         # deduped candidate-pair count for the steady batch's probe —
         # the workload-growth denominator for reading batch_s. It is
         # DETERMINISTIC on the fixed fixture, so it is computed once
@@ -1478,12 +1492,19 @@ def main() -> None:
                         "isolated attempt consumed the budget",
                         file=sys.stderr,
                     )
+                if dedup_100x is None and priority:
+                    # rotation-priority round: the artifact records
+                    # the attempt + its failure mode (isolated
+                    # subprocess hit its cap — a throttled window can
+                    # stretch the warm 26-80 s point past 200 s)
+                    # instead of silently carrying nothing
+                    dedup_100x = {"attempted": 1, "timeout": 1}
                 p_b = _probe(spark, specs, sf_dir)
                 print(
                     f"# dedup_100x window probes: {p_a:.2f}s / {p_b:.2f}s",
                     file=sys.stderr,
                 )
-                if dedup_100x is not None and (
+                if dedup_100x is not None and "pairs_s" in dedup_100x and (
                     _probe_bad(p_a) or _probe_bad(p_b)
                 ):
                     dedup_100x["pairs_s_raw"] = dedup_100x.pop("pairs_s")
@@ -1608,20 +1629,32 @@ def main() -> None:
             # ~20-45s each + the bracketed b10 pair; the cand count is
             # cached after the first run) / ~400s cold (first run on a
             # host builds + saves the 100x index); only attempt what
-            # the remaining budget actually covers
-            need = (
-                140
-                if os.path.isdir(os.path.join(d100, "q48store", "groups"))
-                else 400
+            # the remaining budget actually covers. On a warm store a
+            # squeezed tail (the odd-round rotation runs this section
+            # LAST) degrades to a REDUCED point — steady batch pair
+            # only, no b10/cand — instead of shedding the whole point
+            # (r17: the artifact should never lose the flagship 100x
+            # axis entirely two rounds in a row).
+            warm = os.path.isdir(os.path.join(d100, "q48store", "groups"))
+            need_full = 140 if warm else 400
+            reduced = (
+                warm and not _tail_budget_ok(need_full) and _tail_budget_ok(90)
             )
-            if not _tail_budget_ok(need):
+            if not (_tail_budget_ok(need_full) or reduced):
                 skipped.append("q48_100x (budget)")
                 print("# q48 100x skipped: budget", file=sys.stderr)
             else:
+                if reduced:
+                    print(
+                        "# q48 100x: budget squeeze -> reduced point "
+                        "(steady batches only, no b10/cand)",
+                        file=sys.stderr,
+                    )
                 p_a = _probe(spark, specs, sf_dir)
                 q48_100x = _q48_100x(
                     spark, d100,
                     deadline=deadline - CAL_CLOSE_RESERVE_S - 50,
+                    reduced=reduced,
                 )
                 p_b = _probe(spark, specs, sf_dir)
                 print(
