@@ -1182,6 +1182,74 @@ def _run_stress(
     }
 
 
+# 1600: r14's restored 100x protocol keys (ADVICE r13) add ~100
+# bytes; the hard risk line is the driver's ~2 KB tail capture (r6
+# lost the headline to a 4.4 KB line), so 1600 keeps ~25% margin
+# while letting the blocks stay self-describing.
+LINE_BUDGET = 1600
+
+
+def _shrink_line(payload: dict) -> tuple[str, str | None]:
+    """Serialize the bench payload, SELF-TRIMMING it under
+    LINE_BUDGET when needed (r17: the rotation means a round can
+    carry all four 100x sections plus the 4-leg ab block at once —
+    rather than warn and hope, drop the least-quotable detail first:
+    raw runs arrays, then the ab probe series, then the ab legs).
+    The ``trim`` key records what was dropped; the caller prints the
+    returned pre-trim line to stderr so no detail is lost. Returns
+    (line, pre_trim_line_or_None). Pinned by
+    tests/test_ab_protocol.py."""
+
+    def _ser(o) -> str:
+        return json.dumps(o, separators=(",", ":"))
+
+    line = _ser(payload)
+    if len(line) <= LINE_BUDGET:
+        return line, None
+    full = line
+    trims: list[str] = []
+    st = payload.get("sf1_stress") or {}
+    steps = [
+        (
+            "stress_runs",
+            lambda: [
+                pt.pop("runs", None)
+                for scales in (st.get("queries") or {}).values()
+                for pt in scales.values()
+            ],
+        ),
+        (
+            "100x_runs",
+            lambda: [
+                st[k].pop(rk, None)
+                for k in ("q48_100x", "q33_100x", "dedup_100x")
+                if isinstance(st.get(k), dict)
+                for rk in ("batch_runs", "b10_runs", "runs")
+            ],
+        ),
+        (
+            "ab_probes",
+            lambda: [
+                payload["ab"].pop(k, None)
+                for k in ("cpu", "io", "load")
+                if payload.get("ab")
+            ],
+        ),
+        (
+            "ab_legs",
+            lambda: payload.get("ab", {}).pop("legs", None),
+        ),
+    ]
+    for name, fn in steps:
+        if len(line) <= LINE_BUDGET:
+            break
+        fn()
+        trims.append(name)
+        payload["trim"] = trims
+        line = _ser(payload)
+    return line, full
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1937,63 +2005,13 @@ def main() -> None:
             **({"sf1_stress": stress} if stress else {}),
     }
 
-    def _ser(o) -> str:
-        return json.dumps(o, separators=(",", ":"))
-
-    # 1600: r14's restored 100x protocol keys (ADVICE r13) add ~100
-    # bytes; the hard risk line is the driver's ~2 KB tail capture
-    # (r6 lost the headline to a 4.4 KB line), so 1600 keeps ~25%
-    # margin while letting the blocks stay self-describing. r17: the
-    # rotation means a round can carry ALL four 100x sections plus
-    # the 4-leg ab block at once — rather than warn and hope, the
-    # line now SELF-TRIMS, least-quotable detail first (every trimmed
-    # value is already printed in full on stderr above): raw runs
-    # arrays, then the ab probe series, then the ab legs. The "trim"
-    # key records what was dropped.
-    line = _ser(payload)
-    if len(line) > 1600:
-        print("# FULL (pre-trim) bench line: " + line, file=sys.stderr)
-        trims: list[str] = []
-        st = payload.get("sf1_stress") or {}
-        steps = [
-            (
-                "stress_runs",
-                lambda: [
-                    pt.pop("runs", None)
-                    for scales in (st.get("queries") or {}).values()
-                    for pt in scales.values()
-                ],
-            ),
-            (
-                "100x_runs",
-                lambda: [
-                    st[k].pop(rk, None)
-                    for k in ("q48_100x", "q33_100x", "dedup_100x")
-                    if isinstance(st.get(k), dict)
-                    for rk in ("batch_runs", "b10_runs", "runs")
-                ],
-            ),
-            (
-                "ab_probes",
-                lambda: [
-                    payload["ab"].pop(k, None)
-                    for k in ("cpu", "io", "load")
-                    if payload.get("ab")
-                ],
-            ),
-            (
-                "ab_legs",
-                lambda: payload.get("ab", {}).pop("legs", None),
-            ),
-        ]
-        for name, fn in steps:
-            if len(line) <= 1600:
-                break
-            fn()
-            trims.append(name)
-            payload["trim"] = trims
-            line = _ser(payload)
-    if len(line) > 1600:
+    line, trimmed_full = _shrink_line(payload)
+    if trimmed_full is not None:
+        # full untrimmed detail preserved on stderr (printed BEFORE
+        # the stdout line, so the driver's end-anchored tail capture
+        # keeps the JSON line whole)
+        print("# FULL (pre-trim) bench line: " + trimmed_full, file=sys.stderr)
+    if len(line) > LINE_BUDGET:
         print(
             f"# WARNING: bench JSON line is {len(line)} bytes even "
             "after trims (driver tail capture risk above ~2 KB)",

@@ -54,3 +54,85 @@ def test_boundary_thirty_percent_is_parity_not_claim():
     # demonstrated window-noise band)
     drift, verdict = adjudicate([10.0, 10.0], [13.0, 13.0])
     assert (drift, verdict) == (False, "parity")
+
+
+def _fat_payload() -> dict:
+    return {
+        "metric": "headline_queries_total",
+        "queries": {f"q{i:02d}_{'x' * 22}": 1.234 for i in range(10)},
+        "spread_s": {f"q{i:02d}": 0.123 for i in range(10)},
+        "cal": [2.3, 2.1], "cpu": [0.14, 0.15],
+        "io": [0.01, 0.01], "load": [2.0, 9.1],
+        "ab": {
+            "q": "q33", "prev": 6.068, "cur": 5.773, "verdict": "parity",
+            "legs": [["prev", 6.58], ["cur", 6.68], ["prev", 6.92],
+                     ["cur", 7.88]],
+            "cpu": [0.17, 0.13, 0.13, 0.14, 0.14],
+            "io": [0.009, 0.008],
+            "load": [0.8, 1.4, 4.7, 3.4, 3.0], "rev": "abcd1234",
+        },
+        "sf": 0.1, "runs": 3, "rot": 1,
+        "ctl": {"q33": "3/4", "q48": "2/3"},
+        "sf1_stress": {
+            "queries": {
+                q: {"1x": {"min": 5.3, "runs": [5.3, 6.9]},
+                    "10x": {"min": 6.2, "runs": [7.4, 6.2, 6.3]}}
+                for q in ("q21", "q29", "q48")
+            },
+            "data_ratio": 10.0,
+            "ratio_10x": {"q21": 2.7, "q29": 1.4, "q48": 1.3},
+            "q48_cand_1x_10x": [7789, 206930],
+            "q48_pairs_1x_10x": [79, 785],
+            "scheme_audit": {"pairs_chosen": 7789, "pairs_eq": 273149,
+                             "eq_over_chosen": 35.07,
+                             "probe_rows_raw": 107824,
+                             "probe_rows_chosen": 64867},
+            "q48_100x": {"load_s": 47.6, "batch_s": 15.3,
+                         "batch_runs": [15.3, 19.2], "b10_s": 6.1,
+                         "b10_runs": [6.2, 6.1], "cand": 67139,
+                         "out_rows": 490, "stored_docs": 350000,
+                         "probe_docs": 490},
+            "q33_100x": {"load_s": 9.0, "batch_s": 5.1,
+                         "batch_runs": [5.5, 5.1], "fetch_share": 0.29},
+            "dedup_100x": {"pairs_s": 136.5, "cluster_s": 11.0,
+                           "n_pairs": 10969, "rounds": 3,
+                           "kept": 489242, "isolated": 1},
+        },
+    }
+
+
+def test_line_self_trims_under_budget_and_keeps_quotables():
+    """The bench JSON line must fit the driver's tail capture even
+    when a rotation round carries every 100x section plus the 4-leg
+    ab block (r6 lost the round's headline to an oversized line).
+    The trim must drop only raw-runs/probe detail — every quotable
+    number (mins, verdict, counts, ratios) survives."""
+    import json
+
+    from bench import LINE_BUDGET, _shrink_line
+
+    payload = _fat_payload()
+    assert len(json.dumps(payload, separators=(",", ":"))) > LINE_BUDGET
+    line, full = _shrink_line(payload)
+    assert full is not None and len(full) > LINE_BUDGET
+    assert len(line) <= LINE_BUDGET
+    out = json.loads(line)
+    assert out["trim"]  # records what was dropped
+    # quotables intact
+    assert out["ab"]["verdict"] == "parity"
+    assert out["ab"]["prev"] == 6.068 and out["ab"]["cur"] == 5.773
+    assert out["sf1_stress"]["ratio_10x"] == {"q21": 2.7, "q29": 1.4,
+                                              "q48": 1.3}
+    assert out["sf1_stress"]["q48_100x"]["batch_s"] == 15.3
+    assert out["sf1_stress"]["dedup_100x"]["pairs_s"] == 136.5
+    assert out["sf1_stress"]["q33_100x"]["batch_s"] == 5.1
+    for q in ("q21", "q29", "q48"):
+        assert out["sf1_stress"]["queries"][q]["10x"]["min"]
+
+
+def test_line_under_budget_is_untouched():
+    from bench import _shrink_line
+
+    small = {"metric": "headline_queries_total", "queries": {"q01": 1.0}}
+    line, full = _shrink_line(small)
+    assert full is None and "trim" not in line
