@@ -100,10 +100,20 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     uniquely-suffixed temp dir, and the temp is renamed INTO place
     only if no other builder already won that rename. Readers
     therefore only ever see a complete store or no store
-    (tests/test_similarity_join.py pins two concurrent builders)."""
+    (tests/test_similarity_join.py pins two concurrent builders).
+
+    Two crash-recovery gaps closed in r18 (ADVICE r17): a PARTIAL
+    store (``path`` exists but ``groups/`` — written last — is
+    missing, e.g. a save killed mid-write) is evicted through the
+    same rename-aside path, so the later tmp→path publish doesn't
+    fail ENOTEMPTY against it forever; and orphaned
+    ``q48store.tmp.*``/``q48store.stale.*`` siblings from a process
+    killed between save and rename are swept on entry once they are
+    old enough (1 h) that no live builder can still own them."""
     import os
     import shutil
     import sys
+    import time
     import uuid
 
     from distributed_stream_processing_spark.operators.semi_stream_similarity import (
@@ -113,17 +123,47 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     )
 
     path = os.path.join(sf_dir, "q48store")
+
+    def _evict_aside() -> None:
+        aside = f"{path}.stale.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, aside)  # atomic: one session wins
+            shutil.rmtree(aside, ignore_errors=True)
+        except OSError:
+            pass  # another session already moved/replaced it
+
+    # sweep orphans from crashed builders (killed between save and
+    # rename): age-gated so a concurrent builder's LIVE temp is never
+    # touched — a build takes minutes, an hour-old temp is abandoned
+    try:
+        base = os.path.basename(path)
+        for name in os.listdir(sf_dir):
+            if not (
+                name.startswith(f"{base}.tmp.")
+                or name.startswith(f"{base}.stale.")
+            ):
+                continue
+            orphan = os.path.join(sf_dir, name)
+            try:
+                if time.time() - os.path.getmtime(orphan) > 3600:
+                    shutil.rmtree(orphan, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
     if os.path.isdir(os.path.join(path, "groups")):
         try:
             return load_similarity_artifacts(spark, path, t)
         except Exception as e:
             print(f"# saved q48 store at {path} stale: {e}", file=sys.stderr)
-            aside = f"{path}.stale.{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(path, aside)  # atomic: one session wins
-                shutil.rmtree(aside, ignore_errors=True)
-            except OSError:
-                pass  # another session already moved/replaced it
+            _evict_aside()
+    elif os.path.isdir(path):
+        # PARTIAL store: a pre-publish layout (or a pre-r17 in-place
+        # save) killed before groups/ landed — evict it or the
+        # eventual os.rename(tmp, path) below fails ENOTEMPTY and the
+        # dir blocks publishing for every future session
+        print(f"# partial q48 store at {path} evicted", file=sys.stderr)
+        _evict_aside()
     store = build_similarity_store(stored, t)
     if os.access(sf_dir, os.W_OK):
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"

@@ -709,3 +709,67 @@ def test_concurrent_store_builders_do_not_race(spark, corpus, tmp_path):
     # no temp/stale leftovers accumulate beside the fixture
     leftovers = [d for d in os.listdir(sf_dir) if d.startswith("q48store.")]
     assert leftovers == [], f"leaked build dirs: {leftovers}"
+
+
+def test_partial_store_is_evicted_and_republished(spark, corpus, tmp_path):
+    """A PARTIAL on-disk store — path exists but groups/ (written
+    last) is missing, i.e. a save killed mid-write — must be evicted
+    so the rebuild can publish: before the r18 fix (ADVICE r17) the
+    groups/ gate skipped the load, the rename-aside never ran, and
+    os.rename(tmp, path) failed ENOTEMPTY forever, silently charging
+    every later session the full in-session rebuild."""
+    import os
+
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        load_similarity_artifacts,
+    )
+    from distributed_stream_processing_spark.plans.olap_plans import (
+        _load_or_build_sim_store,
+    )
+
+    stored = corpus.filter(F.col("id") >= 30)
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "q48store")
+    # plant the partial layout: sigs/ landed, groups/ never did
+    os.makedirs(os.path.join(path, "sigs"))
+    with open(os.path.join(path, "sigs", "part-0.parquet"), "w") as f:
+        f.write("half-written")
+
+    store = _load_or_build_sim_store(spark, sf_dir, stored, T)
+    assert store.sig_store.count() > 0
+    # the rebuild must have PUBLISHED over the evicted partial dir
+    assert os.path.isdir(os.path.join(path, "groups"))
+    reloaded = load_similarity_artifacts(spark, path, T)
+    assert reloaded.sig_store.count() == store.sig_store.count()
+    leftovers = [d for d in os.listdir(sf_dir) if d.startswith("q48store.")]
+    assert leftovers == [], f"leaked build dirs: {leftovers}"
+
+
+def test_orphaned_build_dirs_are_swept_by_age(spark, corpus, tmp_path):
+    """Crash leftovers (q48store.tmp.* / q48store.stale.* from a
+    process killed between save and rename) are swept on entry once
+    older than 1 h; a YOUNG temp — possibly a live concurrent
+    builder's — is left alone (ADVICE r17 low)."""
+    import os
+    import time as _time
+
+    from distributed_stream_processing_spark.plans.olap_plans import (
+        _load_or_build_sim_store,
+    )
+
+    stored = corpus.filter(F.col("id") >= 30)
+    sf_dir = str(tmp_path)
+    old_tmp = os.path.join(sf_dir, "q48store.tmp.deadbeef")
+    old_stale = os.path.join(sf_dir, "q48store.stale.cafebabe")
+    young_tmp = os.path.join(sf_dir, "q48store.tmp.12345678")
+    for d in (old_tmp, old_stale, young_tmp):
+        os.makedirs(d)
+    past = _time.time() - 7200
+    os.utime(old_tmp, (past, past))
+    os.utime(old_stale, (past, past))
+
+    store = _load_or_build_sim_store(spark, sf_dir, stored, T)
+    assert store.sig_store.count() > 0
+    assert not os.path.isdir(old_tmp), "aged orphan tmp not swept"
+    assert not os.path.isdir(old_stale), "aged orphan stale not swept"
+    assert os.path.isdir(young_tmp), "live-aged temp must not be touched"
