@@ -44,6 +44,11 @@ source when the store outgrows page cache (the scan floor becomes
 disk-bound and store-size-linear: 5.75-22 s measured cold at 1 GB)
 or when batches are small relative to the store (<=1k misses: 3-7x
 under the warm scan). Both conditions hold in the 100 TB regime.
+
+Since r18 that rule is CODE, not prose: ``auto_fetcher`` selects the
+implementation from the measured crossover (VERDICT r17 task 4),
+test-pinned on both sides of each boundary in
+tests/test_fetch_seam.py.
 """
 
 from __future__ import annotations
@@ -101,3 +106,66 @@ class PushdownKeyedFetcher:
             # keeps the schema and lets the optimizer prune the branch
             return self.source.filter(F.lit(False))
         return self.source.filter(F.col(self.key).isin(keys))
+
+
+# below this many misses per batch the clustered pushdown beats even
+# the WARM in-memory scan (measured 3-7x at <=1k keys vs the ~0.7-0.9s
+# warm scan floor — tools/exp_fetch_pushdown.py, BASELINE.md r17)
+SMALL_MISS_THRESHOLD = 1_000
+
+
+def host_memory_bytes() -> int:
+    """Physical memory of this host — the default stand-in for "what
+    the scan path can keep resident" (page cache + executor storage).
+    A real deployment passes the CLUSTER's aggregate memory instead."""
+    import os as _os
+
+    try:
+        return _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        return 64 << 30
+
+
+def auto_fetcher(
+    source: DataFrame,
+    key: str,
+    *,
+    store_bytes: int,
+    key_clustered: bool,
+    memory_bytes: int | None = None,
+    expected_misses: int | None = None,
+    max_keys: int = 1_000_000,
+):
+    """Select the fetch implementation from the MEASURED crossover
+    rule (tools/exp_fetch_pushdown.py at the 75.4M-row 100x store;
+    VERDICT r17 task 4 asked for the docstring rule as policy):
+
+    * source NOT physically clustered/indexed on ``key`` →
+      ``SemiScanFetcher``. The pushed ``In`` reaches the scan but
+      prunes nothing (file min/max spans every key), so pushdown just
+      adds a driver collect on top of the same O(store) read.
+    * clustered AND the store no longer fits memory
+      (``store_bytes > memory_bytes``) → ``PushdownKeyedFetcher``.
+      The scan floor is disk-bound and store-size-linear (5.75-22 s
+      measured cold at 1 GB); pushdown stays O(misses).
+    * clustered AND the batch's miss set is small
+      (``expected_misses <= SMALL_MISS_THRESHOLD``) →
+      ``PushdownKeyedFetcher``: 3-7x under even the warm scan floor.
+    * otherwise (memory-resident store, big miss sets) →
+      ``SemiScanFetcher``: one warm scan + broadcast semi-join, no
+      per-batch driver collect.
+
+    ``memory_bytes`` defaults to this host's physical memory; a
+    cluster deployment passes aggregate executor memory. Both sides
+    of each boundary are pinned by tests/test_fetch_seam.py."""
+    if memory_bytes is None:
+        memory_bytes = host_memory_bytes()
+    if key_clustered and (
+        store_bytes > memory_bytes
+        or (
+            expected_misses is not None
+            and expected_misses <= SMALL_MISS_THRESHOLD
+        )
+    ):
+        return PushdownKeyedFetcher(source, key, max_keys=max_keys)
+    return SemiScanFetcher(source, key)

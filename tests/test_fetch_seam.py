@@ -133,3 +133,70 @@ def test_similarity_pipeline_through_pushdown_fetcher(spark):
     assert len(fetcher.pushed_counts) == 2
     j_ext.close()
     j_def.close()
+
+
+def test_auto_fetcher_policy_boundaries(spark):
+    """auto_fetcher encodes the measured crossover (BASELINE.md r17
+    table; VERDICT r17 task 4): pinned on BOTH sides of each boundary
+    so a future edit can't silently flip the 100 TB posture."""
+    from distributed_stream_processing_spark.sources.fetcher import (
+        SMALL_MISS_THRESHOLD,
+        auto_fetcher,
+    )
+
+    source = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    GB = 1 << 30
+
+    def pick(**kw):
+        return type(auto_fetcher(source, "k", **kw)).__name__
+
+    # unclustered source: ALWAYS the scan — the pushed In prunes
+    # nothing, even when the store dwarfs memory or misses are tiny
+    assert pick(store_bytes=100 * GB, key_clustered=False,
+                memory_bytes=1 * GB, expected_misses=10) == "SemiScanFetcher"
+    # clustered + store outgrows memory: pushdown (either side)
+    assert pick(store_bytes=2 * GB, key_clustered=True,
+                memory_bytes=1 * GB) == "PushdownKeyedFetcher"
+    assert pick(store_bytes=1 * GB, key_clustered=True,
+                memory_bytes=2 * GB) == "SemiScanFetcher"
+    # clustered + memory-resident + small miss set: pushdown; one
+    # miss over the threshold flips back to the warm scan
+    assert pick(store_bytes=1 * GB, key_clustered=True,
+                memory_bytes=2 * GB,
+                expected_misses=SMALL_MISS_THRESHOLD
+                ) == "PushdownKeyedFetcher"
+    assert pick(store_bytes=1 * GB, key_clustered=True,
+                memory_bytes=2 * GB,
+                expected_misses=SMALL_MISS_THRESHOLD + 1
+                ) == "SemiScanFetcher"
+    # unknown miss volume (None) on a memory-resident store: scan
+    assert pick(store_bytes=1 * GB, key_clustered=True,
+                memory_bytes=2 * GB) == "SemiScanFetcher"
+
+
+def test_auto_fetcher_selected_pushdown_is_wired(spark, tmp_path):
+    """The policy's pushdown pick must be a WORKING fetcher: keys
+    reach the parquet scan as a pushed In filter, and max_keys is
+    forwarded so the driver collect stays bounded."""
+    from distributed_stream_processing_spark.sources.fetcher import (
+        PushdownKeyedFetcher,
+        auto_fetcher,
+    )
+
+    src_path = str(tmp_path / "auto_store.parquet")
+    spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).write.parquet(src_path)
+    source = spark.read.parquet(src_path)
+    f = auto_fetcher(
+        source, "k", store_bytes=2 << 30, key_clustered=True,
+        memory_bytes=1 << 30, max_keys=7,
+    )
+    assert isinstance(f, PushdownKeyedFetcher) and f.max_keys == 7
+    keys = spark.createDataFrame([(5,), (500,)], "k long")
+    rows = sorted((r.k, r.v) for r in f.fetch(keys).collect())
+    assert rows == [(5, 15), (500, 1500)]
+    plan = f.fetch(keys)._jdf.queryExecution().executedPlan().toString()
+    assert "In(k" in plan
