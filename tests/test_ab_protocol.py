@@ -136,3 +136,77 @@ def test_line_under_budget_is_untouched():
     small = {"metric": "headline_queries_total", "queries": {"q01": 1.0}}
     line, full = _shrink_line(small)
     assert full is None and "trim" not in line
+
+
+def test_run_ab_deadline_publishes_partial_window(monkeypatch):
+    """ADVICE r17: 4 legs x (startup + leg timeout) can exceed 2x the
+    caller's reservation on a throttled host. With a deadline, run_ab
+    drops remaining legs once >=1 leg per engine has run and the pair
+    publishes partial/window — never an engine claim."""
+    import time
+
+    import tools.ab_prev as ab_prev
+
+    calls = []
+
+    def fake_leg(tree, query, sf_dir, runs, timeout):
+        calls.append(tree)
+        return [1.0]
+
+    monkeypatch.setattr(ab_prev, "_time_in_subprocess", fake_leg)
+    out = ab_prev.run_ab(
+        "q48_semi_stream_similarity", "HEAD", runs=1,
+        deadline=time.monotonic() - 1,  # already exhausted
+    )
+    assert len(calls) == 2, "must still run one leg per engine"
+    assert out["partial"] == 1 and out["verdict"] == "window"
+    assert out.get("drift") == 1
+    assert len(out["legs"]) == 2
+
+
+def test_run_ab_without_deadline_runs_all_legs(monkeypatch):
+    import tools.ab_prev as ab_prev
+
+    calls = []
+    monkeypatch.setattr(
+        ab_prev,
+        "_time_in_subprocess",
+        lambda tree, q, d, r, t: (calls.append(tree) or [2.0]),
+    )
+    out = ab_prev.run_ab("q48_semi_stream_similarity", "HEAD", runs=1)
+    assert len(calls) == 4 and "partial" not in out
+    assert out["verdict"] == "parity"
+
+
+def test_trim_records_only_steps_that_removed_payload():
+    """ADVICE r17: a payload with NO ab block and NO 100x sections
+    must not publish 'ab_probes'/'ab_legs'/'100x_runs' in its trim
+    key — the artifact would claim detail was dropped that never
+    existed."""
+    import json
+
+    from bench import LINE_BUDGET, _shrink_line
+
+    # oversized via stress runs only: no ab block, no 100x sections
+    payload = {
+        "metric": "headline_queries_total",
+        "queries": {f"q{i:02d}_{'y' * 30}": 1.234 for i in range(14)},
+        "sf1_stress": {
+            "queries": {
+                f"q{i}": {
+                    "1x": {"min": 5.3, "runs": [5.312, 6.918, 5.402]},
+                    "10x": {"min": 6.2, "runs": [7.403, 6.201, 6.317]},
+                }
+                for i in range(12)
+            },
+            "ratio_10x": {f"q{i}": 1.2 for i in range(12)},
+        },
+    }
+    assert len(json.dumps(payload, separators=(",", ":"))) > LINE_BUDGET
+    line, full = _shrink_line(payload)
+    assert full is not None
+    out = json.loads(line)
+    trims = out.get("trim", [])
+    assert "stress_runs" in trims
+    for phantom in ("ab_probes", "ab_legs", "100x_runs"):
+        assert phantom not in trims, f"phantom trim step: {trims}"

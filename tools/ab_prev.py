@@ -142,6 +142,7 @@ def run_ab(
     sf_dir: str = "/root/testdata/sf0.1",
     runs: int = 2,
     timeout: float = 240,
+    deadline: float | None = None,
 ) -> dict:
     """SYMMETRIC interleaved A/B of ``query``: prev, cur, prev, cur —
     two legs per ENGINE (worktree of ``rev`` vs the current tree),
@@ -157,7 +158,17 @@ def run_ab(
     host's demonstrated window noise); otherwise ``drift: 1`` and
     ``verdict: "window"`` — the window moved mid-A/B and the pair is
     context, not evidence. The r16 protocol's single cur leg could
-    not make this distinction (VERDICT r16 item 1)."""
+    not make this distinction (VERDICT r16 item 1).
+
+    ``deadline`` (r18, ADVICE r17): on a throttled host 4 legs x
+    (startup + per-leg timeout) can run past 2x the caller's
+    reservation and squeeze every section behind the A/B. Once the
+    deadline passes AND at least one leg per engine has run, the
+    remaining legs are dropped and the pair publishes ``partial: 1``
+    with ``verdict: "window"`` — an asymmetric leg set is context,
+    never an engine claim (the r16 lesson)."""
+    import time as _time
+
     import bench  # repo-root module; probes shared with the JSON line
 
     wt = tempfile.mkdtemp(prefix="abprev_")
@@ -172,12 +183,20 @@ def run_ab(
         io: list[float] = [round(bench._io_probe(), 3)]
         lavg: list[float] = [round(bench._loadavg(), 1)]
         legs: list[tuple[str, list[float]]] = []
+        partial = False
         for engine, tree in (
             ("prev", wt),
             ("cur", REPO),
             ("prev", wt),
             ("cur", REPO),
         ):
+            if (
+                deadline is not None
+                and _time.monotonic() > deadline
+                and len(legs) >= 2  # >=1 leg per engine (prev, cur, ...)
+            ):
+                partial = True
+                break
             legs.append(
                 (engine, _time_in_subprocess(tree, query, sf_dir, runs, timeout))
             )
@@ -186,7 +205,11 @@ def run_ab(
         io.append(round(bench._io_probe(), 3))
         prev_legs = [min(t) for e, t in legs if e == "prev"]
         cur_legs = [min(t) for e, t in legs if e == "cur"]
-        drift, verdict = adjudicate(prev_legs, cur_legs)
+        if partial:
+            # a truncated, asymmetric leg set can't support a claim
+            drift, verdict = True, "window"
+        else:
+            drift, verdict = adjudicate(prev_legs, cur_legs)
         return {
             "prev": round(min(prev_legs), 3),
             "cur": round(min(cur_legs), 3),
@@ -196,6 +219,7 @@ def run_ab(
             "io": io,
             "load": lavg,
             **({"drift": 1} if drift else {}),
+            **({"partial": 1} if partial else {}),
             "rev": rev[:8],
         }
     finally:
