@@ -496,12 +496,10 @@ def _q48_100x(
     reference's own scaling claim is that its cached design's
     advantage grows with DB size while per-batch query volume stays
     fixed (DSim-Join/README.md:14), so this is the axis a 100x audit
-    must measure. The store build is timed separately (it is the
-    amortized one-time cost); the published batch_s is the MIN of two
-    steady batches (VERDICT r11 task 3: a single batch is one host
-    hiccup away from garbage — r11 published 45.7 s vs judge idle
-    19.1 s) — batch 0 primes cache state, JIT, and the attributor
-    baseline."""
+    must measure. The store build is timed separately (the amortized
+    one-time cost); batch_s is the MIN of two steady batches — a
+    single batch is one host hiccup away from garbage (r11) — and
+    batch 0 primes cache state, JIT, and the attributor baseline."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -516,21 +514,14 @@ def _q48_100x(
     base = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
     stored = base.filter(F.col("id") % 10 >= 3)  # ~350k docs
     # probe batches of ~500 docs each (the sf0.1 headline's per-batch
-    # volume), disjoint ids from the stream split: one warm-up + two
-    # timed steady batches + retry batches for the disagreement loop.
-    # The generator plants exact dups at ids ≡ 1 (mod 500) copying
-    # id+17 (a stored id), so both PRIMARY timed batches use ≡1/≡501
-    # (mod 1000): every probe doc has a stored match — the same
-    # verified-output volume batch 1 has always published. Batch ≡1
-    # EXCLUDES ids < 10,000: those are the b10 reference-regime
-    # batch's ids, and probing them here would leave b10 with zero
-    # misses — it would time the warm hit path instead of the fresh-
-    # query regime DSim's claim is about (ADVICE r14). RETRY batches
-    # (fired only on a >30% run disagreement — a re-run of a used
-    # class would re-probe cached keys and time the hit path) use
-    # ≡50/≡550: the generator's planted NEAR-dup slots (ids ≡ 0 mod
-    # 50, one-word swap at J≈0.9 ≥ the 0.75 threshold), so they carry
-    # the same candidate volume and still verify real output.
+    # volume), DISJOINT id classes so every timed batch is fresh
+    # misses (re-probing a used class times the warm hit path —
+    # ADVICE r14): warm-up ≡0; timed steady ≡1 (excluding the b10
+    # ids < 10,000) and ≡501 — both planted-exact-dup classes, so
+    # every probe doc verifies a stored match; retry batches (>30%
+    # disagreement only) ≡50/≡550 — planted NEAR-dup slots (J≈0.9 ≥
+    # the 0.75 threshold), same candidate volume, real output.
+    # Class map rationale: BASELINE.md r14/r15.
     def _probe_batch(cls: int, lo: int = 0):
         return base.filter(
             (F.col("id") % 10 < 3)
@@ -663,28 +654,14 @@ def _q48_100x(
             )
             with open(cand_cache, "w") as f:
                 json.dump({"fp": _code_fingerprint(), "cand": n_cand}, f)
-        # the REFERENCE-REGIME batch (r14, fixed in r15): DSim's
-        # scaling claim is fixed SMALL per-batch query volume against
-        # a growing DB (~10 queries/batch, DSim-Join/README.md:14 +
-        # its shipped log) — 10 planted-dup probe docs, ids ≡ 1 mod
-        # 1000 below 10000, all with stored matches. These ids are
-        # EXCLUDED from every timed batch's probe set, so this batch
-        # genuinely misses and exercises the key-directory fetch —
-        # r14's version probed a subset of batch 1's ids, every key
-        # was already in the LRU, and the published number was the
-        # warm hit-path floor, not the fresh-query regime (ADVICE
-        # r14 medium).
-        # b10 gets the same min-of-2 treatment as the steady batches
-        # (VERDICT r15 item 4: a single unbracketed run published
-        # 5.37 s where a re-run read 44.5 s — neither quotable). Both
-        # runs must be FRESH-miss batches (re-probing used ids would
-        # time the warm hit path — the exact ADVICE r14 defect): run 1
-        # keeps the committed exact-dup class (≡1 mod 1000, < 10k,
-        # excluded from every timed batch); run 2 uses the planted
-        # NEAR-dup class ≡150 mod 1000 (< 10k), untouched by the
-        # warm-up (≡0), the timed batches (≡1/≡501), and the retry
-        # classes (≡50/≡550) — same ~10-doc volume, real verified
-        # output, all misses.
+        # the REFERENCE-REGIME batch: DSim's claim is fixed SMALL
+        # per-batch query volume against a growing DB (~10 queries/
+        # batch, DSim-Join/README.md:14 + its shipped log). Min-of-2
+        # over two FRESH-miss ~10-doc classes untouched by every
+        # other batch: exact-dup ≡1 mod 1000 (<10k) and near-dup
+        # ≡150 mod 1000 (<10k) — so both runs genuinely miss and
+        # exercise the key-directory fetch, not the warm hit path
+        # (defect history: ADVICE r14 medium, VERDICT r15 item 4).
         b10_runs = []
         for i, cls in enumerate((1, 150)):
             small = base.filter(
@@ -836,13 +813,11 @@ def _dedup_100x(
     confirms near-linear LSH scaling and logs the label-propagation
     round count (pointer jumping keeps it O(log component diameter)).
 
-    r14 (VERDICT r13 task 5): the published numbers are MIN-OF-2 with
-    a settle+GC before each timed run — the same convergence
-    treatment the q48_100x point got in r12/r13. The r12/r13 band
-    spanned 4x ([30, 117] s) because single cold runs carried
-    session-position noise; two idle r14 protocol runs under min-of-2
-    published the committed band in BASELINE.md. The second run is
-    dropped (not the point) when the tail budget is short.
+    Published numbers are MIN-OF-2 with a settle+GC before each timed
+    run (single cold runs carried session-position noise spanning 4x —
+    band history: BASELINE.md r14 + the r17 page-cache-bimodality
+    addendum). The second run is dropped (not the point) when the
+    tail budget is short.
 
     ``reduced`` (r18, VERDICT r17 task 2): pairs-only min-of-2 — the
     cluster stage is skipped and the dict carries ``reduced: 1`` —
@@ -1049,21 +1024,17 @@ def _run_stress(
             "q21_dedup_minhash_lsh",
         )
     ]
-    # per-window contention attribution (VERDICT r11 task 3): a short
-    # calibration probe brackets every stress point, so one contended
-    # window nulls only ITS query's ratio instead of the whole block
-    # (r9-r11 nulled everything whenever any tail detector fired).
-    # A point's window is bad when either bracketing probe exceeds the
-    # committed envelope.
+    # per-window contention attribution: a short calibration probe
+    # brackets every stress point, so one contended window nulls only
+    # ITS query's ratio instead of the whole block. A point's window
+    # is bad when either bracketing probe exceeds the envelope.
     win_bad: set[str] = set()
-    # strict-envelope cleanliness, tracked separately: _probe_bad's
-    # threshold RELAXES to 2x this run's opening calibration on a
-    # slow-start host, so when cal_start fired the relaxed-clean
-    # windows are suspect — but a window whose probes sit inside the
-    # ABSOLUTE committed envelope (2x CAL_IDLE_S) is verifiably clean
-    # regardless of how the run started, and its ratio survives the
-    # cal_start wholesale null (r16: a degraded opening minute nulled
-    # ratios whose own stress windows probed 0.89 s)
+    # strict-envelope cleanliness, tracked separately: _probe_bad
+    # RELAXES to 2x this run's opening cal on a slow-start host, so
+    # relaxed-clean windows are suspect when cal_start fired — but a
+    # window probing inside the ABSOLUTE envelope (2x CAL_IDLE_S) is
+    # verifiably clean regardless, and its ratio survives the
+    # cal_start wholesale null (r16).
     strict_bad: set[str] = set()
     p_prev = _probe(spark, specs, sf_dir)
     print(f"# stress window probe: {p_prev:.2f}s", file=sys.stderr)
@@ -1107,15 +1078,13 @@ def _run_stress(
             times.append(_run_noop(spark, specs, name, d))
         else:
             skipped.append(f"second run {scale}/{name}")
-        # steady-state convergence for the 10x points: q48's 10x pays
-        # a one-time store build on run 1 AND a bimodal warm-up tail
-        # (isolated fresh-session sequences measured 82/69/31/30 and
-        # 103/22/21 — run 2 is sometimes still 2-3x steady), so a
-        # fixed min-of-2 publishes a cold number and trips the wire on
-        # an idle host. Buy up to TWO more runs while the last two
-        # runs disagree by >30% or the implied ratio is implausible
-        # (>2x the judge-measured idle expectation), budget allowing;
-        # flag the window only if it STAYS implausible.
+        # steady-state convergence for the 10x points: run 1 pays a
+        # one-time store build AND a bimodal warm-up tail (run 2 is
+        # sometimes still 2-3x steady — raw sequences in BASELINE.md
+        # r13). Buy up to TWO more runs while the last two disagree
+        # by >30% or the implied ratio is implausible (>2x the
+        # judge-measured idle expectation), budget allowing; flag the
+        # window only if it STAYS implausible.
         base_1x = out[q].get("1x", {}).get("min")
         if sc == "10x" and base_1x:
             while (
@@ -1136,14 +1105,11 @@ def _run_stress(
             if min(times) / base_1x > 2 * EXPECTED_10X[q]:
                 reasons.append(f"stress:{q}")
         elif len(times) == 2:
-            # 1x points get the same disagreement retry (r13: a
-            # session-pressure spike produced q48 1x runs
-            # [39.75, 71.81] — run 1 carries the store build, run 2
-            # hit a GC burst, and min-of-2 published the COLD build
-            # number as the ratio denominator; the 1-second window
-            # probes stayed clean because short probes don't feel
-            # multi-second-job memory pressure). GC between retries:
-            # the pressure is usually reclaimable checkpoint blocks.
+            # 1x points get the same disagreement retry — min-of-2
+            # once published a COLD build as the ratio denominator
+            # while 1-second probes read clean (r13). GC between
+            # retries: the pressure is usually reclaimable
+            # checkpoint blocks.
             while (
                 len(times) < 4
                 and time.monotonic() < deadline
@@ -1291,26 +1257,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     specs = load_all()
-    # whole-bench soft deadline: headline timings are never skipped;
-    # the stress section's optional pieces degrade past it so the
-    # JSON line always lands inside the driver's window. The tail
-    # reserve pays for dedup_100x + the q48_100x point + the closing
-    # calibration BEFORE the stress loops can spend that time on
-    # extra runs.
-    # 820 s (r15: 780 + 40 for the q33_100x point): the full idle
-    # protocol measures ~720 s without q33_100x (cal ~25 + headline
-    # ~105 + stress loops ~350 incl. the per-window probes + dedup +
-    # q48_100x + fresh-session closing cal); driver captures up to
-    # 718 s are validated and the deadline is soft (the JSON line
-    # always prints — it only decides what optional work is
-    # attempted), so the +40 risks nothing but optional sections.
+    # whole-bench SOFT deadline: headline timings are never skipped;
+    # optional sections degrade past it so the JSON line always lands
+    # inside the driver's window. The tail reserve pays for the 100x
+    # points + the closing calibration BEFORE the stress loops can
+    # spend that time on extra runs. 850 s: the full section set at
+    # full speed measures ~680 s (cal ~25 + headline ~100 + ab ~110 +
+    # dedup ~90 + stress ~150 + audits ~5 + q48_100x ~140 + q33_100x
+    # ~45 + closing-cal reserve) with margin for a mid-degraded
+    # window (budget history: BASELINE.md r15/r16).
     deadline = time.monotonic() + int(
-        # 850 (r16: 820 + 30): the r16 section set at full speed
-        # measures ~680 s (cal ~25 + headline ~100 + ab ~110 + dedup
-        # ~90 + stress ~150 + audits ~5 + q48_100x ~140 + q33_100x
-        # ~45 + closing-cal reserve) — the +30 buys the q48_100x gate
-        # margin on a mid-degraded window; the deadline stays soft
-        # (the JSON line always prints, only optional sections shed)
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "850")
     )
     stress_deadline = deadline - RESERVE_TAIL_S
@@ -1539,21 +1495,14 @@ def main() -> None:
     skip_100x = skip_sf1 or bool(os.environ.get("SPARK_GRAFT_SKIP_100X"))
 
     def _sec_dedup_100x(priority: bool) -> None:
-        # dedup_100x (VERDICT r15 task 3: the full-speed reading
-        # needs the calmest window a run gets; fresh-subprocess
-        # isolation means the parent session's state can't contaminate
-        # it either way). The published "isolated" key says which
-        # regime produced the number. Budget: leave the stress loops
-        # at least ~150 s plus the reserved tail — and when the
-        # ISOLATED attempt times out on a degraded host, the
-        # in-session fallback must NOT double-spend the budget it just
-        # consumed (the r16 trial lost the A/B, the 10x trio, and both
-        # 100x points to exactly that: a timed-out subprocess followed
-        # by an unbounded 212 s in-session run).
-        # ``priority``: this round's rotation owes the ARTIFACT this
-        # point (VERDICT r16 task 2 — two rounds running it was
-        # text-only) — a non-calm window downgrades to an attempt
-        # whose quotable numbers null on bad probes, never a skip.
+        # dedup_100x in a fresh isolated subprocess (the "isolated"
+        # key says which regime produced the number). Budget: leave
+        # the stress loops ~150 s plus the reserved tail, and a
+        # timed-out isolated attempt must NOT be followed by an
+        # unbounded in-session re-spend (the r16 budget black hole).
+        # ``priority``: the artifact OWES this point (rotation
+        # invariant) — a non-calm window downgrades to an attempt
+        # whose quotables null on bad probes, never a skip.
         nonlocal dedup_100x
         if skip_100x:
             return
@@ -2024,15 +1973,6 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r12 plan-build audit (VERDICT r11 task 7, tools/"
-        "prof_plan_build.py): q54 warm fn() 1.5s / q47 1.1s at sf0.1, "
-        "but 5 real Spark jobs each (store/group stats collection) "
-        "dominate — py4j expression construction is not the q21-class "
-        "bottleneck there, and neither query is in the headline/stress "
-        "loops, so no memo added.",
-        file=sys.stderr,
-    )
-    print(
         "# r18 note: four protocol changes per VERDICT r17 / ADVICE "
         "r17. (1) The rotation now carries an INVARIANT: when the "
         "previous artifact lacks a full q48_100x (b10+cand) or a "
@@ -2045,29 +1985,14 @@ def main() -> None:
         "disagreeing 4x). (4) run_ab takes the reserved slice as a "
         "hard deadline — past it, remaining legs drop and the pair "
         "publishes partial:1/window. Trim keys now record only steps "
-        "that actually removed payload.",
-        file=sys.stderr,
-    )
-    print(
-        "# r17 note: two protocol changes per VERDICT r16. (1) The "
-        "engine-parity A/B is SYMMETRIC — prev,cur,prev,cur legs, >=2 "
-        "per engine; a cross-engine verdict (parity/cur_slower/"
-        "cur_faster) publishes only when each engine's own legs agree "
-        "internally within 30%, else drift:1 + verdict:window. r16's "
-        "single-cur-leg interleave fabricated a no-drift 1.86x q33 "
-        "regression (judge re-runs: -7%/+24%/parity). (2) The heavy "
-        "optional sections ROTATE by round parity (JSON key rot): odd "
-        "rounds lead with q33_100x + dedup_100x (dedup at rotation "
-        "priority — attempted even in a non-calm window, quotables "
-        "null on bad probes) and run q48_100x last; even rounds keep "
-        "the r16 order. Every 100x point lands at least every second "
-        "BENCH artifact instead of the fixed tail starving on every "
-        "degraded host. Carried from earlier rounds: io:[open,close] "
-        "warm page-cache probe, load:[open,close] neighbor-pressure "
-        "probe, b10 min-of-2 over DISJOINT fresh-miss classes, "
-        "per-window attribution, fresh-subprocess closing cal, "
-        "fingerprint-keyed audit caches, layout-versioned stores (v5), "
-        "disk-backed stress similarity stores.",
+        "that actually removed payload. Carried: SYMMETRIC 4-leg ab "
+        "(verdict only on per-engine 30% internal agreement, else "
+        "drift/window), round-parity rotation (key rot), "
+        "io/load [open,close] probes, b10 min-of-2 over disjoint "
+        "fresh-miss classes, per-window attribution, fresh-subprocess "
+        "closing cal, fp-keyed audit caches, layout-versioned stores "
+        "(v5), disk-backed stress similarity stores. Full protocol "
+        "history: BASELINE.md r14-r17.",
         file=sys.stderr,
     )
     payload = {
