@@ -1038,7 +1038,16 @@ def _run_stress(
     strict_bad: set[str] = set()
     p_prev = _probe(spark, specs, sf_dir)
     print(f"# stress window probe: {p_prev:.2f}s", file=sys.stderr)
-    for scale, name in points:
+    # work queue instead of a fixed pass (VERDICT r17 task 7): a point
+    # whose bracketing probes were bad gets ONE retry enqueued at the
+    # tail, after the other points — a single degraded phase used to
+    # null the whole ratio_10x axis (two of three ratios null in r17)
+    queue = list(points)
+    retried: set[tuple[str, str]] = set()
+    i = 0
+    while i < len(queue):
+        scale, name = queue[i]
+        i += 1
         # two runs per (query, scale), report the MIN: run 1 pays
         # one-time costs (JIT, per-corpus memoized store builds),
         # run 2 is steady state — and a host hiccup can spike
@@ -1047,6 +1056,14 @@ def _run_stress(
         # scaling at no extra cost over warm-up-then-time
         q, sc = name.split("_")[0], scale.replace("stress", "")
         d = dirs[scale]
+        key = f"{q}_{sc}"
+        if (scale, name) in retried:
+            # a retry pass replaces the first attempt's verdict for
+            # this point wholesale (flags re-derived below)
+            win_bad.discard(key)
+            strict_bad.discard(key)
+            if f"stress:{q}" in reasons:
+                reasons.remove(f"stress:{q}")
         # a 10x point whose FIRST run can't even start inside the
         # stress budget is dropped whole: a lone cold run produces no
         # usable ratio anyway (see below) and its ~100 s would eat the
@@ -1102,7 +1119,10 @@ def _run_stress(
                     file=sys.stderr,
                 )
                 times.append(_run_noop(spark, specs, name, d))
-            if min(times) / base_1x > 2 * EXPECTED_10X[q]:
+            if (
+                min(times) / base_1x > 2 * EXPECTED_10X[q]
+                and f"stress:{q}" not in reasons
+            ):
                 reasons.append(f"stress:{q}")
         elif len(times) == 2:
             # 1x points get the same disagreement retry — min-of-2
@@ -1138,9 +1158,16 @@ def _run_stress(
         )
         p_next = _probe(spark, specs, sf_dir)
         if _probe_bad(p_prev) or _probe_bad(p_next):
-            win_bad.add(f"{q}_{sc}")
+            win_bad.add(key)
+            if (scale, name) not in retried and time.monotonic() < deadline:
+                retried.add((scale, name))
+                queue.append((scale, name))
+                print(
+                    f"# {scale} {name}: window bad — retry enqueued",
+                    file=sys.stderr,
+                )
         if max(p_prev, p_next) > 2 * CAL_IDLE_S:
-            strict_bad.add(q)
+            strict_bad.add(key)
         print(f"# stress window probe: {p_next:.2f}s", file=sys.stderr)
         p_prev = p_next
     # per-query ratio: published only when BOTH scales completed >=2
@@ -1167,7 +1194,8 @@ def _run_stress(
         "data_ratio": 10.0,
         "ratio_10x": ratios,
         # consumed by main()'s cal_start rule, stripped from the line
-        "_strict_bad": strict_bad,
+        # (tracked per point key internally; main nulls per query)
+        "_strict_bad": {k.split("_")[0] for k in strict_bad},
         # q48_cand_1x_10x (the workload-growth context for the
         # ratios) is measured — not hard-coded — in main() after this
         # loop, reusing the session-memoized stores and fp-keyed

@@ -210,3 +210,55 @@ def test_trim_records_only_steps_that_removed_payload():
     assert "stress_runs" in trims
     for phantom in ("ab_probes", "ab_legs", "100x_runs"):
         assert phantom not in trims, f"phantom trim step: {trims}"
+
+
+def test_stress_point_bad_window_gets_one_retry(monkeypatch):
+    """VERDICT r17 task 7: a stress point whose bracketing probes were
+    bad is re-run ONCE at the queue tail; a clean retry replaces the
+    point's verdict so one degraded phase no longer nulls the whole
+    ratio_10x axis (two of three ratios were null in BENCH_r17)."""
+    import time as _time
+
+    import bench
+
+    # scripted probe series: opening probe + one per point. The 5th
+    # reading (after the first 10x point) is BAD — it brackets both
+    # that point and the next, so BOTH get retried with clean probes.
+    seq = iter([1.0, 1.0, 1.0, 1.0, 50.0] + [1.0] * 20)
+    probe_calls = []
+
+    def fake_probe(spark, specs, sf_dir):
+        p = next(seq)
+        probe_calls.append(p)
+        return p
+
+    def fake_run_noop(spark, specs, name, d):
+        return 8.0 if "10x" in d else 5.0
+
+    monkeypatch.setattr(bench, "_probe", fake_probe)
+    monkeypatch.setattr(bench, "_run_noop", fake_run_noop)
+    monkeypatch.setattr(bench, "_gc_level", lambda s: None)
+    monkeypatch.setattr(bench, "_q48_split", lambda s, d: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    import tools.gen_stress_sf1 as gen
+
+    monkeypatch.setattr(
+        gen, "ensure_stress",
+        lambda base_dir=None: {"stress1x": "/tmp/f1x", "stress10x": "/tmp/f10x"},
+    )
+    monkeypatch.setattr(bench, "_CAL0", None)
+
+    skipped, reasons = [], []
+    out = bench._run_stress(
+        None, None, "/tmp/sf", _time.monotonic() + 1000, skipped, reasons
+    )
+    # every ratio publishes: the bad window's two points were retried
+    # under clean probes and their verdicts replaced
+    assert all(v is not None for v in out["ratio_10x"].values()), (
+        out["ratio_10x"], reasons,
+    )
+    assert not [r for r in reasons if r.startswith("win:")], reasons
+    assert out["_strict_bad"] == set()
+    # exactly two retries happened (the two points the bad probe
+    # bracketed): 1 opening + 6 points + 2 retries = 9 probe calls
+    assert len(probe_calls) == 9, probe_calls
