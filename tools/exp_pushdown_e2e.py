@@ -67,7 +67,7 @@ def main() -> None:
     print(f"# probes open (cpu/io/load): {opens}", flush=True)
 
     t0 = time.monotonic()
-    arts = sss.load_similarity_store(spark, store_path, t)
+    arts = sss.load_similarity_artifacts(spark, store_path, t)
     load_s = round(time.monotonic() - t0, 3)
     print(f"# store load: {load_s}s", flush=True)
 
@@ -132,10 +132,10 @@ def main() -> None:
                 results[name]["pushed_keys"] = fetcher.pushed_counts
             print(f"# {name}: {results[name]}", flush=True)
         finally:
+            # cache/LRU state released per engine; the SHARED corpus
+            # artifacts stay cached for the second engine (the
+            # process exits at the end — no unpersist needed)
             j.close()
-            for df in (j.sig_store, j.kv_store, j.rep_store, j.sig_freq):
-                if df is not None:
-                    df.unpersist()
 
     identical = outs["default_scan"] == outs["pushdown_clustered"]
     assert identical, (
