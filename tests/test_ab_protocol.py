@@ -262,3 +262,17 @@ def test_stress_point_bad_window_gets_one_retry(monkeypatch):
     # exactly two retries happened (the two points the bad probe
     # bracketed): 1 opening + 6 points + 2 retries = 9 probe calls
     assert len(probe_calls) == 9, probe_calls
+
+
+def test_100x_sections_are_reexports_not_forks():
+    """r18 extracted the three 100x measurement procedures into
+    tools/bench_100x.py with bench re-exporting them so
+    ``bench._q48_100x`` stays the stable entry point for
+    tools/judge_repro.py and the isolated-subprocess code strings.
+    Pin the aliasing: if a future edit redefines one inside bench.py,
+    the two copies would silently diverge."""
+    import bench
+    from tools import bench_100x
+
+    for name in ("_q48_100x", "_q33_100x", "_dedup_100x", "_dedup_100x_isolated"):
+        assert getattr(bench, name) is getattr(bench_100x, name), name
