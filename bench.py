@@ -98,6 +98,39 @@ RESERVE_TAIL_S = int(os.environ.get("SPARK_GRAFT_RESERVE_TAIL_S", "270"))
 # edge of the driver's capture window — the one unacceptable failure
 CAL_CLOSE_RESERVE_S = 140
 
+
+def _defer_ab(owed: bool, open_flags: list) -> bool:
+    """A/B-vs-owed-points priority rule (r18). The engine-parity A/B
+    normally runs FIRST (r15 task 1) — but when this artifact OWES a
+    starved 100x point (rotation invariant) and the OPENING probes
+    already flagged the window (cal_start/cpu_slow/io_slow/load_high),
+    the A/B yields: in a flagged window its verdict degrades to
+    drift/window anyway (r17 judge run; r18 dry run), while the owed
+    points are the evidence rounds have gone without. Deferral is safe
+    since r18 because run_ab holds a hard deadline (partial/window
+    legs, never a tail hang). Only OPENING flags count — per-section
+    'win:'/'spread:' flags appended later describe other sections'
+    windows, not the one the A/B would run in."""
+    open_kinds = {"cal_start", "cpu_slow", "io_slow", "load_high"}
+    return owed and any(f in open_kinds for f in open_flags)
+
+
+# a FULL isolated dedup_100x attempt cannot finish below this much
+# stress-side budget even warm (pairs ~26 s + cluster ~8 s + session
+# startup ~25 s + margin); launching one anyway burns the subprocess
+# clamp-floor 60 s on a guaranteed timeout (r18 dry run: the full
+# attempt got deadline=+15 s — dead on arrival)
+DEDUP_FULL_FLOOR_S = 100
+
+
+def _dedup_full_attempt_viable(avail_s: float, priority: bool) -> bool:
+    """Whether launching the FULL isolated dedup_100x subprocess is
+    worth the budget. Non-priority rounds keep the old behavior (the
+    clamp inside the subprocess bounds the waste); an OWED (priority)
+    point skips a sub-floor full attempt and goes straight to the
+    reduced fallback instead of burning its window."""
+    return not (priority and avail_s < DEDUP_FULL_FLOOR_S)
+
 # committed FULL-SPEED wall for the fixed single-thread CPU probe
 # (_cpu_probe: 3M iterations of a float loop — pure interpreter work,
 # no Spark, no IO). r15 finding: this container's host alternates
@@ -975,66 +1008,144 @@ def main() -> None:
     # no-drift 1.86x q33 regression — VERDICT r16 item 1) with CPU +
     # IO + load probes; a cross-engine verdict publishes ONLY when
     # each engine's own legs agree internally within 30%.
-    ab = None
-    try:
-        from tools.ab_prev import prev_round_rev, run_ab
+    # round/rotation bookkeeping + the rotation INVARIANT's owe flags
+    # (VERDICT r17 task 5), computed HERE — before the A/B — because
+    # the owed flags participate in the A/B-vs-owed-points priority
+    # decision below. The invariant: any two CONSECUTIVE artifacts
+    # must carry one FULL q48_100x (b10_s + cand present: the
+    # reference-regime comparison against DSim's 2,099 ms log) and
+    # one dedup_100x NUMBER (pairs_s, full or reduced) between them.
+    # When the previous artifact lacks one, this run owes it
+    # regardless of parity: dedup runs at rotation priority (with the
+    # r18 reduced fallback) and q48_100x holds the full point down to
+    # the reduced gate's budget.
+    import glob as _glob
+    import re as _re
 
-        prev_n, prev_rev = prev_round_rev()
-        prev_bench = None
-        if prev_n is not None:
-            with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
-                prev_bench = json.load(f)
-            # the driver wraps the bench line: {n, rc, tail,
-            # parsed: {metric, queries, ...}} — unwrap it
-            if "queries" not in prev_bench:
-                prev_bench = prev_bench.get("parsed") or {}
-        ab_movers: list[tuple[float, str]] = []
-        if prev_bench and prev_rev:
-            for name, cur in timings.items():
-                p = prev_bench.get("queries", {}).get(name)
-                ps = prev_bench.get("spread_s", {}).get(
-                    name.split("_")[0], 0.0
+    ns = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    round_n = (max(ns) + 1) if ns else 1
+    # dev override (the driver never sets it): force a parity to
+    # exercise either dispatch order without faking BENCH artifacts
+    rot = int(os.environ.get("SPARK_GRAFT_ROT", round_n % 2))
+    prev_art: dict = {}
+    if ns:
+        try:
+            with open(
+                os.path.join(REPO, f"BENCH_r{max(ns)}.json")
+            ) as f:
+                prev_art = json.load(f)
+            if "queries" not in prev_art:  # driver wrapper: unwrap
+                prev_art = prev_art.get("parsed") or {}
+        except Exception:
+            prev_art = {}
+    prev_st = prev_art.get("sf1_stress") or {}
+    prev_q48 = prev_st.get("q48_100x") or {}
+    prev_dd = prev_st.get("dedup_100x") or {}
+    owe_full_q48 = not (
+        prev_q48.get("b10_s") is not None
+        and prev_q48.get("cand") is not None
+    )
+    owe_dedup = prev_dd.get("pairs_s") is None
+
+    ab = None
+
+    def _sec_ab(min_need: float = 225) -> None:
+        # ``min_need``: the budget floor to attempt the A/B at all.
+        # 225 s is the r17 4-leg typical cost; the DEFERRED tail call
+        # lowers it to 90 s (~2 legs) — run_ab's hard deadline then
+        # publishes a partial/window pair instead of nothing.
+        nonlocal ab
+        try:
+            from tools.ab_prev import prev_round_rev, run_ab
+
+            prev_n, prev_rev = prev_round_rev()
+            prev_bench = None
+            if prev_n is not None:
+                with open(os.path.join(REPO, f"BENCH_r{prev_n}.json")) as f:
+                    prev_bench = json.load(f)
+                # the driver wraps the bench line: {n, rc, tail,
+                # parsed: {metric, queries, ...}} — unwrap it
+                if "queries" not in prev_bench:
+                    prev_bench = prev_bench.get("parsed") or {}
+            ab_movers: list[tuple[float, str]] = []
+            if prev_bench and prev_rev:
+                for name, cur in timings.items():
+                    p = prev_bench.get("queries", {}).get(name)
+                    ps = prev_bench.get("spread_s", {}).get(
+                        name.split("_")[0], 0.0
+                    )
+                    if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
+                        ab_movers.append((abs(cur - p) / p, name))
+            if prev_rev:
+                mover = (
+                    max(ab_movers)[1]
+                    if ab_movers
+                    else "q48_semi_stream_similarity"
                 )
-                if p and abs(cur - p) > max(ps, spread.get(name, 0.0)) + 0.10 * p:
-                    ab_movers.append((abs(cur - p) / p, name))
-        if prev_rev:
-            mover = (
-                max(ab_movers)[1]
-                if ab_movers
-                else "q48_semi_stream_similarity"
-            )
-            # 4 symmetric legs (r17) cost ~1/3 more than r16's 3:
-            # each leg is a fresh session (~15-20 s startup) + warmup
-            # + 1 timed run; 225 s covers the q33/q48-class movers.
-            # The reservation is a TYPICAL cost, not the worst case —
-            # 4 legs x (startup + the 120 s leg timeout) can exceed
-            # 2x of it on a throttled host (ADVICE r17), so run_ab
-            # also gets the reserved slice as a hard deadline: past
-            # it, remaining legs drop and the pair publishes
-            # partial/window instead of squeezing the rotated
-            # sections behind it.
-            if _tail_budget_ok(225):
-                ab = {
-                    "q": mover.split("_")[0],
-                    **run_ab(
-                        mover,
-                        prev_rev,
-                        sf_dir,
-                        runs=1,
-                        timeout=120,
-                        deadline=time.monotonic() + 225,
-                    ),
-                }
-                print(f"# engine-parity ab ({mover}): {ab}", file=sys.stderr)
-            else:
-                skipped.append(f"ab:{mover.split('_')[0]} (budget)")
-                print(
-                    f"# engine ab skipped (budget); movers: "
-                    f"{sorted(n for _, n in ab_movers)}",
-                    file=sys.stderr,
-                )
-    except Exception as e:
-        print(f"# engine ab skipped: {e}", file=sys.stderr)
+                # 4 symmetric legs (r17) cost ~1/3 more than r16's 3:
+                # each leg is a fresh session (~15-20 s startup) + warmup
+                # + 1 timed run; 225 s covers the q33/q48-class movers.
+                # The reservation is a TYPICAL cost, not the worst case —
+                # 4 legs x (startup + the 120 s leg timeout) can exceed
+                # 2x of it on a throttled host (ADVICE r17), so run_ab
+                # also gets the reserved slice as a hard deadline: past
+                # it, remaining legs drop and the pair publishes
+                # partial/window instead of squeezing the rotated
+                # sections behind it.
+                if _tail_budget_ok(min_need):
+                    avail = min(
+                        225.0,
+                        (deadline - CAL_CLOSE_RESERVE_S) - time.monotonic(),
+                    )
+                    ab = {
+                        "q": mover.split("_")[0],
+                        **run_ab(
+                            mover,
+                            prev_rev,
+                            sf_dir,
+                            runs=1,
+                            timeout=120,
+                            deadline=time.monotonic() + avail,
+                        ),
+                    }
+                    print(f"# engine-parity ab ({mover}): {ab}", file=sys.stderr)
+                else:
+                    skipped.append(f"ab:{mover.split('_')[0]} (budget)")
+                    print(
+                        f"# engine ab skipped (budget); movers: "
+                        f"{sorted(n for _, n in ab_movers)}",
+                        file=sys.stderr,
+                    )
+        except Exception as e:
+            print(f"# engine ab skipped: {e}", file=sys.stderr)
+
+    # The A/B runs FIRST in a normal round (VERDICT r15 task 1: it is
+    # the committed cross-round evidence and r16 lost it to a dedup
+    # budget black hole when it ran last) — but when this artifact
+    # OWES starved 100x points (rotation invariant, computed below
+    # from the previous artifact) AND the opening probes already
+    # flagged the window, the priorities flip: a flagged window makes
+    # the A/B publish a drift/window verdict anyway (r17 judge run,
+    # r18 dry run), while the owed points have gone rounds without a
+    # number. Deferring the A/B to the END is safe since r18: run_ab
+    # holds a hard deadline and publishes partial/window legs instead
+    # of hanging the tail (the r16 failure that motivated A/B-first).
+    if not _defer_ab(owe_full_q48 or owe_dedup, reasons):
+        _sec_ab()
+        ab_deferred = False
+    else:
+        ab_deferred = True
+        print(
+            "# engine ab DEFERRED to tail: artifact owes 100x points "
+            f"(owe_full_q48={int(owe_full_q48)} owe_dedup="
+            f"{int(owe_dedup)}) and the opening window is flagged "
+            f"({[r for r in reasons]})",
+            file=sys.stderr,
+        )
 
     # 100x semi-stream similarity posture (VERDICT r9 task 5 / r10
     # task 2): fixed per-batch probe volume against a 100x store — the
@@ -1095,9 +1206,17 @@ def main() -> None:
                 )
             try:
                 p_a = _probe(spark, specs, sf_dir)
-                dedup_100x = _dedup_100x_isolated(
-                    stress_deadline - 150 - time.monotonic()
-                )
+                avail_full = stress_deadline - 150 - time.monotonic()
+                if not _dedup_full_attempt_viable(avail_full, priority):
+                    print(
+                        f"# dedup 100x: full-attempt budget "
+                        f"{avail_full:.0f}s below useful floor -> "
+                        "straight to reduced",
+                        file=sys.stderr,
+                    )
+                    dedup_100x = None
+                else:
+                    dedup_100x = _dedup_100x_isolated(avail_full)
                 if dedup_100x is not None:
                     dedup_100x["isolated"] = 1
                 elif time.monotonic() < stress_deadline - 210:
@@ -1105,16 +1224,29 @@ def main() -> None:
                         spark, deadline=stress_deadline - 150
                     )
                     dedup_100x["isolated"] = 0
-                elif priority and _tail_budget_ok(140):
+                elif priority and _tail_budget_ok(95):
                     # REDUCED fallback (VERDICT r17 task 2): the full
-                    # subprocess hit its cap and the in-session full
-                    # can't fit — but the timed-out attempt just
-                    # warmed the page cache, so a pairs-only min-of-2
-                    # point (warm floor ~25 s/run) fits a 130 s cap.
-                    # Three rounds published no diffable dedup number
-                    # (r15 throttled, r16 budget, r17 timeout); a
-                    # reduced point beats another {attempted, timeout}.
-                    dedup_100x = _dedup_100x_isolated(130, reduced=True)
+                    # subprocess hit its cap (or couldn't launch) and
+                    # the in-session full can't fit — but the page
+                    # cache is warm, so a pairs-only min-of-2 point
+                    # (warm floor ~25 s/run) fits a 130 s cap. Three
+                    # rounds published no diffable dedup number (r15
+                    # throttled, r16 budget, r17 timeout); a reduced
+                    # point beats another {attempted, timeout}. The
+                    # gate deliberately eats into the STRESS budget
+                    # (95 s vs the stress loops' claim): in a window
+                    # squeezed this hard the stress quotables null on
+                    # their probes anyway, and the owed dedup number
+                    # is the starved axis.
+                    dedup_100x = _dedup_100x_isolated(
+                        min(
+                            130.0,
+                            (deadline - CAL_CLOSE_RESERVE_S)
+                            - time.monotonic()
+                            - 5,
+                        ),
+                        reduced=True,
+                    )
                     if dedup_100x is not None:
                         dedup_100x["isolated"] = 1
                     else:
@@ -1354,46 +1486,6 @@ def main() -> None:
     # even rounds run the r16 order (dedup, stress trio, q48, q33).
     # Every point lands at least every second BENCH artifact, and the
     # JSON line's "rot" key says which regime produced this one.
-    import glob as _glob
-    import re as _re
-
-    ns = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    round_n = (max(ns) + 1) if ns else 1
-    # dev override (the driver never sets it): force a parity to
-    # exercise either dispatch order without faking BENCH artifacts
-    rot = int(os.environ.get("SPARK_GRAFT_ROT", round_n % 2))
-    # rotation INVARIANT (VERDICT r17 task 5): the rotation guarantees
-    # attempts, not numbers — any two CONSECUTIVE artifacts must carry
-    # one FULL q48_100x (b10_s + cand present: the reference-regime
-    # comparison against DSim's 2,099 ms log) and one dedup_100x
-    # NUMBER (pairs_s, full or reduced) between them. When the
-    # previous artifact lacks one, this run owes it regardless of
-    # parity: dedup runs at rotation priority (with the r18 reduced
-    # fallback) and q48_100x holds the full point down to the reduced
-    # gate's budget.
-    prev_art: dict = {}
-    if ns:
-        try:
-            with open(
-                os.path.join(REPO, f"BENCH_r{max(ns)}.json")
-            ) as f:
-                prev_art = json.load(f)
-            if "queries" not in prev_art:  # driver wrapper: unwrap
-                prev_art = prev_art.get("parsed") or {}
-        except Exception:
-            prev_art = {}
-    prev_st = prev_art.get("sf1_stress") or {}
-    prev_q48 = prev_st.get("q48_100x") or {}
-    prev_dd = prev_st.get("dedup_100x") or {}
-    owe_full_q48 = not (
-        prev_q48.get("b10_s") is not None
-        and prev_q48.get("cand") is not None
-    )
-    owe_dedup = prev_dd.get("pairs_s") is None
     print(
         f"# rotation: round r{round_n} parity {rot} "
         f"(owe_full_q48={int(owe_full_q48)} owe_dedup={int(owe_dedup)}) -> "
@@ -1414,6 +1506,11 @@ def main() -> None:
         _sec_stress()
         _sec_q48_100x(force_full=owe_full_q48)
         _sec_q33_100x()
+    if ab_deferred:
+        # deferred A/B (owed points outranked it): whatever budget the
+        # owed sections left, bounded by its own 225 s reservation and
+        # hard deadline — a squeezed tail publishes partial/window legs
+        _sec_ab(min_need=90)
 
     # closing calibration: fresh SUBPROCESS session, so it measures
     # the HOST against the committed idle envelope — the parent
@@ -1526,7 +1623,7 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# r18 note: four protocol changes per VERDICT r17 / ADVICE "
+        "# r18 note: six protocol changes per VERDICT r17 / ADVICE "
         "r17. (1) The rotation now carries an INVARIANT: when the "
         "previous artifact lacks a full q48_100x (b10+cand) or a "
         "dedup_100x number, this run owes it regardless of parity "
@@ -1537,7 +1634,15 @@ def main() -> None:
         "soft deadline (r17 reduced published min-of-2 over legs "
         "disagreeing 4x). (4) run_ab takes the reserved slice as a "
         "hard deadline — past it, remaining legs drop and the pair "
-        "publishes partial:1/window. Trim keys now record only steps "
+        "publishes partial:1/window. (5) When points are OWED and the "
+        "OPENING probes flag the window, the A/B defers to the tail "
+        "(its verdict degrades to window in such windows anyway; the "
+        "owed 100x numbers are the starved evidence) and runs there "
+        "on the remaining slice down to a 2-leg floor. (6) An owed "
+        "dedup point skips a full attempt whose budget is below the "
+        "viability floor (a sub-100s launch is a guaranteed timeout) "
+        "and goes straight to reduced, which may eat into the stress "
+        "budget. Trim keys now record only steps "
         "that actually removed payload. Carried: SYMMETRIC 4-leg ab "
         "(verdict only on per-engine 30% internal agreement, else "
         "drift/window), round-parity rotation (key rot), "

@@ -276,3 +276,33 @@ def test_100x_sections_are_reexports_not_forks():
 
     for name in ("_q48_100x", "_q33_100x", "_dedup_100x", "_dedup_100x_isolated"):
         assert getattr(bench, name) is getattr(bench_100x, name), name
+
+
+def test_ab_defers_only_for_owed_points_in_flagged_open_window():
+    """r18: the engine A/B runs first (r15 task 1) unless this
+    artifact OWES a starved 100x point AND the opening probes flagged
+    the window — then the owed points outrank it and the A/B runs at
+    the tail under its hard deadline. Per-section flags appended later
+    (win:/spread:) must not trigger deferral."""
+    import bench
+
+    assert bench._defer_ab(True, ["cal_start"])
+    assert bench._defer_ab(True, ["load_high", "win:q21_1x"])
+    assert not bench._defer_ab(True, [])  # calm open window: A/B first
+    assert not bench._defer_ab(False, ["cal_start", "io_slow"])  # nothing owed
+    assert not bench._defer_ab(True, ["win:q21_1x", "spread:q34"])
+
+
+def test_owed_dedup_skips_doomed_full_attempt():
+    """r18 dry run: with ~60s of stress budget left, the FULL isolated
+    dedup subprocess launched with an internal deadline of +15s — a
+    guaranteed timeout that burned the whole window. An OWED point now
+    goes straight to the reduced fallback below the viability floor;
+    non-priority rounds keep the old clamp-bounded behavior."""
+    import bench
+
+    assert not bench._dedup_full_attempt_viable(60, priority=True)
+    assert bench._dedup_full_attempt_viable(
+        bench.DEDUP_FULL_FLOOR_S + 1, priority=True
+    )
+    assert bench._dedup_full_attempt_viable(60, priority=False)
