@@ -306,3 +306,46 @@ def test_owed_dedup_skips_doomed_full_attempt():
         bench.DEDUP_FULL_FLOOR_S + 1, priority=True
     )
     assert bench._dedup_full_attempt_viable(60, priority=False)
+
+
+def test_dedup_stdout_parse_last_checkpoint_wins():
+    """r18 timeout salvage: the dedup subprocess emits a flushed
+    DEDUP_JSON checkpoint after every completed timed run; the parser
+    takes the LAST complete line (most-complete point), tolerates
+    bytes output (subprocess.TimeoutExpired captures raw bytes even
+    under text=True), and skips a line truncated by the kill."""
+    from tools.bench_100x import _parse_dedup_stdout
+
+    out = (
+        "noise\n"
+        'DEDUP_JSON={"pairs_s": 30.0, "partial": 1, "reduced": 1}\n'
+        'DEDUP_JSON={"pairs_s": 26.5, "partial": 1, "reduced": 1}\n'
+    )
+    assert _parse_dedup_stdout(out)["pairs_s"] == 26.5
+    assert _parse_dedup_stdout(out.encode())["pairs_s"] == 26.5
+    truncated = out + 'DEDUP_JSON={"pairs_s": 25.'
+    assert _parse_dedup_stdout(truncated)["pairs_s"] == 26.5
+    assert _parse_dedup_stdout(None) is None
+    assert _parse_dedup_stdout("no markers here") is None
+
+
+def test_dedup_isolated_salvages_partial_on_timeout(monkeypatch):
+    """A cap kill must not discard measurements the subprocess already
+    took (the r18 dry runs lost a finished pairs run twice): on
+    TimeoutExpired, the wrapper returns the last emitted checkpoint."""
+    import subprocess
+
+    from tools import bench_100x
+
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(
+            cmd="x",
+            timeout=130,
+            output=b'DEDUP_JSON={"pairs_s": 28.1, "pairs_runs": [28.1],'
+            b' "n_pairs": 10969, "n_docs": 500000, "partial": 1,'
+            b' "reduced": 1}\n',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench_100x._dedup_100x_isolated(130, reduced=True)
+    assert out is not None and out["pairs_s"] == 28.1 and out["partial"] == 1

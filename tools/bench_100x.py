@@ -344,7 +344,10 @@ def _q33_100x(spark, deadline: float | None = None) -> dict:
 
 
 def _dedup_100x(
-    spark, deadline: float | None = None, reduced: bool = False
+    spark,
+    deadline: float | None = None,
+    reduced: bool = False,
+    partial_emit: bool = False,
 ) -> dict:
     """100x dedup posture: LSH pair generation + duplicate clustering
     on 500k docs (100x the bench corpus, linear-output fixture) —
@@ -362,7 +365,15 @@ def _dedup_100x(
     the degraded-window fallback q48_100x already had. Three rounds
     ran without a diffable dedup number (r15 throttled, r16
     budget-skipped, r17 attempted-but-timeout); the warm pairs floor
-    is ~25 s, which fits any window that can run q48_100x."""
+    is ~25 s, which fits any window that can run q48_100x.
+
+    ``partial_emit`` (r18): after EVERY completed timed run, print a
+    flushed ``DEDUP_JSON=...`` line with the numbers so far (tagged
+    ``partial: 1``). The isolated-subprocess wrapper salvages the
+    LAST such line from a timed-out subprocess's captured stdout —
+    the r18 dry runs showed a squeezed cap discarding a subprocess
+    that had already finished a valid pairs run, publishing a fourth
+    {attempted, timeout} instead of the number it measured."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -385,6 +396,31 @@ def _dedup_100x(
     pair_runs: list[float] = []
     cluster_runs: list[float] = []
     n_pairs = n_keep = rounds = None
+
+    def _emit_partial() -> None:
+        # progress checkpoint for the isolated wrapper's timeout
+        # salvage: the LAST flushed line wins, so each emission
+        # supersedes the previous. A pairs-only checkpoint is a
+        # reduced-shape point; once a cluster run lands it upgrades
+        # to the full shape (still tagged partial until the final
+        # return-path line replaces it).
+        if not partial_emit:
+            return
+        part: dict = {
+            "pairs_s": min(pair_runs),
+            "pairs_runs": list(pair_runs),
+            "n_pairs": n_pairs,
+            "n_docs": n_docs,
+            "partial": 1,
+        }
+        if cluster_runs:
+            part["cluster_s"] = min(cluster_runs)
+            part["rounds"] = rounds
+            part["kept"] = n_keep
+        else:
+            part["reduced"] = 1
+        print("DEDUP_JSON=" + json.dumps(part), flush=True)
+
     for run in range(2):
         time.sleep(2)
         bench._gc_level(spark)
@@ -396,6 +432,7 @@ def _dedup_100x(
         pair_runs.append(round(time.monotonic() - t0, 3))
         assert n_pairs is None or n_pairs == n_pairs_run  # deterministic
         n_pairs = n_pairs_run
+        _emit_partial()
         if not reduced:
             stats: dict = {}
             t0 = time.monotonic()
@@ -406,6 +443,7 @@ def _dedup_100x(
             cluster_runs.append(round(time.monotonic() - t0, 3))
             rounds = stats.get("rounds")
             assert n_keep > 0
+            _emit_partial()
         if run == 0 and deadline is not None and time.monotonic() > deadline:
             break
     # convergence retry (same rule as the stress points): a >30%
@@ -427,6 +465,7 @@ def _dedup_100x(
         )
         assert pairs.count() == n_pairs
         pair_runs.append(round(time.monotonic() - t0, 3))
+        _emit_partial()
     # the SAME disagreement rule for the cluster stage (ADVICE r14:
     # cluster_s was min-of-2 with no retry, so a pressure spike
     # hitting both timed cluster runs published an unconverged number
@@ -447,6 +486,7 @@ def _dedup_100x(
         )
         assert clusters.filter("keep").count() == n_keep
         cluster_runs.append(round(time.monotonic() - t0, 3))
+        _emit_partial()
     # n_docs/kept re-emitted (ADVICE r13: the 100x blocks dropped the
     # r11 schema's keys; programmatic readers saw missing fields)
     if reduced:
@@ -466,6 +506,28 @@ def _dedup_100x(
         "n_docs": n_docs,
         "kept": n_keep,
     }
+
+
+def _parse_dedup_stdout(out) -> dict | None:
+    """Extract the LAST ``DEDUP_JSON=`` line from a dedup subprocess's
+    stdout — the subprocess emits a checkpoint after every completed
+    timed run and a final line on the return path, each superseding
+    the previous, so last-wins is the most-complete point available.
+    ``out`` may be ``bytes`` (subprocess.TimeoutExpired captures raw
+    output even under ``text=True``) or ``None`` (nothing captured
+    before the kill)."""
+    if out is None:
+        return None
+    if isinstance(out, bytes):
+        out = out.decode("utf-8", errors="replace")
+    best = None
+    for ln in out.splitlines():
+        if ln.startswith("DEDUP_JSON="):
+            try:
+                best = json.loads(ln.split("=", 1)[1])
+            except ValueError:
+                pass  # a line truncated by the kill — keep the prior
+    return best
 
 
 def _dedup_100x_isolated(budget_s: float, reduced: bool = False) -> dict | None:
@@ -495,7 +557,7 @@ def _dedup_100x_isolated(budget_s: float, reduced: bool = False) -> dict | None:
         "from distributed_stream_processing_spark.session import get_spark;"
         "spark=get_spark('bench-dedup');"
         f"r=bench._dedup_100x(spark, deadline=time.monotonic()+{budget_s - 45:.0f}, "
-        f"reduced={reduced});"
+        f"reduced={reduced}, partial_emit=True);"
         "print('DEDUP_JSON='+json.dumps(r))"
     )
     try:
@@ -506,14 +568,30 @@ def _dedup_100x_isolated(budget_s: float, reduced: bool = False) -> dict | None:
             timeout=budget_s,
             env=dict(os.environ),
         )
-        for ln in r.stdout.splitlines():
-            if ln.startswith("DEDUP_JSON="):
-                return json.loads(ln.split("=", 1)[1])
+        out = _parse_dedup_stdout(r.stdout)
+        if out is not None:
+            return out
         print(
             f"# dedup subprocess gave no DEDUP_JSON (rc={r.returncode}): "
             f"{(r.stderr or '')[-300:]}",
             file=sys.stderr,
         )
+    except subprocess.TimeoutExpired as e:
+        # TIMEOUT SALVAGE (r18): the subprocess emits a flushed
+        # DEDUP_JSON checkpoint after every completed timed run, so a
+        # cap kill no longer discards measurements it already took —
+        # the r18 dry runs lost a finished pairs run this way twice.
+        # The salvaged (partial-tagged) point keeps its raw runs and
+        # the window context the caller attaches.
+        out = _parse_dedup_stdout(e.stdout)
+        if out is not None:
+            print(
+                f"# dedup subprocess hit its {budget_s:.0f}s cap; "
+                "salvaged last partial checkpoint",
+                file=sys.stderr,
+            )
+            return out
+        print(f"# dedup subprocess failed: {e}", file=sys.stderr)
     except Exception as e:
         print(f"# dedup subprocess failed: {e}", file=sys.stderr)
     return None
