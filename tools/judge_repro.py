@@ -6,8 +6,9 @@ bench protocol uses and prints one comparison table:
 * host probes (CPU instruction rate + warm page-cache IO) before and
   after every section, against the committed envelopes;
 * a headline subset (fresh warm-session timings, min-of-2);
-* both 100x points (q33_100x, q48_100x — saved stores, probe-
-  bracketed);
+* the 100x points (q33_100x, q48_100x — saved stores, probe-
+  bracketed; dedup_100x — fresh isolated subprocess with the r18
+  partial-checkpoint salvage);
 * the engine-parity A/B of a chosen query vs the previous round's
   verdict commit (tools/ab_prev.py — interleaved prev,cur,prev legs).
 
@@ -103,6 +104,19 @@ def main() -> None:
             print(f"# q48_100x failed: {e}")
         out["probes"]["post_q48"] = _probes()
         print(f"# post-100x probes: {out['probes']['post_q48']}")
+        # dedup_100x — the axis starved since r15; same fresh-process
+        # isolation + cap + r18 partial-checkpoint salvage the bench
+        # uses, so a cap kill still reports what the window measured
+        try:
+            out["dedup_100x"] = bench._dedup_100x_isolated(200) or {
+                "attempted": 1,
+                "timeout": 1,
+            }
+            print(f"# dedup_100x: {out['dedup_100x']}")
+        except Exception as e:
+            print(f"# dedup_100x failed: {e}")
+        out["probes"]["post_dedup"] = _probes()
+        print(f"# post-dedup probes: {out['probes']['post_dedup']}")
 
     if ab_q or not quick:
         try:
