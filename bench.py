@@ -805,7 +805,7 @@ def _shrink_line(payload: dict) -> tuple[str, str | None]:
                 st[k].pop(rk, None)
                 for k in ("q48_100x", "q33_100x", "dedup_100x")
                 if isinstance(st.get(k), dict)
-                for rk in ("batch_runs", "b10_runs", "runs")
+                for rk in ("batch_runs", "b10_runs", "runs", "pairs_runs")
             ],
         ),
         (

@@ -94,9 +94,12 @@ def _fat_payload() -> dict:
                          "probe_docs": 490},
             "q33_100x": {"load_s": 9.0, "batch_s": 5.1,
                          "batch_runs": [5.5, 5.1], "fetch_share": 0.29},
-            "dedup_100x": {"pairs_s": 136.5, "cluster_s": 11.0,
+            "dedup_100x": {"pairs_s": 136.5,
+                           "pairs_runs": [136.5, 162.1],
+                           "cluster_s": 11.0,
                            "n_pairs": 10969, "rounds": 3,
-                           "kept": 489242, "isolated": 1},
+                           "kept": 489242, "isolated": 1,
+                           "partial": 1},
         },
     }
 
@@ -125,6 +128,9 @@ def test_line_self_trims_under_budget_and_keeps_quotables():
                                               "q48": 1.3}
     assert out["sf1_stress"]["q48_100x"]["batch_s"] == 15.3
     assert out["sf1_stress"]["dedup_100x"]["pairs_s"] == 136.5
+    # the salvage tags survive the trim; only raw runs drop
+    assert out["sf1_stress"]["dedup_100x"]["partial"] == 1
+    assert "pairs_runs" not in out["sf1_stress"]["dedup_100x"]
     assert out["sf1_stress"]["q33_100x"]["batch_s"] == 5.1
     for q in ("q21", "q29", "q48"):
         assert out["sf1_stress"]["queries"][q]["10x"]["min"]
