@@ -1127,14 +1127,23 @@ def main() -> None:
     # the committed cross-round evidence and r16 lost it to a dedup
     # budget black hole when it ran last) — but when this artifact
     # OWES starved 100x points (rotation invariant, computed below
-    # from the previous artifact) AND the opening probes already
-    # flagged the window, the priorities flip: a flagged window makes
-    # the A/B publish a drift/window verdict anyway (r17 judge run,
-    # r18 dry run), while the owed points have gone rounds without a
-    # number. Deferring the A/B to the END is safe since r18: run_ab
-    # holds a hard deadline and publishes partial/window legs instead
-    # of hanging the tail (the r16 failure that motivated A/B-first).
-    if not _defer_ab(owe_full_q48 or owe_dedup, reasons):
+    # from the previous artifact) AND the window is flagged, the
+    # priorities flip: a flagged window makes the A/B publish a
+    # drift/window verdict anyway (r17 judge run, r18 dry run), while
+    # the owed points have gone rounds without a number. Deferring
+    # the A/B to the END is safe since r18: run_ab holds a hard
+    # deadline and publishes partial/window legs instead of hanging
+    # the tail (the r16 failure that motivated A/B-first). The flags
+    # are the OPENING reasons plus a LIVE re-probe here — this host's
+    # bursts routinely arrive mid-run (r18 dry run 2: opening cal
+    # 2.6 s clean, loadavg 11.8-16 by A/B time), and a stale-clean
+    # opening must not spend the owed points' budget on window legs.
+    live_flags = list(reasons)
+    if _loadavg() >= LOAD_IDLE_1M:
+        live_flags.append("load_high")
+    if _cpu_probe() > 1.5 * CPU_IDLE_S:
+        live_flags.append("cpu_slow")
+    if not _defer_ab(owe_full_q48 or owe_dedup, live_flags):
         _sec_ab()
         ab_deferred = False
     else:
@@ -1142,8 +1151,8 @@ def main() -> None:
         print(
             "# engine ab DEFERRED to tail: artifact owes 100x points "
             f"(owe_full_q48={int(owe_full_q48)} owe_dedup="
-            f"{int(owe_dedup)}) and the opening window is flagged "
-            f"({[r for r in reasons]})",
+            f"{int(owe_dedup)}) and the window is flagged "
+            f"({live_flags})",
             file=sys.stderr,
         )
 
