@@ -109,7 +109,21 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     fail ENOTEMPTY against it forever; and orphaned
     ``q48store.tmp.*``/``q48store.stale.*`` siblings from a process
     killed between save and rename are swept on entry once they are
-    old enough (1 h) that no live builder can still own them."""
+    old enough (1 h) that no live builder can still own them.
+
+    Persistence is gated on the PATH, not on ``os.access`` (r18
+    optimization-round fix): as root, ``os.access(dir, W_OK)`` is
+    true even for the driver's ``dr-xr-xr-x`` /root/testdata, so the
+    old writability test silently persisted the index beside the
+    driver's parquet inputs — cross-run precomputation the bench
+    rules forbid (and, measured this round, a pessimization: 3-run
+    q48 read 15.5 s loading the disk store vs building once
+    in-session and memoizing — the disk store re-scans its parquet
+    groups/signatures per batch where the in-session store's
+    DataFrames stay cached). Anything under /root/testdata now
+    builds in-session and memoizes unconditionally; the repo's own
+    gitignored stress fixtures (``.stressdata``) and test tmp dirs
+    keep the build-once amortization."""
     import os
     import shutil
     import sys
@@ -123,6 +137,12 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     )
 
     path = os.path.join(sf_dir, "q48store")
+    driver_data_root = os.path.realpath("/root/testdata")
+    real_sf = os.path.realpath(sf_dir)
+    if real_sf == driver_data_root or real_sf.startswith(
+        driver_data_root + os.sep
+    ):
+        return build_similarity_store(stored, t)
 
     def _evict_aside() -> None:
         aside = f"{path}.stale.{uuid.uuid4().hex[:8]}"
@@ -165,19 +185,18 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
         print(f"# partial q48 store at {path} evicted", file=sys.stderr)
         _evict_aside()
     store = build_similarity_store(stored, t)
-    if os.access(sf_dir, os.W_OK):
-        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        save_similarity_artifacts(store, tmp)
         try:
-            save_similarity_artifacts(store, tmp)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # lost the publish race (or a live store reappeared):
-                # keep the in-session store, drop our temp
-                shutil.rmtree(tmp, ignore_errors=True)
-        except Exception as e:  # best-effort: shared/odd mounts tolerated
-            print(f"# q48 store save to {path} skipped: {e}", file=sys.stderr)
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race (or a live store reappeared):
+            # keep the in-session store, drop our temp
             shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # best-effort: shared/odd mounts tolerated
+        print(f"# q48 store save to {path} skipped: {e}", file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
     return store
 
 

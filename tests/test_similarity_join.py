@@ -773,3 +773,27 @@ def test_orphaned_build_dirs_are_swept_by_age(spark, corpus, tmp_path):
     assert not os.path.isdir(old_tmp), "aged orphan tmp not swept"
     assert not os.path.isdir(old_stale), "aged orphan stale not swept"
     assert os.path.isdir(young_tmp), "live-aged temp must not be touched"
+
+
+def test_driver_data_dir_never_receives_a_persisted_store(spark, corpus):
+    """The driver's /root/testdata is a dr-xr-xr-x tree, but the
+    engine runs as root, where os.access(dir, W_OK) is TRUE anyway —
+    the pre-r18 writability gate silently persisted the q48 index
+    beside the driver's parquet inputs (cross-run precomputation the
+    bench rules forbid, and measurably slower per run than the
+    in-session memoized store). The gate is now the PATH itself:
+    anything under /root/testdata builds in-session, loads nothing,
+    and writes nothing."""
+    import os
+
+    from distributed_stream_processing_spark.plans.olap_plans import (
+        _load_or_build_sim_store,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    assert os.path.isdir(sf_dir), "driver fixture dir missing"
+    stored = corpus.filter(F.col("id") >= 30)
+    store = _load_or_build_sim_store(spark, sf_dir, stored, T)
+    assert store.sig_store.count() > 0
+    leftovers = [n for n in os.listdir(sf_dir) if n.startswith("q48store")]
+    assert leftovers == [], f"store persisted under driver data: {leftovers}"

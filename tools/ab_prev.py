@@ -223,6 +223,17 @@ def run_ab(
             "rev": rev[:8],
         }
     finally:
+        # a PREV-engine leg built from a pre-r18 rev persists its q48
+        # index beside the driver's parquet inputs (the os.access(W_OK)
+        # bug fixed in olap_plans this round runs as root, where the
+        # check is always true) — sweep it so an A/B invocation leaves
+        # no cross-run precomputation under the data dir
+        for leftover in ("q48store",) + tuple(
+            n
+            for n in (os.listdir(sf_dir) if os.path.isdir(sf_dir) else ())
+            if n.startswith(("q48store.tmp.", "q48store.stale."))
+        ):
+            shutil.rmtree(os.path.join(sf_dir, leftover), ignore_errors=True)
         subprocess.run(
             ["git", "-C", REPO, "worktree", "remove", "--force", wt],
             capture_output=True,
