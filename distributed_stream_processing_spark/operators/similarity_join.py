@@ -906,10 +906,46 @@ def dima_similarity_join(
         )
     if candidates_only:
         return pair_ids
-    averify = left.select(F.col("id").alias("a_id"), F.col("tokens").alias("a_tokens"))
-    bverify = right.select(F.col("id").alias("b_id"), F.col("tokens").alias("b_tokens"))
-    cands = pair_ids.join(averify, "a_id").join(bverify, "b_id")
-    inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
+    # verification payload: dictionary bitmasks when the vocabulary is
+    # small (same auto-switch similarity_join and minhash_lsh_dedup
+    # use — exact either way). The general array path's per-pair
+    # array_intersect over string arrays is ~40 CPU-ms-scale work x
+    # 1.4M candidates on the dense sf0.1 fixture AND is the codegen
+    # span this round measured sporadically deoptimizing (identical
+    # runs at 27 s vs 1,216 s stage CPU); one bit_count(a&b) per pair
+    # is ~100x cheaper and shuffles 8 bytes instead of the arrays
+    # (r18 optimization round; guide §2.3 narrower types).
+    mapping = (
+        token_bitmask_dict(left)
+        if self_join
+        else token_bitmask_dict(left, right)
+    )
+    if mapping is not None:
+        rep = _mask_col(mapping)
+        averify = left.select(
+            F.col("id").alias("a_id"),
+            F.size("tokens").alias("a_vsz"),
+            rep.alias("a_rep"),
+        )
+        bverify = right.select(
+            F.col("id").alias("b_id"),
+            F.size("tokens").alias("b_vsz"),
+            rep.alias("b_rep"),
+        )
+        cands = pair_ids.join(averify, "a_id").join(bverify, "b_id")
+        inter = F.bit_count(F.col("a_rep").bitwiseAND(F.col("b_rep"))).cast(
+            "bigint"
+        )
+        uni = (F.col("a_vsz") + F.col("b_vsz") - inter).cast("bigint")
+    else:
+        averify = left.select(
+            F.col("id").alias("a_id"), F.col("tokens").alias("a_tokens")
+        )
+        bverify = right.select(
+            F.col("id").alias("b_id"), F.col("tokens").alias("b_tokens")
+        )
+        cands = pair_ids.join(averify, "a_id").join(bverify, "b_id")
+        inter, uni = jaccard_parts(F.col("a_tokens"), F.col("b_tokens"))
     return (
         cands.withColumn("inter", inter.cast("bigint"))
         .withColumn("uni", uni.cast("bigint"))
