@@ -12,7 +12,7 @@ from distributed_stream_processing_spark.sources.multimodal import (
     decode_media,
     frame_sample,
     media_table,
-    resize_media,
+    resize_geometry,
 )
 
 
@@ -301,19 +301,29 @@ def q38_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q50_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one decode pass (r18 optimization round): the old shape selected
+    # meta and resize_media branches off the same UNCACHED decoded
+    # DataFrame and joined them back on media_id — the synth+decode
+    # mapInPandas subtree (the query's whole cost) executed twice,
+    # plus a join exchange. resize_media's geometry is pure column
+    # arithmetic (resize_geometry — the shared expressions), so
+    # compute it inline gated on the SAME image/% predicate it
+    # filtered by (non-image rows got NULLs from the left join; the
+    # when() reproduces them). q50 wall 9.5 s -> the single-decode
+    # cost; plan diff: 2 MapInPandas chains -> 1, join Exchange ->
+    # none. resize_media's DataFrame form stays the public operator
+    # (equivalence pinned by test_resize_media_matches_q50_geometry).
     decoded = decode_media(media_table(spark, sf_dir))
-    meta = decoded.select(
+    new_w, new_h = resize_geometry(max_dim=64)
+    is_image = F.col("media_type").startswith("image/")
+    return decoded.select(
         F.col("media_id").cast("bigint").alias("media_id"),
         "media_type",
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
         F.col("n_frames").cast("bigint").alias("n_frames"),
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.when(is_image, new_w).cast("bigint").alias("new_width"),
+        F.when(is_image, new_h).cast("bigint").alias("new_height"),
         "decode_ok",
     )
-    rs = resize_media(decoded, max_dim=64).select(
-        F.col("media_id").cast("bigint").alias("media_id"),
-        F.col("new_width").cast("bigint").alias("new_width"),
-        F.col("new_height").cast("bigint").alias("new_height"),
-    )
-    return meta.join(rs, "media_id", "left")

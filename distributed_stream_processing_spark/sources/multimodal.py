@@ -559,6 +559,24 @@ def decode_media(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
+def resize_geometry(max_dim: int = 64):
+    """(new_width, new_height) column expressions of the
+    aspect-preserving resize: integer target dimensions such that
+    max(new_w, new_h) == max_dim, never upscaled, floor with a
+    1-pixel minimum (a 1xN strip keeps at least one pixel). Shared by
+    resize_media and the q50 single-pass plan — pure column
+    arithmetic over (width, height), SQL-reproducible."""
+    longest = F.greatest("width", "height")
+    scale = F.least(F.lit(1.0), F.lit(max_dim) / longest)
+    new_w = F.greatest(
+        F.lit(1), F.floor(F.col("width") * scale).cast("int")
+    )
+    new_h = F.greatest(
+        F.lit(1), F.floor(F.col("height") * scale).cast("int")
+    )
+    return new_w, new_h
+
+
 def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
     """Aspect-preserving resize plan for image media: integer target
     dimensions such that max(new_w, new_h) == max_dim (never
@@ -566,20 +584,14 @@ def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
     SQL-reproducible — folded into q50's gate); the pixel resampling
     itself belongs in the decode UDF slot with PIL, which this
     container lacks (same stub contract as decode_media)."""
-    longest = F.greatest("width", "height")
-    scale = F.least(F.lit(1.0), F.lit(max_dim) / longest)
+    new_w, new_h = resize_geometry(max_dim)
     return decoded.filter(F.col("media_type").startswith("image/")).select(
         "media_id",
         "media_type",
         "width",
         "height",
-        # floor, minimum 1: a 1xN strip keeps at least one pixel
-        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias(
-            "new_width"
-        ),
-        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias(
-            "new_height"
-        ),
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
     )
 
 

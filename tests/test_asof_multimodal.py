@@ -520,3 +520,38 @@ def test_real_decode_through_spark_pipeline(spark):
     assert (got[4].width, got[4].height) == (16, 16)
     # constant even level 100 round-trips bit-exactly -> feature bytes 100
     assert [round(f * 128 + 128) for f in got[4].feature] == [100] * 8
+
+
+def test_resize_media_matches_q50_geometry(spark, sf_smoke):
+    """q50 computes the resize geometry inline in its single decode
+    pass (r18: the old meta-join-resize shape executed the decode
+    subtree twice); resize_media stays the public operator. Both must
+    come from resize_geometry — pinned by comparing the operator's
+    output against the when(image)-gated inline columns on the same
+    decoded rows."""
+    from distributed_stream_processing_spark.sources.multimodal import (
+        resize_geometry,
+        resize_media,
+    )
+
+    decoded = decode_media(media_table(spark, sf_smoke)).cache()
+    try:
+        op = {
+            (r.media_id, r.new_width, r.new_height)
+            for r in resize_media(decoded, max_dim=64).collect()
+        }
+        new_w, new_h = resize_geometry(max_dim=64)
+        is_image = F.col("media_type").startswith("image/")
+        inline = {
+            (r.media_id, r.new_width, r.new_height)
+            for r in decoded.select(
+                "media_id",
+                F.when(is_image, new_w).alias("new_width"),
+                F.when(is_image, new_h).alias("new_height"),
+            )
+            .filter(is_image)
+            .collect()
+        }
+        assert op == inline and len(op) > 0
+    finally:
+        decoded.unpersist()
