@@ -465,11 +465,38 @@ def duplicate_clusters(
         )
         .distinct()
     )
-    labels = ids.select(F.col("id").cast("bigint").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    all_ids = ids.select(F.col("id").cast("bigint").alias("id")).distinct()
+    # iterate over ACTIVE nodes only (r18 optimization round, guide
+    # §2.3): a node with no edge is a singleton whose label never
+    # changes, yet the old loop shuffled every corpus id through the
+    # hook groupBy + two jumps EVERY round — O(corpus) per round for a
+    # dup graph orders of magnitude smaller (the 100 TB regime: pair
+    # volume grows ~linearly while the corpus is billions of docs).
+    # Active = edge endpoints ∩ ids, so label dynamics are IDENTICAL:
+    # hook candidates always came from labels of edge endpoints, and
+    # endpoints outside ``ids`` were dropped by the merged inner join
+    # (both behaviors preserved); singletons rejoin at the end with
+    # cluster_id = id, exactly what the old loop computed for them.
+    active = all_ids.join(
+        edges.select(F.col("u").alias("id")).distinct(), "id", "left_semi"
     )
-    n_part = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    labels = active.select("id", F.col("id").alias("label"))
+    conf = ids.sparkSession.conf
+    n_part = int(conf.get("spark.sql.shuffle.partitions"))
     edges = edges.localCheckpoint(eager=False)
+    # SIZE-ADAPTIVE loop partitioning (guide §2): the rounds'
+    # localCheckpoint plans compile AQE-off, so their ~10 exchanges
+    # per round all run at the session's shuffle-partition count —
+    # 32 x multi-stage task launches per round over a few thousand
+    # active rows at test scale (measured 2-6 s/round of pure task
+    # overhead). Derive the loop's width from the measured active-set
+    # size instead (~100k rows per task of 16-byte label rows),
+    # capped at the session conf so a cluster-scale graph still uses
+    # the cluster's width; the conf is mutated only around the loop's
+    # in-round actions and restored before the corpus-sized final
+    # join below plans.
+    n_active = active.count()
+    loop_parts = max(1, min(n_part, -(-n_active // 100_000)))
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -505,8 +532,13 @@ def duplicate_clusters(
             F.col("new_label").alias("label"),
             (F.col("new_label") != F.col("label")).alias("changed"),
         )
-        merged = merged.coalesce(n_part).localCheckpoint(eager=False)
-        changed = merged.filter(F.col("changed")).limit(1).count()
+        merged = merged.coalesce(loop_parts).localCheckpoint(eager=False)
+        orig_parts = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            changed = merged.filter(F.col("changed")).limit(1).count()
+        finally:
+            conf.set("spark.sql.shuffle.partitions", orig_parts)
         labels = merged.select("id", "label")
         if changed == 0:
             break
@@ -516,10 +548,13 @@ def duplicate_clusters(
         )
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
+    # singletons (ids with no edge) rejoin here: converged labels are
+    # one row per ACTIVE node and broadcast-sized relative to the
+    # corpus, so the corpus-sized side is never shuffled
+    return all_ids.join(labels, "id", "left").select(
         "id",
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("keep"),
+        F.coalesce("label", "id").alias("cluster_id"),
+        (F.col("id") == F.coalesce("label", "id")).alias("keep"),
     )
 
 
