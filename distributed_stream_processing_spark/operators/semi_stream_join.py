@@ -203,9 +203,14 @@ class SemiStreamJoin:
         # lineage to re-execute; every consumer scans its blocks.
         # toDF gives each batch's leaf fresh output ids (all fetch
         # leaves would otherwise inherit the store's).
-        if self.fetcher is not None:
-            fetch_in = self.fetcher.fetch(missed_keys)
-        else:
+        # a fetcher may DECLINE (return None — AutoFetcher's scan pick
+        # with no delegate): the pipeline then runs its inline default
+        fetch_in = (
+            self.fetcher.fetch(missed_keys)
+            if self.fetcher is not None
+            else None
+        )
+        if fetch_in is None:
             fetch_in = self.store.join(
                 F.broadcast(missed_keys), k, "left_semi"
             )
@@ -497,6 +502,7 @@ def run_semi_stream_join(
     initial_cache: DataFrame | None = None,
     controller: AdaptiveCacheController | None = None,
     admit_below_freq: int | None = None,
+    fetcher: object | None = None,
 ) -> DataFrame:
     """Replay ``stream_table`` through the cached semi-stream join and
     return the union of per-batch outputs (cache-transparent: equals
@@ -507,6 +513,7 @@ def run_semi_stream_join(
         initial_cache=initial_cache,
         controller=controller or AdaptiveCacheController(),
         admit_below_freq=admit_below_freq,
+        fetcher=fetcher,
     )
     outs = []
     for batch_id, batch in replay_in_batches(

@@ -759,9 +759,14 @@ class SemiStreamSimilarityJoin:
         # 20 -> 1053 over seven batches on the equi twin). A leaf has
         # no lineage to re-execute; toDF gives each batch's leaf fresh
         # output ids.
-        if self.fetcher is not None:
-            fetch_in = self.fetcher.fetch(missed_keys)
-        else:
+        # a fetcher may DECLINE (return None — AutoFetcher's scan pick
+        # with no delegate): the pipeline then runs its inline default
+        fetch_in = (
+            self.fetcher.fetch(missed_keys)
+            if self.fetcher is not None
+            else None
+        )
+        if fetch_in is None:
             fetch_in = (
                 self.kv_store.join(F.broadcast(missed_keys), _KEY, "left_semi")
                 .select("sk", F.explode("rows").alias("r"))
@@ -1065,6 +1070,7 @@ def run_semi_stream_similarity(
     n_batches: int = 3,
     controller: AdaptiveCacheController | None = None,
     artifacts: SimilarityStore | None = None,
+    fetcher: object | None = None,
 ) -> DataFrame:
     """Replay (id, tokens) stream docs through the signature-cached
     similarity join; union of batch outputs == one-shot join. Pass
@@ -1075,6 +1081,7 @@ def run_semi_stream_similarity(
         threshold=threshold,
         controller=controller or AdaptiveCacheController(),
         artifacts=artifacts,
+        fetcher=fetcher,
     )
     outs = []
     for b in range(n_batches):

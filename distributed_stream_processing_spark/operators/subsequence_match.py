@@ -1227,8 +1227,15 @@ def dtw_cascade_batch(
     res = np.full(n, np.inf)
     if n == 0:
         return res
-    # LB_Kim endpoint hierarchy (full sum; prune decision identical)
-    kim = (X[:, 0] - q[0]) ** 2 + (X[:, m - 1] - q[m - 1]) ** 2
+    # LB_Kim endpoint hierarchy (full sum; prune decision identical).
+    # m < 2 mirrors the scalar _lb_kim's 0.0 guard (ADVICE r18): the
+    # endpoint sum below would double-count the single element of a
+    # one-point query and falsely prune windows with eps2/2 < d2 <= eps2
+    kim = (
+        np.zeros(n)
+        if m < 2
+        else (X[:, 0] - q[0]) ** 2 + (X[:, m - 1] - q[m - 1]) ** 2
+    )
     if m >= 6:
         kim = kim + np.minimum(
             np.minimum((X[:, 1] - q[0]) ** 2, (X[:, 0] - q[1]) ** 2),
@@ -1457,30 +1464,70 @@ def subsequence_match_znorm(
     if m == 0:
         raise ValueError("empty query")
     qn = (q - q.mean()) / (q.std() if q.std() > 0 else 1.0)
+    sqn, sqq = float(qn.sum()), float(np.dot(qn, qn))
     eps2 = epsilon * epsilon
 
     def gen(batches):
         import pandas as pdl
 
+        empty = pdl.DataFrame({"start": [], "dist": []}).astype(
+            {"start": "int64", "dist": "float64"}
+        )
         for pdf in batches:
             for cid, grp in pdf.groupby("chunk_id"):
                 grp = grp.sort_values("pos")
                 pos = grp["pos"].to_numpy()
                 val = grp["value"].to_numpy(dtype=np.float64)
                 base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
-                outs, outd = [], []
-                for s in range(len(val) - m + 1):
-                    st = pos[s]
-                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
-                        continue
-                    x = val[s : s + m]
-                    sd = x.std()
-                    xn = (x - x.mean()) / (sd if sd > 0 else 1.0)
-                    d2 = float(np.dot(xn - qn, xn - qn))
-                    if d2 <= eps2:
-                        outs.append(st)
-                        outd.append(round(math.sqrt(d2), 6))
-                yield pdl.DataFrame({"start": outs, "dist": outd})
+                if len(val) < m:
+                    yield empty
+                    continue
+                # batched over the window axis (r19, guide §4.2 — the
+                # same rewrite 55b2d79 gave the q31 DTW verify): the
+                # per-window interpreted loop cost ~0.9 ms/window;
+                # these are ~2m numpy ops over the whole chunk.
+                # Ownership/gap checks are the scalar loop's two
+                # (strictly increasing int positions: endpoint
+                # equality implies the window is gap-free).
+                starts = pos[: len(val) - m + 1]
+                own = (
+                    (starts >= base)
+                    & (starts < hi)
+                    & (pos[m - 1 :] == starts + m - 1)
+                )
+                idx = np.flatnonzero(own)
+                if not len(idx):
+                    yield empty
+                    continue
+                # per-window moments + one BLAS matmul instead of
+                # materializing normalized windows: with population
+                # std, Σxn² = m and Σxn·qn = (Σx·qn − μ·Σqn)/σ, so
+                # d² = m − 2·Σxn·qn + Σqn² (σ = 0 → xn = 0 → d² =
+                # Σqn²) — the same closed form the exact integer-sum
+                # path evaluates, here on float moments (agrees with
+                # the scalar loop to ~1e-11 abs; both round to 6dp)
+                X = np.lib.stride_tricks.sliding_window_view(val, m)[idx]
+                mu = X.sum(axis=1) / m
+                var = np.maximum(
+                    np.einsum("ij,ij->i", X, X) / m - mu * mu, 0.0
+                )
+                sd = np.sqrt(var)
+                pos_sd = sd > 0
+                sxq = X @ qn
+                d2 = np.where(
+                    pos_sd,
+                    m
+                    - 2.0 * (sxq - mu * sqn) / np.where(pos_sd, sd, 1.0)
+                    + sqq,
+                    sqq,
+                )
+                hit = d2 <= eps2
+                yield pdl.DataFrame(
+                    {
+                        "start": starts[idx][hit].astype("int64"),
+                        "dist": np.round(np.sqrt(d2[hit]), 6),
+                    }
+                )
 
     return (
         _chunked(series, m, 0, chunk)
@@ -1517,34 +1564,81 @@ def subsequence_match_cnsm(
     eps2 = epsilon * epsilon
     a_lo, a_hi = 1.0 / alpha, alpha
 
+    qm = float(q.mean())
+    sqc = float(qc.sum())
+    sq_raw, sqq_raw = float(q.sum()), float(np.dot(q, q))
+
     def gen(batches):
         import pandas as pdl
 
+        empty = pdl.DataFrame(
+            {"start": [], "dist": [], "alpha": [], "beta": []}
+        ).astype(
+            {
+                "start": "int64",
+                "dist": "float64",
+                "alpha": "float64",
+                "beta": "float64",
+            }
+        )
         for pdf in batches:
             for cid, grp in pdf.groupby("chunk_id"):
                 grp = grp.sort_values("pos")
                 pos = grp["pos"].to_numpy()
                 val = grp["value"].to_numpy(dtype=np.float64)
                 base, hi = int(cid) * chunk, (int(cid) + 1) * chunk
-                outs, outd, outa, outb = [], [], [], []
-                for s in range(len(val) - m + 1):
-                    st = pos[s]
-                    if st < base or st >= hi or pos[s + m - 1] != st + m - 1:
-                        continue
-                    x = val[s : s + m]
-                    xm = x.mean()
-                    a = float(np.dot(x - xm, qc) / qvar) if qvar > 0 else 1.0
-                    a = min(max(a, a_lo), a_hi)
-                    b = min(max(xm - a * q.mean(), -beta), beta)
-                    r = x - (a * q + b)
-                    d2 = float(np.dot(r, r))
-                    if d2 <= eps2:
-                        outs.append(st)
-                        outd.append(round(math.sqrt(d2), 6))
-                        outa.append(round(a, 6))
-                        outb.append(round(b, 6))
+                if len(val) < m:
+                    yield empty
+                    continue
+                # batched over the window axis (r19, guide §4.2): the
+                # clamped least-squares fit is one matmul + O(m)
+                # vector ops for the whole chunk instead of a
+                # ~0.9 ms/window interpreted loop
+                starts = pos[: len(val) - m + 1]
+                own = (
+                    (starts >= base)
+                    & (starts < hi)
+                    & (pos[m - 1 :] == starts + m - 1)
+                )
+                idx = np.flatnonzero(own)
+                if not len(idx):
+                    yield empty
+                    continue
+                # per-window moments + two BLAS matmuls instead of
+                # materializing residual windows: a = (Σx·qc − x̄·Σqc)
+                # / Σqc², and the residual expands in the window's
+                # raw moments — d² = Σx² − 2aΣxq − 2bΣx + a²Σq² +
+                # 2abΣq + m·b² (the same expansion the exact
+                # integer-sum path evaluates; agrees with the scalar
+                # loop to ~1e-9 abs, both round to 6dp)
+                X = np.lib.stride_tricks.sliding_window_view(val, m)[idx]
+                sx = X.sum(axis=1)
+                xm = sx / m
+                if qvar > 0:
+                    a = (X @ qc - xm * sqc) / qvar
+                else:
+                    a = np.ones(len(idx))
+                a = np.clip(a, a_lo, a_hi)
+                b = np.clip(xm - a * qm, -beta, beta)
+                sxx = np.einsum("ij,ij->i", X, X)
+                sxq = X @ q
+                d2 = np.maximum(
+                    sxx
+                    - 2.0 * a * sxq
+                    - 2.0 * b * sx
+                    + a * a * sqq_raw
+                    + 2.0 * a * b * sq_raw
+                    + m * b * b,
+                    0.0,
+                )
+                hit = d2 <= eps2
                 yield pdl.DataFrame(
-                    {"start": outs, "dist": outd, "alpha": outa, "beta": outb}
+                    {
+                        "start": starts[idx][hit].astype("int64"),
+                        "dist": np.round(np.sqrt(d2[hit]), 6),
+                        "alpha": np.round(a[hit], 6),
+                        "beta": np.round(b[hit], 6),
+                    }
                 )
 
     return (

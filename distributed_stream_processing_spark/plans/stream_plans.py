@@ -39,6 +39,15 @@ from distributed_stream_processing_spark.sources.stream import (
     ),
 )
 def q33_semi_stream_cached_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_stream_processing_spark.sources.fetcher import (
+        AutoFetcher,
+        parquet_clustered_on,
+        path_bytes,
+    )
+    from distributed_stream_processing_spark.streaming.cache_controller import (
+        AdaptiveCacheController,
+    )
+
     cat = Catalog(spark, sf_dir)
     stream = cat.lineitem.select(
         F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
@@ -49,6 +58,27 @@ def q33_semi_stream_cached_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "l_partkey"
     )
     initial_cache = store.filter(F.col("p_retailprice") < 1200.0)
+    # live fetch policy (r19, VERDICT r18 task 2): the measured
+    # crossover rule picks the miss-fetch shape PER BATCH — the
+    # store's physical facts (bytes, key-clustering) come from the
+    # parquet footers, the expected miss volume from the controller's
+    # last observed batch. At sf scale the store is memory-resident,
+    # so warm batches with misses above the threshold keep the scan
+    # semi-join; once the cache has warmed and misses collapse below
+    # it, the fetch becomes the keyed pushdown (WHERE l_partkey IN
+    # (...) reaching the scan as PushedFilters: In(p_partkey, ...)) —
+    # the 100 TB-store shape, exercised in the declared path.
+    ctl = AdaptiveCacheController()
+    store_path = f"{cat.sf_dir}/part.parquet"
+    fetcher = AutoFetcher(
+        source=store,
+        key="l_partkey",
+        store_bytes=path_bytes(store_path),
+        key_clustered=parquet_clustered_on(store_path, "p_partkey"),
+        miss_signal=lambda: (
+            ctl.history[-1].n_miss if ctl.history else None
+        ),
+    )
     return run_semi_stream_join(
         stream_table=stream,
         store=store,
@@ -57,6 +87,8 @@ def q33_semi_stream_cached_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches=4,
         bucket_col="l_orderkey",
         initial_cache=initial_cache,
+        controller=ctl,
+        fetcher=fetcher,
     )
 
 

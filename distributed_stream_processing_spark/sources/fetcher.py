@@ -126,6 +126,93 @@ def host_memory_bytes() -> int:
         return 64 << 30
 
 
+def pushdown_applies(
+    *,
+    store_bytes: int,
+    key_clustered: bool,
+    memory_bytes: int,
+    expected_misses: int | None,
+) -> bool:
+    """The crossover DECISION shared by auto_fetcher (one-shot pick)
+    and AutoFetcher (per-batch re-pick): pushdown iff the source is
+    key-clustered AND (the store outgrows memory, or the expected miss
+    set is small enough that the keyed lookup beats even the warm
+    scan). See auto_fetcher's docstring for the measurements."""
+    return key_clustered and (
+        store_bytes > memory_bytes
+        or (
+            expected_misses is not None
+            and expected_misses <= SMALL_MISS_THRESHOLD
+        )
+    )
+
+
+def path_bytes(path: str) -> int:
+    """Total bytes under ``path`` (file or directory) — the policy's
+    ``store_bytes`` input for file-backed stores."""
+    import os as _os
+
+    if _os.path.isfile(path):
+        return _os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for fn in files:
+            try:
+                total += _os.path.getsize(_os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def parquet_clustered_on(path: str, col: str) -> bool:
+    """Whether the parquet data under ``path`` is physically CLUSTERED
+    on ``col``: every row group carries min/max stats for the column
+    and the (min, max) ranges are pairwise non-overlapping once sorted
+    by min — the condition under which a pushed ``In`` filter actually
+    prunes row groups instead of re-reading the whole store. Footer
+    metadata only (driver-side, milliseconds); any missing stats or
+    unreadable file answers False (the conservative side: the policy
+    then keeps the scan fetch)."""
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:
+        return False
+    if _os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+        for root, _dirs, fns in _os.walk(path):
+            files += [
+                _os.path.join(root, f) for f in fns if f.endswith(".parquet")
+            ]
+    if not files:
+        return False
+    ranges = []
+    try:
+        for f in files:
+            pf = _pq.ParquetFile(f)
+            names = pf.schema_arrow.names
+            if col not in names:
+                return False
+            ci = names.index(col)
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                if st is None or st.min is None or st.max is None:
+                    return False
+                ranges.append((st.min, st.max))
+    except Exception:
+        return False
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        # a key shared at the boundary (lo2 == hi) still prunes; a
+        # strict overlap means interleaved keys — not clustered
+        if lo2 < hi:
+            return False
+    return True
+
+
 def auto_fetcher(
     source: DataFrame,
     key: str,
@@ -160,12 +247,77 @@ def auto_fetcher(
     of each boundary are pinned by tests/test_fetch_seam.py."""
     if memory_bytes is None:
         memory_bytes = host_memory_bytes()
-    if key_clustered and (
-        store_bytes > memory_bytes
-        or (
-            expected_misses is not None
-            and expected_misses <= SMALL_MISS_THRESHOLD
-        )
+    if pushdown_applies(
+        store_bytes=store_bytes,
+        key_clustered=key_clustered,
+        memory_bytes=memory_bytes,
+        expected_misses=expected_misses,
     ):
         return PushdownKeyedFetcher(source, key, max_keys=max_keys)
     return SemiScanFetcher(source, key)
+
+
+@dataclass
+class AutoFetcher:
+    """The crossover rule LIVE in a pipeline, re-evaluated PER BATCH
+    (VERDICT r18 task 2): ``auto_fetcher`` picks once at wiring time,
+    but the rule's ``expected_misses`` input is a per-batch signal —
+    a stream's miss volume collapses after the cache warms, which is
+    exactly when the keyed pushdown starts beating the warm scan.
+
+    ``miss_signal`` supplies the expectation before each fetch (the
+    pipelines pass the controller's last observed ``n_miss``; None =
+    no signal yet, e.g. batch 0). ``default_fetcher`` is the
+    pipeline's own scan-side shape when the policy picks the scan;
+    when omitted, ``fetch`` returns **None** on a scan pick and the
+    pipeline falls back to its INLINE default (the similarity
+    pipeline's kv-directory fetch — both pipelines honor the
+    None-decline). ``source`` may be None (no keyed external
+    collection available — e.g. an in-session store): the policy then
+    always declines/delegates. ``chosen`` records
+    (impl, expected_misses) per batch for tests and diagnostics."""
+
+    source: DataFrame | None
+    key: str
+    store_bytes: int = 0
+    key_clustered: bool = False
+    memory_bytes: int | None = None
+    max_keys: int = 1_000_000
+    miss_signal: object | None = None  # callable () -> int | None
+    default_fetcher: object | None = None
+    # True = a scan pick always DECLINES (returns None) so the
+    # pipeline's inline default runs — for pipelines whose scan shape
+    # is not a flat semi-join (the similarity kv-directory fetch)
+    scan_declines: bool = False
+    chosen: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.memory_bytes is None:
+            self.memory_bytes = host_memory_bytes()
+        self._pushdown = (
+            PushdownKeyedFetcher(self.source, self.key, max_keys=self.max_keys)
+            if self.source is not None
+            else None
+        )
+        if (
+            self.default_fetcher is None
+            and self.source is not None
+            and not self.scan_declines
+        ):
+            self.default_fetcher = SemiScanFetcher(self.source, self.key)
+
+    def fetch(self, missed_keys: DataFrame) -> DataFrame | None:
+        expected = self.miss_signal() if self.miss_signal else None
+        use_pushdown = self._pushdown is not None and pushdown_applies(
+            store_bytes=self.store_bytes,
+            key_clustered=self.key_clustered,
+            memory_bytes=self.memory_bytes,
+            expected_misses=expected,
+        )
+        if use_pushdown:
+            self.chosen.append(("pushdown", expected))
+            return self._pushdown.fetch(missed_keys)
+        self.chosen.append(("scan", expected))
+        if self.default_fetcher is None:
+            return None  # decline: pipeline runs its inline default
+        return self.default_fetcher.fetch(missed_keys)

@@ -136,6 +136,50 @@ def test_cascade_on_planted_random_walk():
     assert counters["kim_pruned"] > 0.9 * (n - m + 1 - keogh_only)
 
 
+def test_batch_cascade_matches_scalar_for_single_point_query():
+    """m == 1 endpoint guard (ADVICE r18): the batched LB_Kim summed
+    (x0-q0)^2 twice for a one-point query — a window with
+    eps2/2 < d2 <= eps2 was falsely pruned while the scalar cascade
+    (via _lb_kim's m < 2 -> 0.0) kept it. Batch must equal scalar for
+    every window at m in {1, 2}."""
+    from distributed_stream_processing_spark.operators.subsequence_match import (
+        dtw_cascade_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = np.round(rng.randn(50), 2)
+    for m in (1, 2):
+        q = arr[3 : 3 + m].copy()
+        rho, eps = 0, 1.0
+        eps2 = eps * eps
+        lo_env, hi_env = envelopes(q, rho)
+        X = np.lib.stride_tricks.sliding_window_view(arr, m)
+        ser = pd.Series(arr)
+        u_env = ser.rolling(2 * rho + 1, min_periods=1, center=True).max().to_numpy()
+        l_env = ser.rolling(2 * rho + 1, min_periods=1, center=True).min().to_numpy()
+        WL = np.lib.stride_tricks.sliding_window_view(l_env, m)
+        WU = np.lib.stride_tricks.sliding_window_view(u_env, m)
+        got = dtw_cascade_batch(
+            np.ascontiguousarray(X), q, rho, eps2, lo_env, hi_env, WL, WU
+        )
+        for s in range(len(X)):
+            want = dtw_cascade_dist(
+                X[s], q, rho, eps2, lo_env, hi_env, WL[s], WU[s]
+            )
+            if math.isfinite(want):
+                assert got[s] == want, (m, s)
+            else:
+                assert not math.isfinite(got[s]), (m, s)
+        # the regression shape itself: at m=1 a window with
+        # eps2/2 < (x-q)^2 <= eps2 must survive
+        if m == 1:
+            mid = np.flatnonzero(
+                ((X[:, 0] - q[0]) ** 2 > eps2 / 2)
+                & ((X[:, 0] - q[0]) ** 2 <= eps2)
+            )
+            assert len(mid) > 0 and np.isfinite(got[mid]).all()
+
+
 def test_cascade_prunes_more_than_keogh_alone():
     """Strictly fewer full-DTW evaluations than query-side LB_Keogh
     alone: near-constant windows sit inside an oscillating query's

@@ -200,3 +200,86 @@ def test_auto_fetcher_selected_pushdown_is_wired(spark, tmp_path):
     assert rows == [(5, 15), (500, 1500)]
     plan = f.fetch(keys)._jdf.queryExecution().executedPlan().toString()
     assert "In(k" in plan
+
+
+def test_auto_fetcher_per_batch_flip_is_transparent(spark, tmp_path):
+    """AutoFetcher LIVE in the equi pipeline (VERDICT r18 task 2):
+    batch 0 has no miss signal -> scan; once the controller reports a
+    small miss volume, the next batch's fetch flips to the keyed
+    pushdown — and the pipeline output stays cache-transparent across
+    the flip."""
+    from distributed_stream_processing_spark.sources.fetcher import (
+        AutoFetcher,
+        parquet_clustered_on,
+        path_bytes,
+    )
+    from distributed_stream_processing_spark.streaming.cache_controller import (
+        AdaptiveCacheController,
+    )
+
+    src_path = str(tmp_path / "auto_flip.parquet")
+    spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).coalesce(1).write.parquet(src_path)
+    source = spark.read.parquet(src_path)
+    ctl = AdaptiveCacheController()
+    fetcher = AutoFetcher(
+        source=source,
+        key="k",
+        store_bytes=path_bytes(src_path),
+        key_clustered=parquet_clustered_on(src_path, "k"),
+        miss_signal=lambda: (ctl.history[-1].n_miss if ctl.history else None),
+    )
+    j = SemiStreamJoin(store=source, key="k", controller=ctl, fetcher=fetcher)
+    b0 = spark.range(0, 400).withColumnRenamed("id", "k")
+    b1 = spark.range(200, 600).withColumnRenamed("id", "k")
+    out0 = sorted(j.process_batch(b0, 0).collect())
+    out1 = sorted(j.process_batch(b1, 1).collect())
+    assert out0 == sorted(b0.join(source, "k").collect())
+    assert out1 == sorted(b1.join(source, "k").collect())
+    j.close()
+    impls = [c[0] for c in fetcher.chosen]
+    # batch 0: no signal yet -> scan; batch 1: last n_miss=400 <=
+    # SMALL_MISS_THRESHOLD on a clustered memory-resident store ->
+    # pushdown
+    assert impls == ["scan", "pushdown"], fetcher.chosen
+    assert fetcher._pushdown.pushed_counts == [200]
+
+
+def test_auto_fetcher_scan_declines_to_pipeline_default(spark):
+    """With scan_declines (the similarity pipeline's wiring) a scan
+    pick returns None and the pipeline runs its inline kv-directory
+    default — output identical to the unfetchered pipeline."""
+    from distributed_stream_processing_spark.operators.semi_stream_similarity import (
+        SemiStreamSimilarityJoin,
+        build_similarity_store,
+    )
+    from distributed_stream_processing_spark.sources.fetcher import AutoFetcher
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} "
+                f"tok{(i + 3) % 7} w{i}")
+            for i in range(60)
+        ],
+        "id long, text string",
+    ).select("id", F.split("text", " ").alias("tokens"))
+    stored = docs.filter(F.col("id") % 3 != 0)
+    stream = docs.filter(F.col("id") % 3 == 0)
+    t = Fraction(1, 2)
+    store = build_similarity_store(stored, t)
+    fetcher = AutoFetcher(
+        source=None, key="sk", key_clustered=False, scan_declines=True
+    )
+    j_auto = SemiStreamSimilarityJoin(
+        threshold=t, artifacts=store, fetcher=fetcher
+    )
+    j_def = SemiStreamSimilarityJoin(threshold=t, artifacts=store)
+    for b in range(2):
+        batch = stream.filter(F.col("id") % 2 == b)
+        out_auto = sorted(j_auto.process_batch(batch, b).collect())
+        out_def = sorted(j_def.process_batch(batch, b).collect())
+        assert out_auto == out_def, f"batch {b}: decline path diverged"
+    assert [c[0] for c in fetcher.chosen] == ["scan", "scan"]
+    j_auto.close()
+    j_def.close()

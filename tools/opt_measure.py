@@ -27,7 +27,9 @@ if REPO not in sys.path:
 from distributed_stream_processing_spark.plans import load_all  # noqa: E402
 from distributed_stream_processing_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = os.path.join(REPO, "plans", "r18")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("OPT_PLANS_ROUND", "r19")
+)
 
 
 def explain_str(df) -> str:
