@@ -28,6 +28,11 @@ from distributed_stream_processing_spark.functions.text import (
     md5_hash32_pair,
     md5_hash60,
 )
+from distributed_stream_processing_spark.operators.skew import bounded_broadcast
+from distributed_stream_processing_spark.streaming.checkpoint import (
+    lazy_local_checkpoint,
+    release_checkpoint,
+)
 
 # 31-bit Mersenne prime: with token hashes reduced mod P (< 2^31) and
 # a,b < 2^31, a*h+b < 2^62 stays exact in Spark's ANSI 64-bit math.
@@ -458,12 +463,23 @@ def duplicate_clusters(
     changed-count per round. ``stats`` (optional dict) receives
     ``{"rounds": n}`` for scale audits.
     """
-    edges = (
-        pairs.select(F.col("a_id").cast("bigint").alias("u"), F.col("b_id").cast("bigint").alias("v"))
-        .unionAll(
-            pairs.select(F.col("b_id").cast("bigint").alias("u"), F.col("a_id").cast("bigint").alias("v"))
-        )
-        .distinct()
+    # the PAIR list is checkpointed once and the symmetric edge view
+    # reads the leaf twice (r19): the detector's pair plan (minhash
+    # signatures, LSH bands, verify) is expensive, and the old shape
+    # re-ran it per direction AND per setup action. Duplicate edges
+    # are harmless — the hook is a min-aggregate, multiset-tolerant —
+    # so the edge list is NOT distinct'd (the old .distinct() was one
+    # more full shuffle+sort of E for no semantic effect; detector
+    # outputs are already deduped pairs).
+    pairs_pin = lazy_local_checkpoint(
+        pairs.select(
+            F.col("a_id").cast("bigint").alias("u"),
+            F.col("b_id").cast("bigint").alias("v"),
+        ),
+        cols=["u", "v"],
+    )
+    edges = pairs_pin.unionAll(
+        pairs_pin.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     all_ids = ids.select(F.col("id").cast("bigint").alias("id")).distinct()
     # iterate over ACTIVE nodes only (r18 optimization round, guide
@@ -480,29 +496,61 @@ def duplicate_clusters(
     active = all_ids.join(
         edges.select(F.col("u").alias("id")).distinct(), "id", "left_semi"
     )
-    labels = active.select("id", F.col("id").alias("label"))
     conf = ids.sparkSession.conf
     n_part = int(conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.localCheckpoint(eager=False)
-    # SIZE-ADAPTIVE loop partitioning (guide §2): the rounds'
-    # localCheckpoint plans compile AQE-off, so their ~10 exchanges
-    # per round all run at the session's shuffle-partition count —
-    # 32 x multi-stage task launches per round over a few thousand
-    # active rows at test scale (measured 2-6 s/round of pure task
-    # overhead). Derive the loop's width from the measured active-set
-    # size instead (~100k rows per task of 16-byte label rows),
-    # capped at the session conf so a cluster-scale graph still uses
-    # the cluster's width; the conf is mutated only around the loop's
-    # in-round actions and restored before the corpus-sized final
-    # join below plans.
+    # r19 loop rewrite (guide §§2.3, 2.4, 3.1; replaces the r18
+    # session-conf mutation ADVICE flagged as racy — which was also
+    # INERT where it mattered: the round's plain
+    # ``localCheckpoint(eager=False)`` resolves its final plan under
+    # AQE by EXECUTING the stages at call time, BEFORE the conf was
+    # set, so every in-round exchange still ran at session width).
+    # Measured at sf0.1 (3,879 active nodes but 5.9M edges — dense
+    # near-clique dup components): the per-round cost is O(EDGES),
+    # not O(active), so
+    #
+    # * every label-sized join side carries a size-gated broadcast
+    #   hint (bounded_broadcast on the driver-known n_active): the
+    #   per-round E-pass becomes one BroadcastHashJoin stream — no
+    #   shuffle and no SMJ sort of the edge list, at any E. Past the
+    #   1M-row gate the ladder degrades to shuffled-hash/SMJ, the
+    #   honest cluster-scale shapes.
+    # * the hook's groupBy keeps Spark's PARTIAL map-side aggregation
+    #   (no pre-repartition): the exchange carries <= n_active rows
+    #   per map task, not the raw E candidate rows (guide §2.3
+    #   "aggregate before you shuffle").
+    # * after each changed round the edge list is CONTRACTED onto the
+    #   new labels ((u,v) -> (label(u),label(v)), self-loops dropped,
+    #   distinct'd — exact: reachability over contracted edges
+    #   composes with the label map the jump step already maintains):
+    #   the sf0.1 graph collapses 5.9M -> 630 edges after round 0, so
+    #   later rounds are label-sized. Contraction stops once E fits
+    #   ~4x the active set (nothing left to win).
+    #
+    # Before/after (warm, local[32]): loop 19.6 s -> 8.0 s, identical
+    # output hash; per-round 4.3 s -> 0.5 s post-contraction.
     n_active = active.count()
-    loop_parts = max(1, min(n_part, -(-n_active // 100_000)))
+    label_parts = max(1, min(n_part, -(-n_active // 100_000)))
+    labels = lazy_local_checkpoint(
+        active.select("id", F.col("id").alias("label")).coalesce(
+            label_parts
+        ),
+        cols=["id", "label"],
+    )
+    labels_pin = labels  # the checkpoint holding labels' blocks
+    edges_pin = None  # set once the first contraction lands
+    contract_done = False
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         # hook: min label over the closed neighborhood
         nbr = edges.join(
-            labels.select(F.col("id").alias("v"), F.col("label").alias("nl")), "v"
+            bounded_broadcast(
+                labels.select(
+                    F.col("id").alias("v"), F.col("label").alias("nl")
+                ),
+                n_active,
+            ),
+            "v",
         ).select(F.col("u").alias("id"), F.col("nl").alias("cand"))
         hooked = (
             labels.select("id", F.col("label").alias("cand"))
@@ -514,40 +562,81 @@ def duplicate_clusters(
         # starts as the node's own id and each hook takes a min over
         # other nodes' labels), so the self-join always matches; the
         # left+coalesce is belt-and-braces for edges referencing ids
-        # absent from ``ids``.
+        # absent from ``ids``. (hooked appears on both sides, so its
+        # subtree computes twice per round — one extra E-pass only on
+        # the pre-contraction rounds, cheaper than checkpointing it.)
         jumped = (
             hooked.join(
-                hooked.select(
-                    F.col("id").alias("pid"), F.col("label").alias("plabel")
+                bounded_broadcast(
+                    hooked.select(
+                        F.col("id").alias("pid"),
+                        F.col("label").alias("plabel"),
+                    ),
+                    n_active,
                 ),
-                hooked.label == F.col("pid"),
+                F.col("label") == F.col("pid"),
                 "left",
             )
             .select(
                 "id", F.coalesce("plabel", "label").alias("new_label")
             )
         )
-        merged = labels.join(jumped, "id").select(
+        merged_in = labels.join(
+            bounded_broadcast(jumped, n_active), "id"
+        ).select(
             "id",
             F.col("new_label").alias("label"),
             (F.col("new_label") != F.col("label")).alias("changed"),
+        ).coalesce(label_parts)
+        merged = lazy_local_checkpoint(
+            merged_in, cols=["id", "label", "changed"]
         )
-        merged = merged.coalesce(loop_parts).localCheckpoint(eager=False)
-        orig_parts = conf.get("spark.sql.shuffle.partitions")
-        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        try:
-            changed = merged.filter(F.col("changed")).limit(1).count()
-        finally:
-            conf.set("spark.sql.shuffle.partitions", orig_parts)
-        labels = merged.select("id", "label")
+        # the round's convergence action — also materializes the
+        # checkpoint
+        changed = merged.filter(F.col("changed")).limit(1).count()
+        # the old labels' blocks have no further consumer (merged is a
+        # leaf) — release them instead of waiting on GC
+        release_checkpoint(labels_pin)
+        labels, labels_pin = merged.select("id", "label"), merged
         if changed == 0:
             break
+        if not contract_done:
+            lab_u = labels.select(
+                F.col("id").alias("u"), F.col("label").alias("lu")
+            )
+            lab_v = labels.select(
+                F.col("id").alias("v"), F.col("label").alias("lv")
+            )
+            contracted = (
+                edges.join(bounded_broadcast(lab_u, n_active), "u")
+                .join(bounded_broadcast(lab_v, n_active), "v")
+                .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            new_edges = lazy_local_checkpoint(contracted, cols=["u", "v"])
+            n_edges = new_edges.count()
+            if edges_pin is not None:
+                release_checkpoint(edges_pin)
+            elif pairs_pin is not None:
+                # the first contraction supersedes the pair leaf
+                release_checkpoint(pairs_pin)
+                pairs_pin = None
+            edges, edges_pin = new_edges, new_edges
+            contract_done = n_edges <= max(1000, 4 * n_active)
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
         )
     if stats is not None:
         stats["rounds"] = rounds
+    # the edge blocks have no consumer past the loop (the result joins
+    # only the converged labels) — free them now; the final labels pin
+    # stays readable for the caller's eventual action
+    if edges_pin is not None:
+        release_checkpoint(edges_pin)
+    if pairs_pin is not None:
+        release_checkpoint(pairs_pin)
     # singletons (ids with no edge) rejoin here: converged labels are
     # one row per ACTIVE node and broadcast-sized relative to the
     # corpus, so the corpus-sized side is never shuffled
