@@ -178,9 +178,7 @@ class SemiStreamJoin:
         # actual hit volume, never of the cache.
         cached_hit = cache.join(F.broadcast(batch_keys), k, "left_semi")
         hit_keys = cached_hit.select(k).distinct()
-        hit = batch.join(F.broadcast(hit_keys), k, "left_semi").join(
-            cached_hit, k, "inner"
-        )
+        hit = batch.join(cached_hit, k, "inner")
         # the missed-key set is pinned as its own CHECKPOINT LEAF: the
         # fetch plan then embeds only a leaf scan, so the miss-detect
         # work (cache semi scan + key distinct + anti) is attributed

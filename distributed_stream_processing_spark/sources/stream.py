@@ -93,17 +93,56 @@ def stage_time_ordered_late(
     return f"{path}/f*"
 
 
+def stream_session(spark: SparkSession, staged_bytes: int) -> SparkSession:
+    """CLONED session for a bounded file-replay stream, with the
+    state/shuffle width derived from the input size instead of the
+    session's batch width (r19, guide §2.1 + VERDICT r18 task 4).
+
+    A streaming aggregation's state store is partitioned by
+    ``spark.sql.shuffle.partitions`` at query start, and every
+    micro-batch pays a per-partition task + state-commit cost: at the
+    bench's replay sizes (a few MB per trigger) 32 state partitions
+    are pure overhead (measured q34 stream 2.5 s -> 1.44 s at 8).
+    Width = input_bytes/16 MB, floored at min(8, session width) so
+    tiny fixtures keep multicore aggregation, capped at the session
+    width so a cluster-scale input uses the cluster's width.
+
+    ``newSession()`` shares the SparkContext but isolates the SQL
+    conf, so the override can't leak into concurrently planned batch
+    queries (the ADVICE r18 concern about session-global mutation)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(
+        min(8, n_part), min(n_part, -(-staged_bytes // (16 << 20)))
+    )
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return s
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
     """Structured-Streaming view of the events table (ts normalized to
-    a proper timestamp), staged as a deterministic file stream."""
+    a proper timestamp), staged as a deterministic file stream. The
+    stream runs on a size-width cloned session (stream_session)."""
     ev = Catalog(spark, sf_dir).events
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = stage_stream_files(ev, f"events_{tag}", n_files, "event_id")
     schema = ev.schema
+    s = stream_session(spark, _dir_bytes(path))
     return (
-        spark.readStream.schema(schema)
+        s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
