@@ -155,15 +155,23 @@ def q34_stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q60_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from distributed_stream_processing_spark.sources.stream import (
         checkpoint_path,
+        dir_bytes,
         stage_time_ordered_late,
+        stream_session,
     )
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     glob = stage_time_ordered_late(spark, sf_dir, f"wm_late_{tag}")
+    # size-derived state width on a cloned session (see stream_session
+    # — same per-trigger state-partition overhead argument as q34; the
+    # fresh checkpoint each run means no saved state-layout conflict)
+    s = stream_session(spark, dir_bytes(os.path.dirname(glob)))
     stream = (
-        spark.readStream.schema("event_id long, ts timestamp, value double")
+        s.readStream.schema("event_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(glob)
     )
@@ -221,6 +229,10 @@ def q55_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     ev = Catalog(spark, sf_dir).events.select("event_id", "user_id", "value")
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     path = stage_stream_files(ev, f"stateful_totals_{tag}", 4, "event_id")
+    # deliberately NOT on the narrow stream_session clone (r19): the
+    # applyInPandasWithState stage is Python-worker-bound (per-user
+    # pandas state updates), so the session's full width parallelizes
+    # the workers — measured 3.5 s at 32 partitions vs 4.0 s at 8
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -119,7 +119,7 @@ def stream_session(spark: SparkSession, staged_bytes: int) -> SparkSession:
     return s
 
 
-def _dir_bytes(path: str) -> int:
+def dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
         for fn in files:
@@ -140,7 +140,7 @@ def read_events_stream(
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = stage_stream_files(ev, f"events_{tag}", n_files, "event_id")
     schema = ev.schema
-    s = stream_session(spark, _dir_bytes(path))
+    s = stream_session(spark, dir_bytes(path))
     return (
         s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -56,9 +56,13 @@ def test_progress_recorder_captures_batches(spark, sf_smoke):
     from pyspark.sql import functions as F
 
     rec = ProgressRecorder()
-    spark.streams.addListener(rec)
+    # the stream runs on its size-width cloned session (r19,
+    # stream_session) — listeners are session-scoped, so attach to the
+    # STREAM's session, the production pattern either way
+    sdf = read_events_stream(spark, sf_smoke, n_files=3)
+    stream_spark = sdf.sparkSession
+    stream_spark.streams.addListener(rec)
     try:
-        sdf = read_events_stream(spark, sf_smoke, n_files=3)
         agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
         q = (
             agg.writeStream.outputMode("complete")
@@ -76,7 +80,7 @@ def test_progress_recorder_captures_batches(spark, sf_smoke):
                 break
             time.sleep(0.2)
     finally:
-        spark.streams.removeListener(rec)
+        stream_spark.streams.removeListener(rec)
     s = rec.summary()
     assert s["n_batches"] >= 3  # one per staged file
     assert s["total_rows"] == 1000
