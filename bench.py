@@ -211,6 +211,28 @@ def _run_noop(spark, specs, name: str, d: str) -> float:
     return time.monotonic() - t0
 
 
+def _scale_probe(spark) -> float:
+    """Seconds for a fixed CPU-BOUND parallel workload (64 tasks of
+    ~40 ms interpreter work each, ~2.6 CPU-s total): makes the cpus
+    contract SELF-EVIDENT in the artifact (VERDICT r18 item 6 — the
+    driver's suspect_cpus_ignored heuristic fired because sf0.1
+    headline walls are overhead-bound and flat in core count; this
+    probe is not: ~4x slower at local[8] than local[32])."""
+
+    def burn(_):
+        x = 1.0001
+        for _ in range(1_200_000):
+            x = x * 1.0000001 % 2.0
+        return x
+
+    sc = spark.sparkContext
+    sc.setJobDescription("scale_probe: 64 cpu-bound tasks")
+    t0 = time.monotonic()
+    sc.parallelize(range(64), 64).map(burn).count()
+    sc.setJobDescription(None)
+    return time.monotonic() - t0
+
+
 def _gc_level(spark) -> None:
     """Block hygiene before a timed point: localCheckpoint blocks
     (batch outputs, state swaps) are freed by the ContextCleaner only
@@ -898,6 +920,18 @@ def main() -> None:
     print(
         f"# calibration open: {CAL_QUERY} {cal0:.2f}s "
         f"(idle envelope {CAL_IDLE_S}s)",
+        file=sys.stderr,
+    )
+    # parallel-scaling probe (VERDICT r18 item 6): one CPU-bound
+    # 64-task job whose wall scales ~linearly in core count, so the
+    # artifact itself proves $SPARK_GRAFT_CPUS is honored (the sf0.1
+    # headline walls are overhead-bound and core-flat, which tripped
+    # the driver's suspect_cpus_ignored heuristic in r18)
+    _scale_probe(spark)  # warm-up: python-worker spin-up + JIT
+    scale_s = _scale_probe(spark)
+    print(
+        f"# scale probe: {scale_s:.2f}s for 64 cpu-bound tasks on "
+        f"parallelism={spark.sparkContext.defaultParallelism}",
         file=sys.stderr,
     )
 
@@ -1708,6 +1742,13 @@ def main() -> None:
             **({"contended": contended} if contended else {}),
             "sf": float(sf),
             "runs": runs,
+            # cpus-contract self-evidence (VERDICT r18 item 6): the
+            # session's actual master + task slots, and the wall of a
+            # fixed CPU-bound 64-task job (scales ~linearly in cores,
+            # unlike the overhead-bound sf0.1 headline walls)
+            "parallelism": spark.sparkContext.defaultParallelism,
+            "master": spark.sparkContext.master,
+            "scale_probe_s": round(scale_s, 2),
             # round-parity rotation regime of the heavy optional
             # sections (1 = q33/dedup-first, 0 = r16 order) — says
             # which points were owed to THIS artifact
