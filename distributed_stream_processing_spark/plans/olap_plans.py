@@ -137,12 +137,20 @@ def _load_or_build_sim_store(spark: SparkSession, sf_dir: str, stored, t):
     )
 
     path = os.path.join(sf_dir, "q48store")
-    driver_data_root = os.path.realpath("/root/testdata")
+    # the no-persist roots are CONFIGURATION, not a code literal
+    # (ADVICE r18): SPARK_GRAFT_READONLY_ROOTS (os.pathsep-separated)
+    # names every data root the engine must never persist beside —
+    # default the driver's /root/testdata. If the driver's data ever
+    # moves, the deployment sets the env instead of silently
+    # re-enabling cross-run persistence.
+    readonly_roots = os.environ.get(
+        "SPARK_GRAFT_READONLY_ROOTS", "/root/testdata"
+    ).split(os.pathsep)
     real_sf = os.path.realpath(sf_dir)
-    if real_sf == driver_data_root or real_sf.startswith(
-        driver_data_root + os.sep
-    ):
-        return build_similarity_store(stored, t)
+    for root in readonly_roots:
+        root = os.path.realpath(root)
+        if real_sf == root or real_sf.startswith(root + os.sep):
+            return build_similarity_store(stored, t)
 
     def _evict_aside() -> None:
         aside = f"{path}.stale.{uuid.uuid4().hex[:8]}"
