@@ -34,23 +34,70 @@ def _cos_normed():
 
 
 def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
-    q = queries.select(
-        F.col("vec_id").cast("bigint").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        norm2(F.col("embedding")).alias("q_norm"),
-    )
-    c = corpus.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("embedding").alias("c_vec"),
-        norm2(F.col("embedding")).alias("c_norm"),
-    )
-    return (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("_dot", dot(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("cos4", F.round(_cos_normed(), 4))
-    )
+    """All-pairs cosine of a SMALL query set against the corpus.
+
+    r19 (guide §4.2, VERDICT r18 task 8): the brute-force scoring used
+    to be a broadcast crossJoin evaluating the higher-order dot/norm
+    folds INTERPRETED per pair (|corpus| x |queries| fold evaluations
+    — the headline q26's whole cost). Now the queries are collected
+    (driver-side, they are a tiny filter by construction) and the
+    corpus streams through one Arrow mapInPandas that evaluates the
+    IDENTICAL left-to-right double fold vectorized across the pair
+    axis: per dimension d, ``acc += V[:,d] * Q[:,d]`` performs the
+    same IEEE add/mul sequence per pair as the JVM fold, and the final
+    ``dot / (q_norm * c_norm)`` uses the same operand order — so cos
+    is bit-identical and the JVM-side round(.,4) (and the DuckDB
+    oracle) see unchanged doubles. Rounding and ranking stay in the
+    JVM."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col("vec_id").cast("bigint").alias("q_id"), "embedding"
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, vec_id long, cos double, cos4 double"
+        )
+    qids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    # float32 -> Python float -> float64: exact widenings, same as the
+    # fold's element-wise cast("double")
+    Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
+    nq, dim = Q.shape
+    qn = np.zeros(nq)
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy().astype(np.int64)
+            b = len(cids)
+            acc = np.zeros((b, nq))
+            cn = np.zeros(b)
+            for d in range(dim):
+                vd = V[:, d]
+                acc += vd[:, None] * Q[:, d][None, :]
+                cn += vd * vd
+            cn = np.sqrt(cn)
+            cos = acc / (qn[None, :] * cn[:, None])
+            bi, qi = np.nonzero(cids[:, None] != qids[None, :])
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi],
+                    "vec_id": cids[bi],
+                    "cos": cos[bi, qi],
+                }
+            )
+
+    scored = corpus.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(gen, "q_id long, vec_id long, cos double")
+    return scored.withColumn("cos4", F.round(F.col("cos"), 4))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:

@@ -11,6 +11,7 @@ Usage: python tools/check_correctness.py [name_filter ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ from distributed_stream_processing_spark.catalog import TABLES
 from distributed_stream_processing_spark.plans import load_all
 from distributed_stream_processing_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
