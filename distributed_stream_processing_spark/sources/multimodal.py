@@ -234,7 +234,21 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    flat = docs.select("doc_id", "source", "n_chars").mapInPandas(
+    # widen BEFORE the synth seam (r19, guide §2.6/§8): the documents
+    # fixture is one small parquet file -> a 1-partition scan, so the
+    # whole synth+decode chain (the trio's entire cost — real PNG/JPEG/
+    # WAV codecs in Python) ran as ONE task on a 32-core session
+    # (measured q37 decode 6.0 s -> 1.2 s warm at session width). The
+    # repartition shuffles only the tiny (doc_id, source, n_chars)
+    # projection — payloads are synthesized AFTER the exchange and
+    # never shuffled — and is skipped when the scan is already at
+    # least session-wide (the 100 TB case: a real corpus scan has
+    # plenty of partitions, and the small-row shuffle would be waste).
+    src = docs.select("doc_id", "source", "n_chars")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if src.rdd.getNumPartitions() < n_part:
+        src = src.repartition(n_part)
+    flat = src.mapInPandas(
         gen,
         schema=(
             "media_id long, media_type string, payload binary, "
