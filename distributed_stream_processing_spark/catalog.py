@@ -58,6 +58,25 @@ class Catalog:
             self._cache[name] = self._post_read(name, df)
         return self._cache[name]
 
+    def widen_small_scan(self, df: DataFrame) -> DataFrame:
+        """Round-robin repartition to the session width — but ONLY
+        when the scan is narrower (r19, guide §2.6/§6): the small
+        single-file fixture tables plan as a 1-partition scan (one
+        parquet file, one row group — minPartitionNum can't split it),
+        so every map-side stage downstream (tokenization, signature
+        votes, codec seams) ran single-task on a 32-core session.
+        Callers apply this to a SMALL projection before the heavy
+        per-row work, so only narrow rows cross the exchange. A
+        corpus-scale scan already has >= session-width partitions and
+        passes through untouched — the shuffle is never paid where it
+        wouldn't buy parallelism."""
+        n_part = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        if df.rdd.getNumPartitions() < n_part:
+            return df.repartition(n_part)
+        return df
+
     @staticmethod
     def _post_read(name: str, df: DataFrame) -> DataFrame:
         """Normalize columns Spark can't map natively.

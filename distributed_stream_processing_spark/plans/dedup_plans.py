@@ -129,8 +129,14 @@ def _duck_simhash_oracle(max_hamming: int) -> str:
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select(F.col("doc_id").alias("id"), tokens("text").alias("tokens"))
+    cat = Catalog(spark, sf_dir)
+    # widen the 1-partition fixture scan BEFORE tokenization (r19):
+    # only (doc_id, text) rows cross the exchange; a corpus-scale scan
+    # passes through untouched (catalog.widen_small_scan)
+    docs = cat.widen_small_scan(cat.documents.select("doc_id", "text"))
+    return docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("tokens")
+    )
 
 
 @query(

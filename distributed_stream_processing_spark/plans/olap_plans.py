@@ -383,9 +383,12 @@ def _ivf_oracle(
     ),
 )
 def q46_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(queries, emb, k=5)
+    # the corpus-side centroid-assignment folds ran on the single-file
+    # scan's ONE partition — widen it (r19, catalog.widen_small_scan)
+    return ivf_topk(queries, cat.widen_small_scan(emb), k=5)
 
 
 def _duck_cluster_oracle() -> str:

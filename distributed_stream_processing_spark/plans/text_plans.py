@@ -28,7 +28,11 @@ _DUCK_TOKENS = "list_sort(list_distinct(list_filter(string_split({col}, ' '), x 
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
+    cat = Catalog(spark, sf_dir)
+    # widen the 1-partition fixture scan BEFORE tokenization (r19):
+    # only (doc_id, text) rows cross the exchange; a corpus-scale scan
+    # passes through untouched (catalog.widen_small_scan)
+    docs = cat.widen_small_scan(cat.documents.select("doc_id", "text"))
     return docs.select(
         F.col("doc_id").alias("id"), tokens("text").alias("tokens")
     )

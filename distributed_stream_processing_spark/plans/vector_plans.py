@@ -40,9 +40,13 @@ _COS = duck_cosine("q.embedding", "c.embedding")
     ),
 )
 def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return brute_force_topk(queries, emb, k=5)
+    # the single-file embeddings fixture scans as 1 partition — widen
+    # the CORPUS side so the scoring seam runs session-wide (r19,
+    # catalog.widen_small_scan; queries are collected driver-side)
+    return brute_force_topk(queries, cat.widen_small_scan(emb), k=5)
 
 
 @query(
@@ -76,7 +80,9 @@ def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q27_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    # widen the 1-partition corpus scan (see q26)
+    emb = cat.widen_small_scan(cat.embeddings)
     base = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -157,6 +163,8 @@ def _lsh_oracle(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) ->
     ),
 )
 def q28_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).embeddings
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return lsh_topk(queries, emb, k=5)
+    # widen the 1-partition corpus scan (see q26)
+    return lsh_topk(queries, cat.widen_small_scan(emb), k=5)
