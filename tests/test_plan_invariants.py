@@ -88,13 +88,18 @@ def _global_sorts(plan: str) -> list[str]:
     return re.findall(r"Sort \[[^\]]*\], true,", plan)
 
 
-def test_q26_single_intended_nested_loop_no_global_sort(spark, specs):
-    """q26's one BroadcastNestedLoopJoin IS the design (tiny query set
-    broadcast-cross-scored against the corpus — zero corpus shuffle);
-    a second one, a CartesianProduct, or a global sort means the
-    top-k stopped being the partition-local rank it must be at 100x."""
+def test_q26_vectorized_scoring_no_join_no_global_sort(spark, specs):
+    """q26's scoring is ONE Arrow mapInPandas over the corpus (r19:
+    the tiny query set is collected and the identical left-to-right
+    fold runs vectorized across the pair axis — the former
+    BroadcastNestedLoopJoin crossJoin evaluated the folds interpreted
+    per pair). Any join, CartesianProduct, or global sort means the
+    top-k stopped being the broadcast-free partition-local rank it
+    must be at 100x."""
     plan = _plan(specs["q26_ann_topk"].fn(spark, SF))
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert not _global_sorts(plan), "q26 top-k gained a global sort"
 
